@@ -24,10 +24,15 @@ class TestSummary:
         assert s["mean"] == 2.8333333333333335
         assert s["median"] == 2.5
         assert s["mode"] == 2.0
-        assert s["variance"] == 1.8055555555555556
-        assert s["std_dev"] == 1.343709624584882
-        assert s["skewness"] == pytest.approx(0.3053162697580514, abs=1e-15)
-        assert s["kurtosis"] == pytest.approx(-1.151715976331361, abs=1e-14)
+        # bit-exact with the reference's raw-moment formula
+        # (m2 - m1*m1, src/stats/mod.rs:46); the published fixture value
+        # 1.8055555555555556 is numpy's two-pass result — the reference's
+        # own test asserts with np.isclose (tests/test_stats.py:12)
+        assert s["variance"] == 1.8055555555555554
+        assert s["variance"] == pytest.approx(1.8055555555555556)
+        assert s["std_dev"] == pytest.approx(1.343709624584882)
+        assert s["skewness"] == pytest.approx(0.3053162697580514, rel=1e-9)
+        assert s["kurtosis"] == pytest.approx(-1.151715976331361, rel=1e-9)
         assert s["min"] == 1.0
         assert s["max"] == 5.0
         assert s["range"] == 4.0
