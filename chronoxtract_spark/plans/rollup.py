@@ -1,0 +1,328 @@
+"""The north-rule rollup pipeline.
+
+``transcripts → turn-rate 1m series → gap-fill → feature tiers
+(1m/1h/1d) + Gorilla chunks → lineage → retention`` — the full
+lifecycle of BASELINE.json:north_star, expressed as one declarative
+Spark plan per tier.
+
+Scale design (10^12 turns, 1000 executors):
+
+- The only wide operations are groupBy shuffles keyed on
+  ``(conv_id, <time bucket>)``; every tier reuses the same conv_id
+  hash partitioning so AQE can pipeline exchanges.
+- Mega-thread skew: the turn-rate aggregation key includes the minute
+  bucket, so a 10M-turn conversation spreads over its minutes; the
+  optional ``salt`` adds ``pmod(xxhash64(conv_id), salts)`` to
+  pre-split pathological single-minute hot keys, and AQE skew-join
+  splitting is on session-wide (session.get_spark).
+- 1h and 1d moment features derive from **summed raw-moment state**
+  (functions.moment_state_exprs), never from re-scanning the base —
+  the reference's own algebraic trick (src/stats/mod.rs:25-43)
+  distributed (SURVEY.md §4.3).
+- Each day partition commits with a lineage row (row count, checksum,
+  source snapshot); re-runs skip partitions whose lineage matches —
+  the checkpoint/resume contract.
+"""
+
+from __future__ import annotations
+
+import time
+import zlib
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chronoxtract_spark import compression as cxc
+from chronoxtract_spark import functions as cxf
+from chronoxtract_spark.operators import features as ops_features
+from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
+
+TIERS = ("rollup_1m", "rollup_1h", "rollup_1d")
+LINEAGE_TABLE = "lineage"
+CHUNK_TABLE = "chunks_1m"
+
+CHUNK_SCHEMA = (
+    "conv_id string, day string, chunk_id string, t0 long, n long, "
+    "ts_bytes binary, val_bytes binary, checksum long, raw_size long, "
+    "enc_size long"
+)
+
+
+class RollupEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        io,
+        salts: int = 0,
+        kernel_features: bool = True,
+        compress: bool = True,
+    ):
+        self.spark = spark
+        self.io = io
+        self.salts = salts
+        self.kernel_features = kernel_features
+        self.compress = compress
+
+    # -- lineage ------------------------------------------------------------
+
+    def committed_days(self, tier: str, source_snapshot: str) -> set[str]:
+        """Day partitions already committed for this tier against this
+        exact source snapshot."""
+        if not self.io.exists(LINEAGE_TABLE):
+            return set()
+        rows = (
+            self.io.read(LINEAGE_TABLE)
+            .filter(
+                (F.col("tier") == tier)
+                & (F.col("source_snapshot") == source_snapshot)
+            )
+            .select("partition_key")
+            .distinct()
+            .collect()
+        )
+        return {r[0] for r in rows}
+
+    def _write_lineage(self, df: DataFrame, tier: str, source_snapshot: str):
+        """One lineage row per day partition: row count + order-insensitive
+        content checksum (bit_xor of per-row xxhash64 — overflow-free
+        under ANSI mode and commutative, so shuffle order can't change it)."""
+        cols = ", ".join(df.columns)
+        lineage = (
+            df.groupBy("day")
+            .agg(
+                F.count("*").alias("row_count"),
+                F.expr(f"bit_xor(xxhash64({cols}))").alias("checksum"),
+            )
+            .select(
+                F.lit(tier).alias("tier"),
+                F.col("day").alias("partition_key"),
+                F.lit(source_snapshot).alias("source_snapshot"),
+                "row_count",
+                "checksum",
+                F.lit(int(time.time() * 1000)).alias("committed_at"),
+            )
+        )
+        self.io.append(lineage, LINEAGE_TABLE)
+
+    # -- tier builders --------------------------------------------------------
+
+    def build_base_series(self, transcripts: DataFrame) -> DataFrame:
+        """transcripts → gap-filled per-minute turn-rate series with a
+        ``day`` partition column (north_star steps 2-3)."""
+        df = transcripts
+        if self.salts:
+            # pre-split hot conversations before the minute aggregation;
+            # the salt folds back in at the minute groupBy (keys include
+            # the minute so the salt only widens the partial-agg fanout)
+            df = df.withColumn(
+                "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(self.salts))
+            )
+        observed = turn_rate_1m(df)
+        filled = gap_fill_minutes(observed)
+        return filled.withColumn(
+            "day", F.date_format("minute_ts", "yyyy-MM-dd")
+        )
+
+    def build_rollup_1m(self, base: DataFrame) -> DataFrame:
+        """1m tier = the gap-filled series itself (one point per
+        conversation-minute) — the finest retention tier."""
+        return base.select(
+            "conv_id",
+            "minute_ts",
+            F.col("turns").cast("long").alias("turns"),
+            F.col("rate").cast("double").alias("rate"),
+            "observed",
+            "day",
+        )
+
+    def _window_tier(self, base: DataFrame, trunc: str, out_bucket: str) -> DataFrame:
+        """Shared 1h/1d builder: mergeable moment state + exact summary
+        features + (optionally) whole-series kernel features per
+        (conv_id, bucket) window."""
+        bucketed = base.withColumn(out_bucket, F.date_trunc(trunc, "minute_ts"))
+        keys = ["conv_id", out_bucket]
+
+        state = bucketed.groupBy(*keys).agg(
+            *cxf.moment_state_exprs("rate"),
+            F.percentile_approx(
+                "rate", F.array(*[F.lit(q) for q in (0.05, 0.25, 0.5, 0.75, 0.95)]),
+                F.lit(2500),
+            ).alias("q_sketch"),
+            F.first("day").alias("day"),
+        )
+        derived = cxf.moments_from_state()
+        for name, col in derived.items():
+            state = state.withColumn(name, col)
+        state = (
+            state.withColumn("median", F.col("q_sketch")[2])
+            .withColumn("q05", F.col("q_sketch")[0])
+            .withColumn("q25", F.col("q_sketch")[1])
+            .withColumn("q75", F.col("q_sketch")[3])
+            .withColumn("q95", F.col("q_sketch")[4])
+        )
+
+        if not self.kernel_features:
+            return state
+
+        kf = ops_features.kernel_features(
+            bucketed.select(*keys, "minute_ts", "rate"),
+            group_cols=keys,
+            order_cols=["minute_ts"],
+            value_col="rate",
+        )
+        return state.join(kf, keys)
+
+    def build_rollup_1h(self, base: DataFrame) -> DataFrame:
+        return self._window_tier(base, "hour", "hour_ts")
+
+    def build_rollup_1d_from_1h(self, tier_1h: DataFrame) -> DataFrame:
+        """1d tier from 1h **state sums** — no base re-scan for the
+        moment features (hierarchical re-aggregation, SURVEY.md §4.3).
+        Quantile sketches and kernel features are tier-local: quantiles
+        re-merge approximately via the per-hour sketches' union
+        (percentile_approx over hour medians is *not* used — we keep the
+        raw state and document kernel features as recomputed per tier
+        when exactness is needed)."""
+        keys = ["conv_id", "day"]
+        agg = tier_1h.groupBy(*keys).agg(
+            F.sum("n").alias("n"),
+            F.sum("s1").alias("s1"),
+            F.sum("s2").alias("s2"),
+            F.sum("s3").alias("s3"),
+            F.sum("s4").alias("s4"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        derived = cxf.moments_from_state()
+        for name, col in derived.items():
+            agg = agg.withColumn(name, col)
+        return agg.withColumn(
+            "day_ts", F.to_timestamp(F.col("day"))
+        )
+
+    def build_chunks(self, base: DataFrame) -> DataFrame:
+        """Gorilla-compressed chunk structs per (conv_id, day): the
+        vectorized Arrow UDF emitting binary-packed chunks
+        (chronoxtract_spark.compression)."""
+
+        def encode(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("minute_ts", kind="mergesort")
+            ts = (
+                pdf["minute_ts"].astype("datetime64[s]").astype(np.int64).to_numpy()
+            )
+            vals = pdf["rate"].to_numpy(dtype=np.float64)
+            ch = cxc.encode_chunk(ts, vals)
+            conv = pdf["conv_id"].iloc[0]
+            day = pdf["day"].iloc[0]
+            return pd.DataFrame(
+                [
+                    {
+                        "conv_id": conv,
+                        "day": day,
+                        "chunk_id": f"{conv}/{day}",
+                        "t0": ch["t0"],
+                        "n": ch["n"],
+                        "ts_bytes": ch["ts_bytes"],
+                        "val_bytes": ch["val_bytes"],
+                        "checksum": ch["checksum"],
+                        "raw_size": ch["raw_size"],
+                        "enc_size": ch["enc_size"],
+                    }
+                ]
+            )
+
+        return base.select("conv_id", "day", "minute_ts", "rate").groupBy(
+            "conv_id", "day"
+        ).applyInPandas(encode, schema=CHUNK_SCHEMA)
+
+    # -- orchestration --------------------------------------------------------
+
+    def run(
+        self,
+        transcripts: DataFrame,
+        source_snapshot: str = "adhoc",
+        resume: bool = True,
+    ) -> dict:
+        """Full pipeline run. Returns per-tier row counts.
+
+        Resume contract: day partitions whose lineage row exists for
+        (tier, source_snapshot) are skipped; partition writes are
+        dynamic-overwrite so a partially-written partition from a killed
+        run is replaced, never duplicated.
+        """
+        base = self.build_base_series(transcripts)
+        counts: dict[str, int] = {}
+
+        skip_1m = (
+            self.committed_days("rollup_1m", source_snapshot) if resume else set()
+        )
+        tier_1m_all = self.build_rollup_1m(base)
+        tier_1m = tier_1m_all.filter(~F.col("day").isin(list(skip_1m)) if skip_1m else F.lit(True))
+        tier_1m.cache()
+        n_1m = tier_1m.count()
+        if n_1m:
+            self.io.overwrite_partitions(tier_1m, "rollup_1m", ["day"])
+            self._write_lineage(tier_1m, "rollup_1m", source_snapshot)
+            if self.compress:
+                chunks = self.build_chunks(tier_1m)
+                self.io.overwrite_partitions(chunks, CHUNK_TABLE, ["day"])
+                self._write_lineage(chunks, CHUNK_TABLE, source_snapshot)
+        counts["rollup_1m"] = n_1m
+
+        skip_1h = (
+            self.committed_days("rollup_1h", source_snapshot) if resume else set()
+        )
+        tier_1h_all = self.build_rollup_1h(
+            tier_1m_all.filter(
+                ~F.col("day").isin(list(skip_1h)) if skip_1h else F.lit(True)
+            )
+        )
+        tier_1h_all.cache()
+        n_1h = tier_1h_all.count()
+        if n_1h:
+            self.io.overwrite_partitions(tier_1h_all, "rollup_1h", ["day"])
+            self._write_lineage(tier_1h_all, "rollup_1h", source_snapshot)
+        counts["rollup_1h"] = n_1h
+
+        skip_1d = (
+            self.committed_days("rollup_1d", source_snapshot) if resume else set()
+        )
+        tier_1d = self.build_rollup_1d_from_1h(tier_1h_all).filter(
+            ~F.col("day").isin(list(skip_1d)) if skip_1d else F.lit(True)
+        )
+        n_1d = tier_1d.count()
+        if n_1d:
+            self.io.overwrite_partitions(tier_1d, "rollup_1d", ["day"])
+            self._write_lineage(tier_1d, "rollup_1d", source_snapshot)
+        counts["rollup_1d"] = n_1d
+
+        tier_1m.unpersist()
+        tier_1h_all.unpersist()
+        return counts
+
+    # -- retention ------------------------------------------------------------
+
+    def apply_retention(self, policy: dict[str, str]) -> dict[str, list[str]]:
+        """Partition-level retention deletes: drop day partitions older
+        than each tier's cutoff (``policy = {"rollup_1m": "2026-01-15"}``)
+        and record the expiry in lineage."""
+        dropped: dict[str, list[str]] = {}
+        for tier, cutoff in policy.items():
+            days = [
+                d
+                for d in self.io.list_partitions(tier, "day")
+                if d < cutoff
+            ]
+            if days:
+                self.io.delete_partitions(tier, "day", days)
+                expiry = self.spark.createDataFrame(
+                    [(tier, d, "retention-expired", 0, 0, int(time.time() * 1000))
+                     for d in days],
+                    "tier string, partition_key string, source_snapshot string, "
+                    "row_count long, checksum long, committed_at long",
+                )
+                self.io.append(expiry, LINEAGE_TABLE)
+            dropped[tier] = days
+        return dropped

