@@ -1,10 +1,15 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes the engine's operator surface over the driver
+testdata tables; ``oracle_sql()`` gives the DuckDB-checkable ANSI-SQL
+equivalent for every SQL-expressible operator (SURVEY.md §5.2 item 5).
+Kernel-only operators (entropy family, spectral, MinHash/LSH, rollup
+tiers) are rows-only checks.
+
+Float determinism convention: every computed double is rounded
+identically on both sides — 6 decimals for averages / ratios /
+normalized statistics, 2 decimals for raw sums whose magnitude makes
+the 6th decimal numerically meaningless across summation orders.
 """
 
 from __future__ import annotations
@@ -12,27 +17,992 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _events(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _documents(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _embeddings(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _lineitem(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+
+
+# ---------------------------------------------------------------------------
+# flagship
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-user gap-filled minute turn-rate series rolled into
+    the full summary feature vector (the north-rule pipeline core) on
+    sf0.001 events-as-transcripts."""
+    from chronoxtract_spark.operators.features import summary_features
+    from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
+
+    ev = _events(spark, "/root/testdata/sf0.001").select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    observed = turn_rate_1m(ev)
+    filled = gap_fill_minutes(observed)
+    return summary_features(filled, ["conv_id"], "rate")
+
+
+# ---------------------------------------------------------------------------
+# SQL-native feature queries (oracle-checked)
+
+
+def q_summary_stats(spark, sf_dir):
+    """time_series_summary moment block per event_type
+    (reference: src/lib.rs:58-99, src/stats/mod.rs:21-79)."""
+    from chronoxtract_spark.functions import EPS_STD
+
+    ev = _events(spark, sf_dir)
+    c = F.col("value")
+    std = F.stddev_pop(c)
+    guard = std > EPS_STD
+    return ev.groupBy("event_type").agg(
+        F.count(c).cast("long").alias("n"),
+        F.round(F.avg(c), 6).alias("mean"),
+        F.round(F.var_pop(c), 6).alias("variance"),
+        F.round(std, 6).alias("std_dev"),
+        F.round(F.when(guard, F.skewness(c)), 6).alias("skewness"),
+        F.round(F.when(guard, F.kurtosis(c)), 6).alias("kurtosis"),
+        F.round(F.min(c), 6).alias("min"),
+        F.round(F.max(c), 6).alias("max"),
+        F.round(F.max(c) - F.min(c), 6).alias("range"),
+        F.round(F.sum(c), 2).alias("sum"),
+        F.round(F.sum(c * c), 2).alias("absolute_energy"),
+    )
+
+
+SQL_SUMMARY_STATS = """
+SELECT event_type,
+       count(value)::BIGINT AS n,
+       round(avg(value), 6) AS mean,
+       round(avg(value*value) - avg(value)*avg(value), 6) AS variance,
+       round(sqrt(avg(value*value) - avg(value)*avg(value)), 6) AS std_dev,
+       round(CASE WHEN sqrt(avg(value*value) - avg(value)*avg(value)) > 1e-9 THEN
+         (avg(value*value*value) - 3*avg(value)*avg(value*value) + 2*pow(avg(value),3))
+         / pow(avg(value*value) - avg(value)*avg(value), 1.5) END, 6) AS skewness,
+       round(CASE WHEN sqrt(avg(value*value) - avg(value)*avg(value)) > 1e-9 THEN
+         (avg(value*value*value*value) - 4*avg(value)*avg(value*value*value)
+          + 6*avg(value)*avg(value)*avg(value*value) - 3*pow(avg(value),4))
+         / pow(avg(value*value) - avg(value)*avg(value), 2) - 3.0 END, 6) AS kurtosis,
+       round(min(value), 6) AS min,
+       round(max(value), 6) AS max,
+       round(max(value) - min(value), 6) AS range,
+       round(sum(value), 2) AS sum,
+       round(sum(value*value), 2) AS absolute_energy
+FROM events GROUP BY event_type
+"""
+
+
+def q_quantiles(spark, sf_dir):
+    """Exact interpolated median + q05/q25/q75/q95
+    (reference: src/stats/mod.rs:81-114)."""
+    ev = _events(spark, sf_dir)
+    c = F.col("value")
+    qs = F.percentile(c, F.array(*[F.lit(q) for q in (0.05, 0.25, 0.5, 0.75, 0.95)]))
+    return ev.groupBy("event_type").agg(
+        F.round(qs[2], 6).alias("median"),
+        F.round(qs[0], 6).alias("q05"),
+        F.round(qs[1], 6).alias("q25"),
+        F.round(qs[3], 6).alias("q75"),
+        F.round(qs[4], 6).alias("q95"),
+    )
+
+
+SQL_QUANTILES = """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS median,
+       round(quantile_cont(value, 0.05), 6) AS q05,
+       round(quantile_cont(value, 0.25), 6) AS q25,
+       round(quantile_cont(value, 0.75), 6) AS q75,
+       round(quantile_cont(value, 0.95), 6) AS q95
+FROM events GROUP BY event_type
+"""
+
+
+def q_mode(spark, sf_dir):
+    """Deterministic mode: most frequent value, smallest on ties
+    (reference: src/stats/mod.rs:116-130; tie-break pinned per
+    SURVEY.md §7.3). Values bucketed to 3 decimals so ties exist."""
+    from chronoxtract_spark.functions import mode_agg
+
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.round("value", 0).alias("v")
+    )
+    return mode_agg(ev, ["event_type"], "v", out="mode").select(
+        "event_type", F.round("mode", 6).alias("mode")
+    )
+
+
+SQL_MODE = """
+WITH c AS (
+  SELECT event_type, round(value, 0) AS v, count(*) AS cnt
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT event_type, v,
+         row_number() OVER (PARTITION BY event_type ORDER BY cnt DESC, v ASC) AS rn
+  FROM c
+)
+SELECT event_type, round(v, 6) AS mode FROM r WHERE rn = 1
+"""
+
+
+def q_hjorth(spark, sf_dir):
+    """Hjorth activity/mobility/complexity per event_type series
+    (reference: src/higherorder/mod.rs:115-173)."""
+    from chronoxtract_spark.functions import hjorth_agg_exprs, with_diff_columns
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    d = with_diff_columns(ev, "event_type", ["ts", "event_id"], "value")
+    raw = d.groupBy("event_type").agg(*hjorth_agg_exprs())
+    return raw.select(
+        "event_type",
+        F.round("hjorth_activity", 4).alias("hjorth_activity"),
+        F.round("hjorth_mobility", 6).alias("hjorth_mobility"),
+        F.round("hjorth_complexity", 6).alias("hjorth_complexity"),
+    )
+
+
+SQL_HJORTH = """
+WITH base AS (
+  SELECT event_type, value, ts, event_id,
+         value - lag(value) OVER w AS d1
+  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), diffs AS (
+  SELECT event_type, value, d1,
+         d1 - lag(d1) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS d2
+  FROM base
+)
+SELECT event_type,
+       round(var_pop(value), 4) AS hjorth_activity,
+       round(CASE WHEN var_pop(value) > 0
+                  THEN sqrt(var_pop(d1) / var_pop(value)) ELSE 0.0 END, 6)
+         AS hjorth_mobility,
+       round(CASE WHEN var_pop(d1) <= 0 THEN 1.0
+                  WHEN var_pop(value) <= 0 THEN 1.0
+                  WHEN sqrt(var_pop(d1) / var_pop(value)) <= 0 THEN 1.0
+                  ELSE sqrt(var_pop(d2) / var_pop(d1))
+                       / sqrt(var_pop(d1) / var_pop(value)) END, 6)
+         AS hjorth_complexity
+FROM diffs GROUP BY event_type
+"""
+
+
+def q_slope_shape(spark, sf_dir):
+    """Slope features + zero-crossing (on the centered series) +
+    turning points per event_type
+    (reference: src/shape/mod.rs:180-222,439-459)."""
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    wg = W.partitionBy("event_type")
+    wo = wg.orderBy("ts", "event_id")
+    centered = ev.withColumn("cv", F.col("value") - F.avg("value").over(wg))
+    d = (
+        centered.withColumn("_prev", F.lag("value").over(wo))
+        .withColumn("_next", F.lead("value").over(wo))
+        .withColumn("_d1", F.col("value") - F.col("_prev"))
+        .withColumn("_pcv", F.lag("cv").over(wo))
+    )
+    cur_pos = F.col("cv") >= 0
+    prev_pos = F.col("_pcv") >= 0
+    mid, left, right = F.col("value"), F.col("_prev"), F.col("_next")
+    is_tp = (
+        left.isNotNull()
+        & right.isNotNull()
+        & (((mid > left) & (mid > right)) | ((mid < left) & (mid < right)))
+    )
+    return d.groupBy("event_type").agg(
+        F.round(F.avg("_d1"), 6).alias("mean_slope"),
+        F.round(F.var_pop("_d1"), 4).alias("slope_variance"),
+        F.round(F.max(F.abs(F.col("_d1"))), 6).alias("max_slope"),
+        F.round(
+            F.sum(
+                F.when(F.col("_pcv").isNotNull() & (cur_pos != prev_pos), 1).otherwise(0)
+            )
+            / (F.count("*") - 1),
+            6,
+        ).alias("zero_crossing_rate"),
+        F.sum(F.when(is_tp, 1).otherwise(0)).cast("long").alias("num_turning_points"),
+        F.round(
+            F.sum(F.when(is_tp, 1).otherwise(0)) / (F.count("*") - 2), 6
+        ).alias("turning_point_rate"),
+    )
+
+
+SQL_SLOPE_SHAPE = """
+WITH c AS (
+  SELECT event_type, ts, event_id, value,
+         value - avg(value) OVER (PARTITION BY event_type) AS cv
+  FROM events
+), d AS (
+  SELECT event_type, value, cv,
+         lag(value) OVER w AS prev,
+         lead(value) OVER w AS next,
+         value - lag(value) OVER w AS d1,
+         lag(cv) OVER w AS pcv
+  FROM c WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT event_type,
+       round(avg(d1), 6) AS mean_slope,
+       round(var_pop(d1), 4) AS slope_variance,
+       round(max(abs(d1)), 6) AS max_slope,
+       round(sum(CASE WHEN pcv IS NOT NULL AND ((cv >= 0) != (pcv >= 0))
+                      THEN 1 ELSE 0 END)::DOUBLE / (count(*) - 1), 6)
+         AS zero_crossing_rate,
+       sum(CASE WHEN prev IS NOT NULL AND next IS NOT NULL AND
+                ((value > prev AND value > next) OR (value < prev AND value < next))
+                THEN 1 ELSE 0 END)::BIGINT AS num_turning_points,
+       round(sum(CASE WHEN prev IS NOT NULL AND next IS NOT NULL AND
+                ((value > prev AND value > next) OR (value < prev AND value < next))
+                THEN 1 ELSE 0 END)::DOUBLE / (count(*) - 2), 6)
+         AS turning_point_rate
+FROM d GROUP BY event_type
+"""
+
+
+def q_fvar(spark, sf_dir):
+    """Fractional variability + Vaughan error per event_type over
+    flux = |value| + 1, err = 1 (reference: src/misc/frac.rs:12-89)."""
+    from chronoxtract_spark.functions import fvar_agg_exprs
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.abs(F.col("value")) + 1).alias("flux"),
+        F.lit(1.0).alias("err"),
+    )
+    raw = ev.groupBy("event_type").agg(*fvar_agg_exprs("flux", "err"))
+    return raw.select(
+        "event_type",
+        F.round("fvar", 6).alias("fvar"),
+        F.round("fvar_err", 6).alias("fvar_err"),
+    )
+
+
+SQL_FVAR = """
+WITH f AS (SELECT event_type, abs(value) + 1 AS flux, 1.0 AS err FROM events),
+a AS (
+  SELECT event_type,
+         count(*) AS n, avg(flux) AS mean_f,
+         var_samp(flux) AS var_s, avg(err*err) AS mean_e2
+  FROM f GROUP BY event_type
+)
+SELECT event_type,
+  round(CASE WHEN mean_f = 0 THEN 'NaN'::DOUBLE
+             WHEN var_s - mean_e2 <= 0 THEN 0.0
+             ELSE sqrt(var_s - mean_e2) / mean_f END, 6) AS fvar,
+  round(CASE WHEN mean_f = 0 THEN 'NaN'::DOUBLE
+             WHEN var_s - mean_e2 <= 0 THEN 0.0
+             ELSE sqrt(
+               pow(sqrt(1.0/(2*n)) * mean_e2 /
+                   (mean_f * mean_f * (sqrt(var_s - mean_e2)/mean_f)), 2)
+               + pow(sqrt(mean_e2/n) / mean_f, 2)) END, 6) AS fvar_err
+FROM a
+"""
+
+
+def q_variability_timescale(spark, sf_dir):
+    """Min adjacent-pair timescale tau = dt/|ln(f2/f1)| over significant
+    pairs, per event_type (reference: src/misc/var.rs:7-47);
+    flux = |value| + 1, err = 1, t in seconds."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6).alias("t"),
+        (F.abs(F.col("value")) + 1).alias("f"),
+    )
+    wo = W.partitionBy("event_type").orderBy("t")
+    d = (
+        ev.withColumn("pf", F.lag("f").over(wo))
+        .withColumn("pt", F.lag("t").over(wo))
+        .withColumn("dt", F.col("t") - F.col("pt"))
+        .withColumn("dlnf", F.abs(F.log(F.col("f") / F.col("pf"))))
+    )
+    ok = (
+        (F.col("dt") > 0)
+        & (F.col("f") > 0)
+        & (F.col("pf") > 0)
+        & (F.col("dlnf") != 0)
+        & (F.abs(F.col("f") - F.col("pf")) >= F.sqrt(F.lit(2.0)))
+    )
+    tau = F.when(ok, F.col("dt") / F.col("dlnf"))
+    return d.groupBy("event_type").agg(
+        F.round(F.min(tau), 4).alias("tau_min"),
+        F.sum(F.when(ok, 1).otherwise(0)).cast("long").alias("n_significant"),
+    )
+
+
+SQL_VARIABILITY_TIMESCALE = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts)/1e6 AS t, abs(value) + 1 AS f
+  FROM events
+), p AS (
+  SELECT event_type, t, f,
+         lag(t) OVER w AS pt, lag(f) OVER w AS pf
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY t)
+), q AS (
+  SELECT event_type, (t - pt) AS dt, abs(ln(f / pf)) AS dlnf,
+         (pt IS NOT NULL AND (t - pt) > 0 AND f > 0 AND pf > 0
+          AND abs(ln(f / pf)) != 0
+          AND abs(f - pf) >= sqrt(2.0)) AS ok
+  FROM p
+)
+SELECT event_type,
+       round(min(CASE WHEN ok THEN dt / dlnf END), 4) AS tau_min,
+       sum(CASE WHEN ok THEN 1 ELSE 0 END)::BIGINT AS n_significant
+FROM q GROUP BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# rolling / expanding (oracle-checked, per-row outputs)
+
+
+def q_rolling_mean(spark, sf_dir):
+    """Trailing-window mean w=5, complete windows only
+    (reference: src/rollingstats/mod.rs:6-19)."""
+    from chronoxtract_spark.operators.rolling import rolling_mean
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = rolling_mean(ev, "user_id", ["ts", "event_id"], "value", 5)
+    return out.select(
+        "user_id", "event_id", F.round("rolling_mean", 6).alias("rolling_mean")
+    )
+
+
+SQL_ROLLING_MEAN = """
+WITH r AS (
+  SELECT user_id, event_id,
+         avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rm,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, round(rm, 6) AS rolling_mean FROM r WHERE rn >= 5
+"""
+
+
+def q_rolling_variance(spark, sf_dir):
+    """Trailing-window population variance w=5
+    (reference: src/rollingstats/mod.rs:23-35)."""
+    from chronoxtract_spark.operators.rolling import rolling_variance
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = rolling_variance(ev, "user_id", ["ts", "event_id"], "value", 5)
+    return out.select(
+        "user_id", "event_id", F.round("rolling_variance", 4).alias("rolling_variance")
+    )
+
+
+SQL_ROLLING_VARIANCE = """
+WITH r AS (
+  SELECT user_id, event_id,
+         var_pop(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS rv,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_id, round(rv, 4) AS rolling_variance FROM r WHERE rn >= 5
+"""
+
+
+def q_expanding_sum(spark, sf_dir):
+    """Cumulative sum per user (reference: src/rollingstats/mod.rs:39-48)."""
+    from chronoxtract_spark.operators.rolling import expanding_sum
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = expanding_sum(ev, "user_id", ["ts", "event_id"], "value")
+    return out.select(
+        "user_id", "event_id", F.round("expanding_sum", 4).alias("expanding_sum")
+    )
+
+
+SQL_EXPANDING_SUM = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+         AS expanding_sum
+FROM events
+"""
+
+
+def q_ema(spark, sf_dir):
+    """EMA recurrence alpha=0.5, seeded with the first value
+    (reference: src/rollingstats/mod.rs:52-64)."""
+    from chronoxtract_spark.operators.rolling import exponential_moving_average
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id", "value")
+    out = exponential_moving_average(
+        ev, "user_id", ["ts", "event_id"], "value", alpha=0.5
+    )
+    # integer micro-units via floor(x*1e6 + 0.5): identical float ops on
+    # both engines, immune to round() algorithm differences at dyadic
+    # boundaries (alpha=0.5 folds produce exact .5*10^-6 values)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("ema") * 1e6 + 0.5).cast("long").alias("ema_micro"),
+    )
+
+
+SQL_EMA = """
+SELECT user_id, event_id,
+       floor(list_reduce(
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         (acc, x) -> 0.5 * x + 0.5 * acc) * 1e6 + 0.5)::BIGINT AS ema_micro
+FROM events
+"""
+
+
+# ---------------------------------------------------------------------------
+# gap-fill (oracle-checked on span arithmetic)
+
+
+def q_gapfill_spans(spark, sf_dir):
+    """Gap-filled minute-spine row counts per user: dense row count ==
+    span minutes + 1; observed minutes counted separately
+    (north_star gap-fill stage)."""
+    from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    filled = gap_fill_minutes(turn_rate_1m(ev))
+    return filled.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.sum(F.when(F.col("observed"), 1).otherwise(0)).cast("long").alias(
+            "n_observed"
+        ),
+        F.round(F.sum("rate"), 4).alias("sum_rate"),
+    ).select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "n_minutes",
+        "n_observed",
+        "sum_rate",
+    )
+
+
+SQL_GAPFILL_SPANS = """
+WITH m AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute_ts, count(*) AS turns
+  FROM events GROUP BY 1, 2
+), spans AS (
+  SELECT user_id,
+         (epoch(max(minute_ts)) - epoch(min(minute_ts)))::BIGINT / 60 + 1 AS n_minutes,
+         count(*)::BIGINT AS n_observed
+  FROM m GROUP BY user_id
+), spine AS (
+  SELECT s.user_id, unnest(generate_series(mn.t0, mn.t1, INTERVAL 1 MINUTE)) AS minute_ts
+  FROM spans s JOIN (
+    SELECT user_id, min(minute_ts) AS t0, max(minute_ts) AS t1 FROM m GROUP BY 1
+  ) mn USING (user_id)
+), interp AS (
+  SELECT sp.user_id, sp.minute_ts,
+         m.turns IS NOT NULL AS observed,
+         m.turns::DOUBLE AS raw,
+         epoch(sp.minute_ts) AS tsec
+  FROM spine sp LEFT JOIN m ON m.user_id = sp.user_id AND m.minute_ts = sp.minute_ts
+), w AS (
+  SELECT user_id, minute_ts, observed, raw, tsec,
+    last_value(CASE WHEN observed THEN raw END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY minute_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+    last_value(CASE WHEN observed THEN tsec END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY minute_ts
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ptt,
+    first_value(CASE WHEN observed THEN raw END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY minute_ts
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+    first_value(CASE WHEN observed THEN tsec END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY minute_ts
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ntt
+  FROM interp
+), rates AS (
+  SELECT user_id,
+         CASE WHEN observed THEN raw
+              WHEN pv IS NULL THEN nv
+              WHEN nv IS NULL THEN pv
+              ELSE pv + (nv - pv) * (tsec - ptt) / (ntt - ptt) END AS rate
+  FROM w
+)
+SELECT user_id, s.n_minutes, s.n_observed,
+       round(sum(rate), 4) AS sum_rate
+FROM rates JOIN spans s USING (user_id)
+GROUP BY user_id, s.n_minutes, s.n_observed
+"""
+
+
+# ---------------------------------------------------------------------------
+# DCF / ACF range join (oracle-checked)
+
+
+def q_acf_eventcount(spark, sf_dir):
+    """ACF of the global per-minute event-count series, lag bins
+    [1, 11) minutes width 1 — the range-join form of the reference's
+    O(n^2) pair loop (reference: src/correlation/dcf.rs:25-75)."""
+    from chronoxtract_spark.operators.dcf import acf_range_join
+
+    ev = _events(spark, sf_dir)
+    s = ev.groupBy(
+        (F.unix_timestamp(F.date_trunc("minute", "ts")) / 60).alias("t")
+    ).agg(F.count("*").cast("double").alias("v"))
+    out = acf_range_join(s, 1.0, 11.0, 1.0)
+    return out.select(
+        F.round("lag", 6).alias("lag"),
+        F.round("correlation", 6).alias("correlation"),
+        F.round("error", 6).alias("error"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
+
+
+SQL_ACF_EVENTCOUNT = """
+WITH s AS (
+  SELECT epoch(date_trunc('minute', ts)) / 60.0 AS t, count(*)::DOUBLE AS v
+  FROM events GROUP BY 1
+), st AS (
+  SELECT avg(v) AS mu, stddev_samp(v) AS sg FROM s
+), pairs AS (
+  SELECT floor((b.t - a.t - 1.0) / 1.0) AS bin,
+         (a.v - st.mu) * (b.v - st.mu) / (st.sg * st.sg) AS udcf
+  FROM s a, s b, st
+  WHERE b.t - a.t >= 1.0 AND b.t - a.t < 11.0
+)
+SELECT round(1.0 + (bin + 0.5) * 1.0, 6) AS lag,
+       round(avg(udcf), 6) AS correlation,
+       round(stddev_samp(udcf) / sqrt(count(*)), 6) AS error,
+       count(*)::BIGINT AS n_pairs
+FROM pairs WHERE bin < 10 GROUP BY bin
+"""
+
+
+# ---------------------------------------------------------------------------
+# relational scans / joins (oracle-checked)
+
+
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1-style pricing summary — scan + 8-agg groupBy with a
+    pushed-down date filter."""
+    li = _lineitem(spark, sf_dir)
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark, sf_dir):
+    """Broadcast-join chain lineitem ⋈ supplier ⋈ nation → revenue per
+    nation (small dims broadcast, one shuffle on the agg)."""
+    li = _lineitem(spark, sf_dir)
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(nat), sup.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count("*").cast("long").alias("n_items"),
+        )
+    )
+
+
+SQL_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# documents: dedup + text analysis (oracle-checked)
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Byte-identical document groups (hash-groupBy dedup)."""
+    from chronoxtract_spark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_documents(spark, sf_dir)).select(
+        "text_hash", "n_docs"
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY md5(text) HAVING count(*) > 1
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs >= 0.25 via the
+    inverted shingle index (explode + equi-join, no cross join)."""
+    from chronoxtract_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _documents(spark, sf_dir), "doc_id", "text", n=3, threshold=0.25
+    )
+
+
+SQL_NGRAM_JACCARD = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT d1, d2, round(i::DOUBLE / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc_id = d1
+JOIN sizes s2 ON s2.doc_id = d2
+WHERE i::DOUBLE / (s1.n + s2.n - i) >= 0.25
+"""
+
+
+def q_token_stats(spark, sf_dir):
+    """Whitespace token counts + quality ratios per document."""
+    from chronoxtract_spark.operators.text import with_quality_score, with_token_counts
+
+    d = with_quality_score(with_token_counts(_documents(spark, sf_dir)))
+    return d.select(
+        "doc_id",
+        "n_tokens_ws",
+        "n_chars_calc",
+        F.col("mean_word_len"),
+        "punct_ratio",
+        "stopword_ratio",
+    )
+
+
+SQL_TOKEN_STATS = """
+SELECT doc_id,
+       array_length(string_split(text, ' '))::BIGINT AS n_tokens_ws,
+       length(text)::BIGINT AS n_chars_calc,
+       round((length(text) - (array_length(string_split(text, ' ')) - 1))::DOUBLE
+             / array_length(string_split(text, ' ')), 6) AS mean_word_len,
+       round((length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+             / length(text), 6) AS punct_ratio,
+       round(len(list_filter(string_split(lower(text), ' '),
+             x -> list_contains(['the','a','an','and','or','of','to','in','is','it'], x)))::DOUBLE
+             / array_length(string_split(text, ' ')), 6) AS stopword_ratio
+FROM documents
+"""
+
+
+def q_lang_counts(spark, sf_dir):
+    """Document counts per language tag (scan + agg on documents)."""
+    return (
+        _documents(spark, sf_dir)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )
+
+
+SQL_LANG_COUNTS = """
+SELECT lang, count(*)::BIGINT AS n_docs, round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# embeddings: similarity search (oracle-checked)
+
+
+def q_knn_brute(spark, sf_dir):
+    """Exact cosine top-3 neighbors for query vectors (vec_id < 20) —
+    brute-force ANN baseline with broadcast query side."""
+    from chronoxtract_spark.operators.similarity import brute_force_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return brute_force_topk(queries, emb, k=3)
+
+
+SQL_KNN_BRUTE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id < 20
+), scored AS (
+  SELECT q.query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(q.qv, c.embedding::DOUBLE[]) AS cos
+  FROM q, embeddings c WHERE c.vec_id != q.query_id
+), r AS (
+  SELECT query_id, neighbor_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cos, 6) AS cosine, rank::BIGINT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# kernel-only operators (rows-only driver checks)
+
+
+def q_kernel_features(spark, sf_dir):
+    """Whole-series kernel feature vector (entropy family, Welch
+    spectral block, Hjorth, peaks, DFA) per event_type via
+    applyInPandas (SURVEY.md §2.8)."""
+    from chronoxtract_spark.operators.features import kernel_features
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    return kernel_features(ev, ["event_type"], ["ts", "event_id"], "value")
+
+
+def q_rollup_tiers(spark, sf_dir):
+    """North-rule rollup demo: events-as-transcripts → gap-filled 1m
+    base → 1h moment/feature tier (plans.rollup)."""
+    from chronoxtract_spark.plans.rollup import RollupEngine
+    from chronoxtract_spark.sources.tableio import temp_warehouse
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+    eng = RollupEngine(spark, temp_warehouse(spark), kernel_features=False, compress=False)
+    base = eng.build_base_series(ev)
+    return eng.build_rollup_1h(base)
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates, exact-verified (scale path)."""
+    from chronoxtract_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _documents(spark, sf_dir), num_hashes=32, bands=8, verify_threshold=0.25
+    )
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash banded near-dup candidates with Hamming distance."""
+    from chronoxtract_spark.operators.dedup import simhash_duplicates
+
+    return simhash_duplicates(_documents(spark, sf_dir)).filter(
+        F.col("hamming") <= 6
+    )
+
+
+def q_lsh_ann(spark, sf_dir):
+    """Random-hyperplane LSH approximate top-3 (bucketed ANN path)."""
+    from chronoxtract_spark.operators.similarity import lsh_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return lsh_topk(queries, emb, k=3, n_planes=6, n_tables=4, dim=64)
+
+
+def q_lang_id_pred(spark, sf_dir):
+    """Marker-based language-ID heuristic vs the labeled lang column."""
+    from chronoxtract_spark.operators.text import with_lang_id
+
+    d = with_lang_id(_documents(spark, sf_dir))
+    return d.groupBy("lang", "lang_pred").agg(
+        F.count("*").cast("long").alias("n")
+    )
+
+
+def q_rolling_entropy(spark, sf_dir):
+    """Sliding-window histogram entropy (log2) w=32 b=8 per event_type
+    via the kernel (reference: src/rollingstats/mod.rs:68-104)."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import rolling as k_rolling
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        ent = k_rolling.sliding_window_entropy(
+            pdf["value"].to_numpy(np.float64), 32, 8
+        )
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "offset": range(len(ent)),
+                "entropy": ent,
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        fn, schema="event_type string, offset long, entropy double"
+    )
+
+
+def q_stl_eventcount(spark, sf_dir):
+    """Simple STL decomposition of the global per-minute count series
+    (reference: src/seasonality/mod.rs:172-213) — per-row
+    trend/seasonal/remainder via the kernel."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import seasonality as k_seas
+
+    ev = _events(spark, sf_dir)
+    s = ev.groupBy(F.date_trunc("minute", "ts").alias("minute_ts")).agg(
+        F.count("*").cast("double").alias("v")
+    ).withColumn("g", F.lit(1))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("minute_ts")
+        x = pdf["v"].to_numpy(np.float64)
+        trend, seasonal, remainder = k_seas.simple_stl_decomposition(x, 60)
+        return pd.DataFrame(
+            {
+                "minute_ts": pdf["minute_ts"],
+                "v": x,
+                "trend": trend,
+                "seasonal": seasonal,
+                "remainder": remainder,
+            }
+        )
+
+    return s.groupBy("g").applyInPandas(
+        fn,
+        schema="minute_ts timestamp, v double, trend double, seasonal double, "
+        "remainder double",
+    )
+
+
+def q_compression_stats(spark, sf_dir):
+    """Gorilla chunk compression stats per user-day over the gap-filled
+    series (north_star compression stage)."""
+    from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
+    from chronoxtract_spark.plans.rollup import RollupEngine
+    from chronoxtract_spark.sources.tableio import temp_warehouse
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    filled = gap_fill_minutes(turn_rate_1m(ev)).withColumn(
+        "day", F.date_format("minute_ts", "yyyy-MM-dd")
+    )
+    eng = RollupEngine(spark, temp_warehouse(spark))
+    chunks = eng.build_chunks(filled)
+    return chunks.select(
+        "conv_id", "day", "n", "raw_size", "enc_size", "checksum"
+    )
+
+
+# ---------------------------------------------------------------------------
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # SQL-native features
+        "summary_stats": q_summary_stats,
+        "quantiles": q_quantiles,
+        "mode": q_mode,
+        "hjorth": q_hjorth,
+        "slope_shape": q_slope_shape,
+        "fvar": q_fvar,
+        "variability_timescale": q_variability_timescale,
+        # rolling
+        "rolling_mean": q_rolling_mean,
+        "rolling_variance": q_rolling_variance,
+        "expanding_sum": q_expanding_sum,
+        "ema": q_ema,
+        # gap-fill + correlation
+        "gapfill_spans": q_gapfill_spans,
+        "acf_eventcount": q_acf_eventcount,
+        # relational
+        "tpch_q1": q_tpch_q1,
+        "revenue_by_nation": q_revenue_by_nation,
+        # documents / dedup / text
+        "dedup_exact": q_dedup_exact,
+        "ngram_jaccard": q_ngram_jaccard,
+        "token_stats": q_token_stats,
+        "lang_counts": q_lang_counts,
+        # embeddings
+        "knn_brute": q_knn_brute,
+        # kernel-only (rows-only checks)
+        "kernel_features": q_kernel_features,
+        "rollup_tiers": q_rollup_tiers,
+        "minhash_lsh": q_minhash_lsh,
+        "simhash": q_simhash,
+        "lsh_ann": q_lsh_ann,
+        "lang_id_pred": q_lang_id_pred,
+        "rolling_entropy": q_rolling_entropy,
+        "stl_eventcount": q_stl_eventcount,
+        "compression_stats": q_compression_stats,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "summary_stats": SQL_SUMMARY_STATS,
+        "quantiles": SQL_QUANTILES,
+        "mode": SQL_MODE,
+        "hjorth": SQL_HJORTH,
+        "slope_shape": SQL_SLOPE_SHAPE,
+        "fvar": SQL_FVAR,
+        "variability_timescale": SQL_VARIABILITY_TIMESCALE,
+        "rolling_mean": SQL_ROLLING_MEAN,
+        "rolling_variance": SQL_ROLLING_VARIANCE,
+        "expanding_sum": SQL_EXPANDING_SUM,
+        "ema": SQL_EMA,
+        "gapfill_spans": SQL_GAPFILL_SPANS,
+        "acf_eventcount": SQL_ACF_EVENTCOUNT,
+        "tpch_q1": SQL_TPCH_Q1,
+        "revenue_by_nation": SQL_REVENUE_BY_NATION,
+        "dedup_exact": SQL_DEDUP_EXACT,
+        "ngram_jaccard": SQL_NGRAM_JACCARD,
+        "token_stats": SQL_TOKEN_STATS,
+        "lang_counts": SQL_LANG_COUNTS,
+        "knn_brute": SQL_KNN_BRUTE,
+    }

@@ -1,0 +1,115 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line: metric/value/unit/queries/sf.
+
+The headline is the north metric: the full rollup pipeline
+(gap-fill → 1m/1h/1d tiers + Gorilla chunks + lineage) over
+events-as-transcripts, reported as rolled-up points/sec across all
+tiers; individual operator timings ride along in ``queries``.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_bench(sf_dir: str, cpus: str) -> dict:
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entry_mod
+    from chronoxtract_spark.plans.rollup import RollupEngine
+    from chronoxtract_spark.session import get_spark
+    from chronoxtract_spark.sources.tableio import temp_warehouse
+
+    spark = get_spark(
+        app_name="cx_bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus) if cpus.isdigit() else None,
+    )
+    timings: dict[str, float] = {}
+
+    # -- headline: the rollup pipeline (north metric) -----------------------
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+    ev.cache()
+    n_events = ev.count()
+
+    import shutil
+
+    io = temp_warehouse(spark)
+    eng = RollupEngine(spark, io, kernel_features=True, compress=True)
+    t0 = time.time()
+    counts = eng.run(ev, source_snapshot="bench", resume=False)
+    rollup_sec = time.time() - t0
+    timings["rollup_all_tiers"] = round(rollup_sec, 3)
+    total_points = sum(counts.values())
+    shutil.rmtree(io.root, ignore_errors=True)
+    ev.unpersist()
+
+    # -- operator timings ----------------------------------------------------
+    qs = entry_mod.queries()
+    bench_queries = [
+        "summary_stats",
+        "quantiles",
+        "hjorth",
+        "slope_shape",
+        "rolling_mean",
+        "ema",
+        "gapfill_spans",
+        "acf_eventcount",
+        "tpch_q1",
+        "revenue_by_nation",
+        "ngram_jaccard",
+        "minhash_lsh",
+        "knn_brute",
+        "lsh_ann",
+        "kernel_features",
+        "compression_stats",
+    ]
+    for name in bench_queries:
+        t0 = time.time()
+        try:
+            n = qs[name](spark, sf_dir).count()
+            timings[name] = round(time.time() - t0, 3)
+        except Exception as e:  # pragma: no cover
+            timings[name] = -1.0
+            print(f"bench query {name} failed: {e}", file=sys.stderr)
+
+    total = round(sum(v for v in timings.values() if v > 0), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass
+    result = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "rollup_points": total_points,
+        "rollup_points_per_sec": round(total_points / rollup_sec, 1),
+        "input_events": n_events,
+        "cpus": cpus,
+    }
+    spark.stop()
+    return result
+
+
+if __name__ == "__main__":
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    print(json.dumps(run_bench(sf_dir, cpus)))

@@ -1,0 +1,264 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All variants are Spark-first and shuffle-efficient:
+
+- ``exact_duplicates`` — hash-groupBy on a content digest; one shuffle
+  keyed by the digest, partial-aggregated map-side.
+- ``ngram_jaccard_pairs`` — exact word-shingle Jaccard via an inverted
+  shingle index (explode → self-equi-join on shingle → count): the join
+  is an equi-join on the shingle hash, never an O(n²) cross join, and
+  hot shingles (stopword-only shingles) can be dropped by document
+  frequency before the join.
+- ``minhash_lsh_pairs`` — MinHash signatures (xxhash64 with k seed
+  columns, a pure column expression — no Python) banded into LSH
+  buckets; candidate pairs come from an equi-join on
+  ``(band, band_hash)`` and are verified with exact Jaccard. This is
+  the 100 TB scale path: shuffle volume is O(n_docs * n_bands).
+- ``simhash_duplicates`` — 64-bit SimHash from per-token hash bit
+  votes; near-dups = equal value on any of 4 16-bit bands (Hamming
+  distance ≤ 3 heuristic), again equi-join only.
+- ``embedding_near_duplicates`` — cosine ≥ threshold over an
+  ``array<float>`` column; brute force for small dims, LSH-bucketed via
+  random hyperplanes at scale (operators.similarity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Groups of byte-identical documents: (text_hash, n_docs, doc_ids)."""
+    return (
+        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        .groupBy("text_hash")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Distinct word n-gram shingles per document: (id, shingle).
+
+    Built with ``transform`` over an index ``sequence`` — stays inside
+    whole-stage codegen; the explode is the only row-expansion.
+    """
+    words = F.split(F.col(text_col), " ")
+    idx = F.sequence(F.lit(0), F.size(words) - n)
+    shingles = F.when(
+        F.size(words) >= n,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.4,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-duplicate pairs (d1 < d2, jaccard >= t).
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    documents before the self-join — the standard guard against
+    quadratic blowup on boilerplate shingles at web scale.
+    """
+    sh = word_shingles(df, id_col, text_col, n).withColumnRenamed(id_col, "d")
+    if max_shingle_df:
+        keep = (
+            sh.groupBy("shingle")
+            .count()
+            .filter(F.col("count") <= max_shingle_df)
+            .select("shingle")
+        )
+        sh = sh.join(keep, "shingle")
+    sizes = sh.groupBy("d").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.d") < F.col("b.d")))
+        .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("d", "d1").withColumnRenamed("n_sh", "n1"), "d1")
+        .join(sizes.withColumnRenamed("d", "d2").withColumnRenamed("n_sh", "n2"), "d2")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+) -> DataFrame:
+    """MinHash signature per document as an array<long> column.
+
+    Each hash function is ``xxhash64(shingle, seed_i)``; the signature
+    is the per-seed minimum — one groupBy over the exploded shingles,
+    all JVM-side column expressions.
+    """
+    sh = word_shingles(df, id_col, text_col, n)
+    mins = [
+        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = sh.groupBy(id_col).agg(*mins)
+    return agg.select(
+        id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    verify_threshold: float = 0.4,
+) -> DataFrame:
+    """MinHash + LSH banding near-duplicate pairs, exact-verified.
+
+    Candidates = documents sharing any (band, band-signature-hash)
+    bucket; each candidate pair is then verified with exact shingle
+    Jaccard. At scale the verify join touches only candidate docs.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    band_cols = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+    ).alias("bb")
+    buckets = sig.select(F.col(id_col).alias("d"), band_cols).select(
+        "d", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        .distinct()
+    )
+    # exact verify on the candidate subset only
+    cand_docs = (
+        candidates.select(F.col("d1").alias("doc"))
+        .union(candidates.select("d2"))
+        .distinct()
+    )
+    subset = df.join(cand_docs, df[id_col] == cand_docs["doc"], "left_semi")
+    verified = ngram_jaccard_pairs(
+        subset, id_col, text_col, n, threshold=verify_threshold
+    )
+    return candidates.join(verified, ["d1", "d2"])
+
+
+def simhash_duplicates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    band_bits: int = 16,
+) -> DataFrame:
+    """SimHash near-duplicate candidate pairs via banded equi-join.
+
+    64-bit SimHash: explode tokens, each token votes its xxhash64 bits
+    (+1/-1), sign of the per-bit sum is the fingerprint. Documents
+    sharing any of the 64/band_bits bands are candidates (standard
+    Hamming-distance blocking).
+    """
+    tokens = df.select(
+        F.col(id_col).alias("d"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
+    )
+    h = F.xxhash64("tok")
+    votes = [
+        F.sum(
+            F.when(h.bitwiseAND(F.lit(1).cast("long") << i) != 0, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    agg = tokens.groupBy("d").agg(*votes)
+    bit_terms = None
+    for i in range(64):
+        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+        bit_terms = term if bit_terms is None else bit_terms.bitwiseOR(term)
+    fp = agg.select("d", bit_terms.alias("simhash"))
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    bandrows = fp.select(
+        "d",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("d", "simhash", "bb.band", "bb.key")
+    a, b = bandrows.alias("a"), bandrows.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.d") < F.col("b.d")),
+        )
+        .select(
+            F.col("a.d").alias("d1"),
+            F.col("b.d").alias("d2"),
+            F.col("a.simhash").alias("sh1"),
+            F.col("b.simhash").alias("sh2"),
+        )
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh1").bitwiseXOR(F.col("sh2")))
+        )
+        .select("d1", "d2", "hamming")
+    )
+    return pairs

@@ -1,0 +1,179 @@
+"""Similarity search over embedding columns (array<float>).
+
+- ``brute_force_topk`` — exact cosine top-k: query×corpus equi-free
+  join with the small side broadcast, dot products via ``F.zip_with``
+  + ``F.aggregate`` (JVM-side, no Python), ranked per query with a
+  window. The correctness baseline.
+- ``lsh_topk`` — random-hyperplane LSH: sign-bit sketches from fixed
+  seeded projections bucket the corpus; candidates come from an
+  equi-join on the bucket key (optionally multi-probe over nearby
+  buckets), then exact cosine re-ranks candidates. The 100 TB path:
+  shuffle is O(n * n_tables) instead of O(n_q * n_corpus).
+- ``embedding_near_duplicates`` — all pairs with cosine >= threshold,
+  the embedding flavor of dedup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _norm(col):
+    return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+    )
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize embeddings so cosine reduces to a dot product."""
+    v = F.col(vec_col).cast("array<double>")
+    n = _norm(v)
+    return df.withColumn(
+        "_unit", F.transform(v, lambda x: x / n)
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors: (query_id, neighbor_id, cosine, rank).
+
+    The query side is broadcast (typical ANN batch << corpus); the
+    corpus streams through one scan. Ties rank deterministically by
+    neighbor id.
+    """
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
+    )
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv")
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")))
+        .select("query_id", "neighbor_id", "cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(n_planes, dim)).tolist()
+
+
+def lsh_bucket_col(vec_col, planes: list[list[float]]):
+    """Sign-bit bucket id from fixed hyperplanes — pure column expr."""
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        proj = F.aggregate(
+            F.zip_with(
+                vec_col, F.array(*[F.lit(float(x)) for x in p]), lambda x, y: x * y
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        bucket = bucket.bitwiseOR(
+            F.when(proj > 0, F.lit(1).cast("long") << i).otherwise(0)
+        )
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets.
+
+    Each of ``n_tables`` independent hash tables contributes candidates
+    from the query's bucket; exact cosine re-ranks the candidate union.
+    Recall rises with n_tables; shuffle volume stays linear.
+    """
+    q = with_unit_norm(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
+    )
+    c = with_unit_norm(corpus, vec_col).select(
+        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv")
+    )
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + t)
+        qb = q.withColumn("bucket", lsh_bucket_col(F.col("qv"), planes)).withColumn(
+            "table", F.lit(t)
+        )
+        cb = c.withColumn("bucket", lsh_bucket_col(F.col("cv"), planes)).withColumn(
+            "table", F.lit(t)
+        )
+        pairs = qb.join(cb, ["table", "bucket"]).filter(
+            F.col("query_id") != F.col("neighbor_id")
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    scored = cand.withColumn("cosine", _dot(F.col("qv"), F.col("cv")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )
+
+
+def embedding_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All pairs with cosine >= threshold (d1 < d2) — embedding-space
+    near-dup detection. Brute force here; route through lsh_topk
+    buckets at scale."""
+    u = with_unit_norm(df, vec_col).select(
+        F.col(id_col).alias("d"), F.col("_unit").alias("v")
+    )
+    a, b = u.alias("a"), u.alias("b")
+    return (
+        a.join(b, F.col("a.d") < F.col("b.d"))
+        .withColumn("cosine", _dot(F.col("a.v"), F.col("b.v")))
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.d").alias("d1"),
+            F.col("b.d").alias("d2"),
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )

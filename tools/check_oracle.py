@@ -1,0 +1,115 @@
+"""Local stand-in for the driver's correctness gate: run every
+queries() entry on Spark and its oracle_sql() on DuckDB at sf0.01,
+compare row count, schema arity, and order-insensitive rounded values.
+
+Usage: python tools/check_oracle.py [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings".split()
+)
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize ints/floats
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]").astype(str)
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    issues = []
+    if sorted(spark_pdf.columns) != sorted(duck_pdf.columns):
+        issues.append(
+            f"columns differ: spark={sorted(spark_pdf.columns)} duck={sorted(duck_pdf.columns)}"
+        )
+        return issues
+    if len(spark_pdf) != len(duck_pdf):
+        issues.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    a, b = canon(spark_pdf), canon(duck_pdf)
+    if len(a) == len(b):
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            if pd.api.types.is_float_dtype(a[c]):
+                both_nan = pd.isna(av) & pd.isna(bv)
+                # exact, like the driver's value hash
+                neq = ~(both_nan | (av.astype(float) == bv.astype(float)))
+            else:
+                neq = ~((av == bv) | (pd.isna(av) & pd.isna(bv)))
+            if neq.any():
+                i = int(np.argmax(neq))
+                issues.append(
+                    f"col '{c}': {int(neq.sum())} mismatches, first at row {i}: "
+                    f"spark={av[i]!r} duck={bv[i]!r}"
+                )
+    return issues
+
+
+def main():
+    import __spark_entry__ as entry_mod
+    from chronoxtract_spark.session import get_spark
+
+    spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    only = sys.argv[1:]
+    ok = fail = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL {name}: spark error: {e}")
+            fail += 1
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            print(f"rows-only {name}: {len(sdf)} rows, {len(sdf.columns)} cols "
+                  f"({dt:.1f}s)")
+            ok += 1
+            continue
+        try:
+            ddf = con.sql(oracles[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: duckdb error: {e}")
+            fail += 1
+            continue
+        issues = compare(name, sdf, ddf)
+        if issues:
+            print(f"FAIL {name} ({len(sdf)} rows, {dt:.1f}s):")
+            for i in issues[:5]:
+                print(f"    {i}")
+            fail += 1
+        else:
+            print(f"OK   {name}: {len(sdf)} rows match ({dt:.1f}s)")
+            ok += 1
+    print(f"\n{ok} ok, {fail} fail")
+    spark.stop()
+    sys.exit(1 if fail else 0)
+
+
+if __name__ == "__main__":
+    main()
