@@ -498,7 +498,8 @@ WITH m AS (
   FROM events GROUP BY 1, 2
 ), spans AS (
   SELECT user_id,
-         (epoch(max(minute_ts)) - epoch(min(minute_ts)))::BIGINT / 60 + 1 AS n_minutes,
+         ((epoch(max(minute_ts)) - epoch(min(minute_ts)))::BIGINT // 60 + 1)::BIGINT
+           AS n_minutes,
          count(*)::BIGINT AS n_observed
   FROM m GROUP BY user_id
 ), spine AS (

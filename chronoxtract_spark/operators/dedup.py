@@ -212,14 +212,14 @@ def simhash_duplicates(
     h = F.xxhash64("tok")
     votes = [
         F.sum(
-            F.when(h.bitwiseAND(F.lit(1).cast("long") << i) != 0, 1).otherwise(-1)
+            F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
         for i in range(64)
     ]
     agg = tokens.groupBy("d").agg(*votes)
     bit_terms = None
     for i in range(64):
-        term = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long") << i).otherwise(0)
+        term = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
         bit_terms = term if bit_terms is None else bit_terms.bitwiseOR(term)
     fp = agg.select("d", bit_terms.alias("simhash"))
     n_bands = 64 // band_bits

@@ -38,57 +38,68 @@ def gap_fill_minutes(
     minute_col: str = "minute_ts",
     value_cols: tuple[str, ...] = ("turns",),
     interpolate: str = "linear",
+    fanout_partitions: int | None = None,
 ) -> DataFrame:
-    """Left-join the dense per-conversation minute spine against the
-    observed minutes; missing counts become 0 and an interpolated
-    ``rate`` column carries the linear time-weighted blend
-    (SURVEY.md §7.1 step 5).
+    """Dense per-conversation minute series with linear interpolation
+    (SURVEY.md §7.1 step 5), built by **segment explosion**:
 
-    interpolate: 'zero' (missing minutes = 0 turns), 'linear'
-    (time-weighted blend between the surrounding observations; zeros
-    still recorded in ``turns``).
+    each observed minute looks one observation ahead (``lead`` over the
+    small observed table), then explodes the half-open segment
+    ``[cur, next)`` into its dense minutes, computing the interpolated
+    ``rate`` at fan-out time. Equivalent output to spine-join +
+    forward/backward window fill, but the only window runs over the
+    *observed* rows (thousands), never the dense spine (millions) —
+    no sort, no shuffle, and no O(n²) unbounded-following frame touches
+    the fan-out. This is the shape that survives 10^12 rows.
+
+    interpolate: 'linear' (time-weighted blend between surrounding
+    observations) or 'zero' (missing minutes get rate 0).
     """
-    spine = (
-        observed.groupBy(conv_col)
-        .agg(
-            F.min(minute_col).alias("_t0"),
-            F.max(minute_col).alias("_t1"),
-        )
-        .select(
-            conv_col,
-            F.explode(
-                F.sequence(
-                    F.col("_t0"), F.col("_t1"), F.expr("interval 1 minute")
-                )
-            ).alias(minute_col),
-        )
-    )
-    filled = spine.join(observed, [conv_col, minute_col], "left")
-
     main = value_cols[0]
-    filled = filled.withColumn("observed", F.col(main).isNotNull())
-    for c in value_cols:
-        filled = filled.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
-
-    if interpolate == "zero":
-        return filled.withColumn("rate", F.col(main).cast("double"))
-
     w = Window.partitionBy(conv_col).orderBy(minute_col)
-    prev_w = w.rowsBetween(Window.unboundedPreceding, 0)
-    next_w = w.rowsBetween(0, Window.unboundedFollowing)
-
-    raw = F.when(F.col("observed"), F.col(main).cast("double"))
-    ts_s = F.unix_timestamp(minute_col)
-    prev_val = F.last(raw, ignorenulls=True).over(prev_w)
-    prev_ts = F.last(F.when(F.col("observed"), ts_s), ignorenulls=True).over(prev_w)
-    next_val = F.first(raw, ignorenulls=True).over(next_w)
-    next_ts = F.first(F.when(F.col("observed"), ts_s), ignorenulls=True).over(next_w)
-
-    frac = (ts_s - prev_ts) / (next_ts - prev_ts)
-    rate = (
-        F.when(F.col("observed"), raw)
-        .when(prev_val.isNull(), next_val)
-        .when(next_val.isNull(), prev_val)
-        .otherwise(prev_val + (next_val - prev_val) * frac)
+    seg = observed.withColumn("_next_ts", F.lead(minute_col).over(w)).withColumn(
+        "_next_val", F.lead(F.col(main).cast("double")).over(w)
     )
-    return filled.withColumn("rate", rate)
+    # spread conversations before the ~1000x fan-out — the lead-window
+    # shuffle output is tiny, so AQE would otherwise coalesce to one
+    # partition and serialize the explode
+    if fanout_partitions is None:
+        fanout_partitions = max(
+            observed.sparkSession.sparkContext.defaultParallelism * 2, 16
+        )
+    seg = seg.repartition(fanout_partitions, conv_col)
+
+    seg_end = F.coalesce(
+        F.col("_next_ts") - F.expr("interval 1 minute"), F.col(minute_col)
+    )
+    dense = seg.select(
+        F.col(conv_col),
+        F.col(minute_col).alias("_seg_start"),
+        *[F.col(c).alias(f"_obs_{c}") for c in value_cols],
+        "_next_ts",
+        "_next_val",
+        F.explode(
+            F.sequence(F.col(minute_col), seg_end, F.expr("interval 1 minute"))
+        ).alias(minute_col),
+    )
+    is_obs = F.col(minute_col) == F.col("_seg_start")
+    out = dense.withColumn("observed", is_obs)
+    for c in value_cols:
+        out = out.withColumn(
+            c, F.when(is_obs, F.col(f"_obs_{c}")).otherwise(F.lit(0))
+        )
+
+    prev_val = F.col(f"_obs_{main}").cast("double")
+    if interpolate == "zero":
+        rate = F.when(is_obs, prev_val).otherwise(F.lit(0.0))
+    else:
+        ts_s = F.unix_timestamp(minute_col)
+        frac = (ts_s - F.unix_timestamp("_seg_start")) / (
+            F.unix_timestamp("_next_ts") - F.unix_timestamp("_seg_start")
+        )
+        rate = F.when(is_obs, prev_val).otherwise(
+            prev_val + (F.col("_next_val") - prev_val) * frac
+        )
+    return out.withColumn("rate", rate).drop(
+        "_seg_start", "_next_ts", "_next_val", *[f"_obs_{c}" for c in value_cols]
+    )

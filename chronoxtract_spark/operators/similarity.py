@@ -98,7 +98,7 @@ def lsh_bucket_col(vec_col, planes: list[list[float]]):
             lambda a, v: a + v,
         )
         bucket = bucket.bitwiseOR(
-            F.when(proj > 0, F.lit(1).cast("long") << i).otherwise(0)
+            F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
         )
     return bucket
 
