@@ -1,0 +1,168 @@
+"""CARMA kernel tests, mirroring the reference's own inline-Rust and
+Python CARMA tests (reference: src/carma/math.rs:369-434,
+src/carma/kalman.rs:391-455, tests/test_carma_validated.py)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from chronoxtract_spark.kernel import carma as K
+
+
+def _sim_car1(n=200, tau=2.0, sigma=1.0, seed=7):
+    """Exact discretized CAR(1) (Ornstein-Uhlenbeck) simulation."""
+    rng = np.random.RandomState(seed)
+    t = np.cumsum(rng.rand(n) * 0.5 + 0.05)
+    x = np.empty(n)
+    lam = 1.0 / tau
+    x[0] = rng.normal(0, sigma / math.sqrt(2 * lam))
+    for i in range(1, n):
+        dt = t[i] - t[i - 1]
+        rho = math.exp(-lam * dt)
+        sd = sigma / math.sqrt(2 * lam) * math.sqrt(1 - rho * rho)
+        x[i] = rho * x[i - 1] + rng.normal(0, sd)
+    err = np.full(n, 0.05)
+    y = x + rng.normal(0, 0.05, n)
+    return t, y, err
+
+
+class TestRootsAndCriteria:
+    def test_ar1_root(self):
+        # reference: src/carma/math.rs:375-382 — root of s + a = -a
+        roots = K.compute_ar_roots([2.0])
+        assert roots[0] == pytest.approx(-2.0)
+
+    def test_ar2_roots(self):
+        # s^2 + 3s + 2 = (s+1)(s+2)
+        roots = sorted(K.compute_ar_roots([3.0, 2.0]).real)
+        np.testing.assert_allclose(roots, [-2.0, -1.0], atol=1e-10)
+
+    def test_information_criteria(self):
+        # reference: src/carma/math.rs:418-428
+        aic, aicc, bic = K.information_criteria(-100.0, 3, 50)
+        assert aic == pytest.approx(206.0)
+        assert aicc > aic
+        assert bic == pytest.approx(3.0 * math.log(50.0) + 200.0)
+
+    def test_validate_rejects(self):
+        with pytest.raises(K.CarmaError):
+            K.validate_time_series([], [])
+        with pytest.raises(K.CarmaError):
+            K.validate_time_series([0, 1, 2], [1, 2])
+        with pytest.raises(K.CarmaError):
+            K.validate_time_series([0, 1, 1.0], [1, 2, 3])  # non-ascending
+        with pytest.raises(K.CarmaError):
+            K.validate_time_series([0, 1, 2], [1, 2, 3], [0.1, -1, 0.1])
+
+    def test_order_validation(self):
+        with pytest.raises(K.CarmaError):
+            K.CarmaParams(0, 0)
+        with pytest.raises(K.CarmaError):
+            K.CarmaParams(2, 2)
+
+
+class TestStateSpace:
+    def test_car1_stationary_variance(self):
+        # CAR(1) with root -1/tau: stationary var = sigma^2 * tau / 2
+        params = K.CarmaParams(1, 0, ar_coeffs=[0.5], ma_coeffs=[1.0], sigma=1.0)
+        ss = K.StateSpace(params)
+        assert ss.stationary_cov[0, 0] == pytest.approx(1.0 / (2 * 0.5))
+
+    def test_transition_is_exp(self):
+        # reference: src/carma/math.rs:430-441
+        params = K.CarmaParams(2, 0, ar_coeffs=[3.0, 2.0], ma_coeffs=[1.0])
+        ss = K.StateSpace(params)
+        phi = ss.transition(1.0)
+        np.testing.assert_allclose(
+            sorted(np.diag(phi)), sorted([math.exp(-1.0), math.exp(-2.0)]), atol=1e-10
+        )
+
+    def test_nonstationary_rejected(self):
+        params = K.CarmaParams(1, 0, ar_coeffs=[-0.5], ma_coeffs=[1.0])
+        with pytest.raises(K.CarmaError):
+            K.StateSpace(params)
+
+
+class TestKalman:
+    def test_loglik_finite_car1(self):
+        t, y, e = _sim_car1()
+        params = K.CarmaParams(1, 0, ar_coeffs=[0.5], ma_coeffs=[1.0], sigma=1.0)
+        ll = K.kalman_loglikelihood(params, t, y, e)
+        assert np.isfinite(ll)
+
+    def test_true_params_beat_bad_params(self):
+        t, y, e = _sim_car1(tau=2.0, sigma=1.0)
+        good = K.CarmaParams(1, 0, ar_coeffs=[0.5], ma_coeffs=[1.0], sigma=1.0)
+        bad = K.CarmaParams(1, 0, ar_coeffs=[5.0], ma_coeffs=[1.0], sigma=0.1)
+        assert K.kalman_loglikelihood(good, t, y, e) > (
+            K.kalman_loglikelihood(bad, t, y, e)
+        )
+
+    def test_kalman_filter_output_shapes(self):
+        t, y, e = _sim_car1(n=50)
+        params = K.CarmaParams(1, 0, ar_coeffs=[0.5], ma_coeffs=[1.0], sigma=1.0)
+        out = K.kalman_filter(params, t, y, e)
+        assert out["innovations"].shape == (50,)
+        assert out["filtered_means"].shape == (50, 1)
+        assert np.all(out["innovation_variances"] > 0)
+
+    def test_car1_matches_closed_form(self):
+        """CAR(1) Kalman loglik equals the closed-form OU Gaussian
+        likelihood — an independent oracle."""
+        t, y, e = _sim_car1(n=80, tau=2.0, sigma=1.0)
+        lam = 0.5
+        sigma = 1.0
+        params = K.CarmaParams(1, 0, ar_coeffs=[lam], ma_coeffs=[1.0], sigma=sigma)
+        ll = K.kalman_loglikelihood(params, t, y, e)
+        # closed-form sequential OU predictive density
+        var_st = sigma**2 / (2 * lam)
+        mean, var = 0.0, var_st
+        ll2 = 0.0
+        for i in range(t.size):
+            if i > 0:
+                dt = t[i] - t[i - 1]
+                rho = math.exp(-lam * dt)
+                mean = rho * mean
+                var = rho * rho * var + var_st * (1 - rho * rho)
+            s = var + e[i] ** 2
+            innov = y[i] - mean
+            ll2 += -0.5 * (innov * innov / s + math.log(s) + 2 * math.log(math.pi))
+            gain = var / s
+            mean = mean + gain * innov
+            var = (1 - gain) * var
+        assert ll == pytest.approx(ll2, rel=1e-9)
+
+
+class TestMle:
+    def test_mle_recovers_car1_scale(self):
+        t, y, e = _sim_car1(n=300, tau=2.0, sigma=1.0, seed=11)
+        res = K.carma_mle(t, y, e, 1, 0, n_starts=16)
+        assert np.isfinite(res["loglikelihood"])
+        assert res["aicc"] > res["aic"]
+        # recovered decay rate within a loose band of the true 0.5
+        assert 0.05 < res["params"].ar_coeffs[0] < 5.0
+
+    def test_choose_order_grid_shape(self):
+        t, y, e = _sim_car1(n=120, seed=3)
+        res = K.carma_choose_order(t, y, e, 2, 1)
+        assert res["aicc_grid"].shape == (2, 2)
+        assert res["best_p"] in (1, 2)
+
+    def test_psd_positive_decreasing(self):
+        params = K.CarmaParams(1, 0, ar_coeffs=[0.5], ma_coeffs=[1.0], sigma=1.0)
+        f = np.array([0.01, 0.1, 1.0, 10.0])
+        psd = K.carma_psd(params, f)
+        assert np.all(psd > 0)
+        assert psd[0] > psd[-1]  # red-noise slope
+
+
+class TestMcmc:
+    def test_mcmc_runs_and_is_seeded(self):
+        t, y, e = _sim_car1(n=80, seed=5)
+        r1 = K.carma_mcmc(t, y, e, 1, 0, n_samples=100, n_burn=100, n_chains=2, seed=42)
+        r2 = K.carma_mcmc(t, y, e, 1, 0, n_samples=100, n_burn=100, n_chains=2, seed=42)
+        np.testing.assert_array_equal(r1["samples"], r2["samples"])
+        assert r1["samples"].shape == (100, 3)
+        assert np.isfinite(r1["log_posteriors"]).all()
+        assert (r1["ess"] > 0).all()
