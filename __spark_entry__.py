@@ -549,15 +549,18 @@ GROUP BY user_id, s.n_minutes, s.n_observed
 
 def q_acf_eventcount(spark, sf_dir):
     """ACF of the global per-minute event-count series, lag bins
-    [1, 11) minutes width 1 — the range-join form of the reference's
-    O(n^2) pair loop (reference: src/correlation/dcf.rs:25-75)."""
-    from chronoxtract_spark.operators.dcf import acf_range_join
+    [1, 11) minutes width 1 — the distributed form of the reference's
+    O(n^2) pair loop (reference: src/correlation/dcf.rs:25-75). The
+    series is minute-bucketed, so the theta join collapses to the
+    linear equi-join form (operators.dcf.dcf_equi_binned); output is
+    bit-identical to the range join."""
+    from chronoxtract_spark.operators.dcf import dcf_equi_binned
 
     ev = _events(spark, sf_dir)
     s = ev.groupBy(
         (F.unix_timestamp(F.date_trunc("minute", "ts")) / 60).alias("t")
     ).agg(F.count("*").cast("double").alias("v"))
-    out = acf_range_join(s, 1.0, 11.0, 1.0)
+    out = dcf_equi_binned(s, s, 1.0, 11.0, 1.0)
     return out.select(
         F.round("lag", 6).alias("lag"),
         F.round("correlation", 6).alias("correlation"),
@@ -791,12 +794,20 @@ FROM r WHERE rank <= 3
 
 def q_kernel_features(spark, sf_dir):
     """Whole-series kernel feature vector (entropy family, Welch
-    spectral block, Hjorth, peaks, DFA) per event_type via
-    applyInPandas (SURVEY.md §2.8)."""
+    spectral block, Hjorth, peaks, DFA) per (event_type, day) window
+    via applyInPandas (SURVEY.md §2.8). Day-bounded windows keep the
+    O(n^2) entropy kernels constant-cost per group — the same bound the
+    rollup tiers guarantee (<=1440 points per window)."""
     from chronoxtract_spark.operators.features import kernel_features
 
-    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
-    return kernel_features(ev, ["event_type"], ["ts", "event_id"], "value")
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    return kernel_features(ev, ["event_type", "day"], ["ts", "event_id"], "value")
 
 
 def q_rollup_tiers(spark, sf_dir):

@@ -22,19 +22,27 @@ __all__ = [
 ]
 
 
+_BLOCK = 512  # pair-matrix block edge: memory stays O(BLOCK * k * m)
+
+
 def _chebyshev_match_counts(x: np.ndarray, m: int, r: float) -> int:
     """Count of i<j template pairs of length m within Chebyshev distance r
-    (src/entropy/mod.rs:200-222). Vectorized over the pair matrix."""
+    (src/entropy/mod.rs:200-222). Vectorized in row blocks so memory is
+    O(BLOCK·k·m) regardless of series length."""
     n = x.size
     k = n - m + 1
     if k <= 1:
         return 0
-    # embed: (k, m) windows
     emb = np.lib.stride_tricks.sliding_window_view(x, m)
-    # pairwise Chebyshev distances; k <= ~1440 so k^2 fits comfortably
-    d = np.abs(emb[:, None, :] - emb[None, :, :]).max(axis=2)
-    iu = np.triu_indices(k, 1)
-    return int(np.count_nonzero(d[iu] <= r))
+    total = 0
+    for s in range(0, k, _BLOCK):
+        blk = emb[s : s + _BLOCK]  # (b, m)
+        # strict upper triangle only: compare block rows to all later rows
+        d = np.abs(blk[:, None, :] - emb[None, s:, :]).max(axis=2)
+        b = blk.shape[0]
+        mask = np.arange(d.shape[1])[None, :] > np.arange(b)[:, None]
+        total += int(np.count_nonzero((d <= r) & mask))
+    return total
 
 
 def sample_entropy(x: np.ndarray, m: int = 2, r: float = 0.2) -> float:
@@ -65,8 +73,11 @@ def _phi(x: np.ndarray, m: int, r: float) -> float:
     n = x.size
     k = n - m + 1
     emb = np.lib.stride_tricks.sliding_window_view(x, m)
-    d = np.abs(emb[:, None, :] - emb[None, :, :]).max(axis=2)
-    matches = (d <= r).sum(axis=1)  # includes self
+    matches = np.zeros(k, dtype=np.int64)
+    for s in range(0, k, _BLOCK):
+        blk = emb[s : s + _BLOCK]
+        d = np.abs(blk[:, None, :] - emb[None, :, :]).max(axis=2)
+        matches[s : s + blk.shape[0]] = (d <= r).sum(axis=1)  # includes self
     frac = matches / k
     nz = frac > 0
     return float(np.sum(np.log(frac[nz]))) / k

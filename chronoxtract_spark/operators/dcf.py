@@ -49,6 +49,11 @@ def dcf_range_join(
         F.broadcast(_series_stats(s2, v).select(F.col("mu").alias("mu2"), F.col("sigma").alias("sg2")))
     )
     left = F.broadcast(st1) if broadcast_s1 else st1
+    # the theta join runs as BroadcastNestedLoopJoin; its parallelism is
+    # the stream side's partition count, which AQE coalesces for small
+    # inputs — pin it so the O(n1*n2) predicate work spreads over cores
+    n_part = max(s2.sparkSession.sparkContext.defaultParallelism, 8)
+    st2 = st2.repartition(n_part)
     lag = F.col("t2") - F.col("t1")
     n_bins = int((lag_max - lag_min) / width)
     pairs = left.join(
@@ -87,6 +92,68 @@ def acf_range_join(
 ) -> DataFrame:
     """ACF = DCF of the series with itself (src/correlation/acf.rs:5-12)."""
     return dcf_range_join(s, s, lag_min, lag_max, width, t, v)
+
+
+def dcf_equi_binned(
+    s1: DataFrame,
+    s2: DataFrame,
+    lag_min: float,
+    lag_max: float,
+    width: float,
+    t: str = "t",
+    v: str = "v",
+) -> DataFrame:
+    """DCF for series whose time stamps are exact multiples of ``width``
+    (e.g. minute-bucketed counts): every pair lag is then an integer
+    multiple of the bin width, so the theta join collapses to an
+    **equi-join** on ``t1 + k*width`` for k = 0..n_bins-1 — O(n·n_bins)
+    work instead of O(n1·n2), fully shuffle-parallel. Output is
+    identical to ``dcf_range_join`` on such series (same bin centers,
+    same sample-std normalization)."""
+    n_bins = int((lag_max - lag_min) / width)
+    st1 = s1.select(F.col(t).alias("t1"), F.col(v).alias("v1")).crossJoin(
+        F.broadcast(
+            _series_stats(s1, v).select(
+                F.col("mu").alias("mu1"), F.col("sigma").alias("sg1")
+            )
+        )
+    )
+    st2 = s2.select(F.col(t).alias("t2"), F.col(v).alias("v2")).crossJoin(
+        F.broadcast(
+            _series_stats(s2, v).select(
+                F.col("mu").alias("mu2"), F.col("sigma").alias("sg2")
+            )
+        )
+    )
+    expanded = st1.select(
+        "*", F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("bin")
+    ).withColumn("t2", F.col("t1") + F.lit(lag_min) + F.col("bin") * F.lit(width))
+    joined = expanded.join(st2, "t2")
+    return (
+        joined.groupBy("bin")
+        .agg(
+            F.avg(
+                (F.col("v1") - F.col("mu1"))
+                * (F.col("v2") - F.col("mu2"))
+                / (F.col("sg1") * F.col("sg2"))
+            ).alias("correlation"),
+            (
+                F.stddev_samp(
+                    (F.col("v1") - F.col("mu1"))
+                    * (F.col("v2") - F.col("mu2"))
+                    / (F.col("sg1") * F.col("sg2"))
+                )
+                / F.sqrt(F.count("*"))
+            ).alias("error"),
+            F.count("*").alias("n_pairs"),
+        )
+        .select(
+            (F.lit(lag_min) + (F.col("bin") + 0.5) * F.lit(width)).alias("lag"),
+            "correlation",
+            "error",
+            "n_pairs",
+        )
+    )
 
 
 def acf_binned(

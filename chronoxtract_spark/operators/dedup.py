@@ -92,6 +92,11 @@ def ngram_jaccard_pairs(
         )
         sh = sh.join(keep, "shingle")
     sizes = sh.groupBy("d").agg(F.count("*").alias("n_sh"))
+    # the self-join output is quadratic in shingle document-frequency;
+    # AQE sees only the (small) input and would coalesce the join to a
+    # handful of tasks — pin the parallelism explicitly before the blowup
+    n_part = max(sh.sparkSession.sparkContext.defaultParallelism, 8)
+    sh = sh.repartition(n_part, "shingle")
     a = sh.alias("a")
     b = sh.alias("b")
     inter = (
@@ -169,6 +174,9 @@ def minhash_lsh_pairs(
     buckets = sig.select(F.col(id_col).alias("d"), band_cols).select(
         "d", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
+    # same quadratic-output guard as the shingle join
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    buckets = buckets.repartition(n_part, "band", "bucket")
     a, b = buckets.alias("a"), buckets.alias("b")
     candidates = (
         a.join(
@@ -241,6 +249,8 @@ def simhash_duplicates(
             )
         ).alias("bb"),
     ).select("d", "simhash", "bb.band", "bb.key")
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    bandrows = bandrows.repartition(n_part, "band", "key")
     a, b = bandrows.alias("a"), bandrows.alias("b")
     pairs = (
         a.join(

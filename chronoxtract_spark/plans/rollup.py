@@ -166,9 +166,10 @@ class RollupEngine:
         if not self.kernel_features:
             return state
 
-        kf = ops_features.kernel_features(
+        kf = ops_features.kernel_features_bucketed(
             bucketed.select(*keys, "minute_ts", "rate"),
-            group_cols=keys,
+            group_col="conv_id",
+            bucket_col=out_bucket,
             order_cols=["minute_ts"],
             value_col="rate",
         )
