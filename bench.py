@@ -84,6 +84,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         try:
             n = qs[name](spark, sf_dir).count()
             timings[name] = round(time.time() - t0, 3)
+            print(f"[bench] {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
         except Exception as e:  # pragma: no cover
             timings[name] = -1.0
             print(f"bench query {name} failed: {e}", file=sys.stderr)

@@ -148,16 +148,25 @@ def detrended_fluctuation_analysis(
 
 def _fluctuation(integrated: np.ndarray, window_size: int) -> float:
     """Mean detrended variance over non-overlapping windows, sqrt'd
-    (src/seasonality/mod.rs:311-332)."""
+    (src/seasonality/mod.rs:311-332). All windows detrended at once:
+    the closed-form OLS vectorizes over the (k, window) matrix."""
     n = integrated.size
     k = n // window_size
-    total = 0.0
-    for i in range(k):
-        w = integrated[i * window_size : (i + 1) * window_size]
-        slope, intercept = _linear_fit(w)
-        resid = w - (slope * np.arange(window_size) + intercept)
-        total += float(np.sum(resid * resid)) / window_size
-    return float(np.sqrt(total / k)) if k else 0.0
+    if k == 0:
+        return 0.0
+    ws = window_size
+    y = integrated[: k * ws].reshape(k, ws)
+    idx = np.arange(ws, dtype=np.float64)
+    nf = float(ws)
+    sum_x = nf * (nf - 1.0) / 2.0
+    sum_xx = nf * (nf - 1.0) * (2.0 * nf - 1.0) / 6.0
+    sum_y = y.sum(axis=1)
+    sum_xy = y @ idx
+    slope = (nf * sum_xy - sum_x * sum_y) / (nf * sum_xx - sum_x * sum_x)
+    intercept = (sum_y - slope * sum_x) / nf
+    resid = y - (slope[:, None] * idx[None, :] + intercept[:, None])
+    total = (resid * resid).sum(axis=1) / ws
+    return float(np.sqrt(total.sum() / k))
 
 
 def _loglog_slope(xs: np.ndarray, ys: np.ndarray) -> float:

@@ -107,21 +107,32 @@ def energy_distribution(x: np.ndarray) -> tuple[float, float, float]:
     return entropy, normalized, concentration
 
 
+def _prominence_arrays(x: np.ndarray):
+    """Prefix/suffix minima enabling O(1) global-prominence lookups."""
+    n = x.size
+    prefix = np.minimum.accumulate(x)
+    suffix = np.minimum.accumulate(x[::-1])[::-1]
+    return prefix, suffix
+
+
 def _strict_peaks_with_prominence(
     x: np.ndarray, min_prominence: float, min_distance: int
 ) -> list[int]:
     """Strict local maxima filtered by global-minima prominence, then a
-    greedy min-distance pass (src/shape/mod.rs:258-320)."""
+    greedy min-distance pass (src/shape/mod.rs:258-320). Candidates and
+    prominences vectorize over prefix/suffix minima."""
     n = x.size
     if n < 3:
         return []
-    peaks = [
-        i
-        for i in range(1, n - 1)
-        if x[i] > x[i - 1]
-        and x[i] > x[i + 1]
-        and _global_prominence(x, i) >= min_prominence
-    ]
+    mid = x[1:-1]
+    cand = np.flatnonzero((mid > x[:-2]) & (mid > x[2:])) + 1
+    if cand.size == 0:
+        return []
+    prefix, suffix = _prominence_arrays(x)
+    left = np.minimum(prefix[cand - 1], x[cand])
+    right = np.minimum(suffix[cand + 1], x[cand])
+    prom = x[cand] - np.maximum(left, right)
+    peaks = [int(i) for i in cand[prom >= min_prominence]]
     if len(peaks) <= 1:
         return peaks
     filtered = [peaks[0]]
@@ -168,14 +179,21 @@ def enhanced_peak_stats(
     peaks = _strict_peaks_with_prominence(x, prom, dist)
     if not peaks:
         return 0, 0.0, 0.0, 0.0, 0.0, 0.0
-    proms = [_global_prominence(x, p) for p in peaks]
+    prefix, suffix = _prominence_arrays(x)
+    pk = np.asarray(peaks)
+    proms = (
+        x[pk]
+        - np.maximum(
+            np.minimum(prefix[pk - 1], x[pk]), np.minimum(suffix[pk + 1], x[pk])
+        )
+    ).tolist()
     mean_prom = sum(proms) / len(proms)
     spacings = [float(b - a) for a, b in zip(peaks, peaks[1:])]
     mean_spacing = sum(spacings) / len(spacings) if spacings else 0.0
     # half-prominence width walk (src/shape/mod.rs:322-352)
     total_w = 0.0
-    for p in peaks:
-        level = x[p] - _global_prominence(x, p) / 2.0
+    for p, pr_v in zip(peaks, proms):
+        level = x[p] - pr_v / 2.0
         li = p
         while li > 0 and x[li] > level:
             li -= 1

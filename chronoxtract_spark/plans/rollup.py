@@ -58,12 +58,16 @@ class RollupEngine:
         salts: int = 0,
         kernel_features: bool = True,
         compress: bool = True,
+        feature_mode: str = "core",
     ):
         self.spark = spark
         self.io = io
         self.salts = salts
         self.kernel_features = kernel_features
         self.compress = compress
+        # 'core' = the north-star window features vectorized across
+        # windows; 'full' = the whole kernel battery per window
+        self.feature_mode = feature_mode
 
     # -- lineage ------------------------------------------------------------
 
@@ -172,6 +176,7 @@ class RollupEngine:
             bucket_col=out_bucket,
             order_cols=["minute_ts"],
             value_col="rate",
+            mode=self.feature_mode,
         )
         return state.join(kf, keys)
 
