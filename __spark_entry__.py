@@ -1018,3 +1018,530 @@ def oracle_sql() -> dict[str, str]:
         "lang_counts": SQL_LANG_COUNTS,
         "knn_brute": SQL_KNN_BRUTE,
     }
+
+
+# ---------------------------------------------------------------------------
+# round-1 extension queries (appended)
+
+
+def q_higher_moments(spark, sf_dir):
+    """Central moments 5-8, two-pass (reference: src/higherorder/mod.rs:192-203)."""
+    ev = _events(spark, sf_dir)
+    wg = W.partitionBy("event_type")
+    d = ev.withColumn("mu", F.avg("value").over(wg)).withColumn(
+        "c", F.col("value") - F.col("mu")
+    )
+    # standardized (÷ sd^k) so the values are O(1..100) and 4-decimal
+    # rounding is far above float noise; raw m7/m8 reach 1e17 where the
+    # last decimals are below one ulp
+    sd = F.stddev_pop("c")
+    return d.groupBy("event_type").agg(
+        *[
+            F.round(F.avg(F.pow(F.col("c"), k)) / F.pow(sd, k), 4).alias(f"m{k}")
+            for k in (5, 6, 7, 8)
+        ]
+    )
+
+
+SQL_HIGHER_MOMENTS = """
+WITH c AS (
+  SELECT event_type, value - avg(value) OVER (PARTITION BY event_type) AS c
+  FROM events
+), g AS (
+  SELECT event_type, sqrt(avg(c*c) - avg(c)*avg(c)) AS sd,
+         avg(pow(c, 5)) AS r5, avg(pow(c, 6)) AS r6,
+         avg(pow(c, 7)) AS r7, avg(pow(c, 8)) AS r8
+  FROM c GROUP BY event_type
+)
+SELECT event_type,
+       round(r5 / pow(sd, 5), 4) AS m5,
+       round(r6 / pow(sd, 6), 4) AS m6,
+       round(r7 / pow(sd, 7), 4) AS m7,
+       round(r8 / pow(sd, 8), 4) AS m8
+FROM g
+"""
+
+
+def q_variability_features(spark, sf_dir):
+    """(cv, qcd, mad, iqr) with the shape module's sorted-INDEX quartiles
+    — a deliberately different quantile method than the stats module
+    (reference: src/shape/mod.rs:392-437, SURVEY.md trap #1)."""
+    ev = _events(spark, sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.sort_array(F.collect_list("value")).alias("s"),
+        F.avg("value").alias("mu"),
+        F.stddev_pop("value").alias("sd"),
+        F.count("*").alias("n"),
+    )
+    q1 = F.element_at("s", (F.col("n") / 4 + 1).cast("int"))
+    q2 = F.element_at("s", (F.col("n") / 2 + 1).cast("int"))
+    q3 = F.element_at("s", (F.col("n") * 3 / 4 + 1).cast("int"))
+    g = g.withColumn("q1", q1).withColumn("q2", q2).withColumn("q3", q3)
+    dev = F.sort_array(F.transform("s", lambda x: F.abs(x - F.col("q2"))))
+    mad = F.element_at(dev, (F.col("n") / 2 + 1).cast("int"))
+    return g.select(
+        "event_type",
+        F.round(
+            F.when(F.col("mu") != 0, F.col("sd") / F.abs(F.col("mu"))).otherwise(0.0),
+            6,
+        ).alias("cv"),
+        F.round(
+            F.when(
+                F.col("q1") + F.col("q3") != 0,
+                (F.col("q3") - F.col("q1")) / (F.col("q3") + F.col("q1")),
+            ).otherwise(0.0),
+            6,
+        ).alias("qcd"),
+        F.round(mad, 6).alias("mad"),
+        F.round(F.col("q3") - F.col("q1"), 6).alias("iqr"),
+    )
+
+
+SQL_VARIABILITY_FEATURES = """
+WITH g AS (
+  SELECT event_type,
+         list_sort(list(value)) AS s,
+         avg(value) AS mu,
+         sqrt(avg(value*value) - avg(value)*avg(value)) AS sd,
+         count(*) AS n
+  FROM events GROUP BY event_type
+), q AS (
+  SELECT event_type, mu, sd, n, s,
+         s[(n // 4 + 1)::INT] AS q1,
+         s[(n // 2 + 1)::INT] AS q2,
+         s[(n * 3 // 4 + 1)::INT] AS q3
+  FROM g
+)
+SELECT event_type,
+       round(CASE WHEN mu != 0 THEN sd / abs(mu) ELSE 0.0 END, 6) AS cv,
+       round(CASE WHEN q1 + q3 != 0 THEN (q3 - q1) / (q3 + q1) ELSE 0.0 END, 6) AS qcd,
+       round(list_sort(list_transform(s, x -> abs(x - q2)))[(n // 2 + 1)::INT], 6)
+         AS mad,
+       round(q3 - q1, 6) AS iqr
+FROM q
+"""
+
+
+def q_energy_distribution(spark, sf_dir):
+    """(energy entropy ln, normalized energy, top-10% concentration)
+    (reference: src/shape/mod.rs:461-498)."""
+    ev = _events(spark, sf_dir)
+    g = ev.groupBy("event_type").agg(
+        F.sort_array(
+            F.collect_list(F.col("value") * F.col("value")), asc=False
+        ).alias("e"),
+        F.sum(F.col("value") * F.col("value")).alias("tot"),
+        F.count("*").alias("n"),
+    )
+    k = F.ceil(F.col("n") * 0.1).cast("int")
+    top = F.aggregate(
+        F.slice("e", F.lit(1), k), F.lit(0.0), lambda acc, x: acc + x
+    )
+    ent = F.aggregate(
+        F.filter("e", lambda x: x > 0),
+        F.lit(0.0),
+        lambda acc, x: acc - (x / F.col("tot")) * F.log(x / F.col("tot")),
+    )
+    return g.select(
+        "event_type",
+        F.round(ent, 6).alias("energy_entropy"),
+        F.round(F.col("tot") / F.col("n"), 4).alias("normalized_energy"),
+        F.round(top / F.col("tot"), 6).alias("energy_concentration"),
+    )
+
+
+SQL_ENERGY_DISTRIBUTION = """
+WITH g AS (
+  SELECT event_type,
+         list_sort(list(value * value), 'DESC') AS e,
+         sum(value * value) AS tot,
+         count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT event_type,
+       round(list_sum(list_transform(list_filter(e, x -> x > 0),
+             x -> -(x / tot) * ln(x / tot))), 6) AS energy_entropy,
+       round(tot / n, 4) AS normalized_energy,
+       round(list_sum(e[1:ceil(n * 0.1)::INT]) / tot, 6) AS energy_concentration
+FROM g
+"""
+
+
+def q_dcf_cross(spark, sf_dir):
+    """Cross-DCF between two event-type minute-count series, lag bins
+    [-5, 5) minutes (reference: src/correlation/dcf.rs:25-75) via the
+    linear equi-join form."""
+    from chronoxtract_spark.operators.dcf import dcf_equi_binned
+
+    ev = _events(spark, sf_dir)
+
+    def series(etype):
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .groupBy(
+                (F.unix_timestamp(F.date_trunc("minute", "ts")) / 60).alias("t")
+            )
+            .agg(F.count("*").cast("double").alias("v"))
+        )
+
+    out = dcf_equi_binned(series("click"), series("view"), -5.0, 5.0, 1.0)
+    return out.select(
+        F.round("lag", 6).alias("lag"),
+        F.round("correlation", 6).alias("correlation"),
+        F.round("error", 6).alias("error"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
+
+
+SQL_DCF_CROSS = """
+WITH s1 AS (
+  SELECT epoch(date_trunc('minute', ts)) / 60.0 AS t, count(*)::DOUBLE AS v
+  FROM events WHERE event_type = 'click' GROUP BY 1
+), s2 AS (
+  SELECT epoch(date_trunc('minute', ts)) / 60.0 AS t, count(*)::DOUBLE AS v
+  FROM events WHERE event_type = 'view' GROUP BY 1
+), st1 AS (SELECT avg(v) AS mu1, stddev_samp(v) AS sg1 FROM s1),
+st2 AS (SELECT avg(v) AS mu2, stddev_samp(v) AS sg2 FROM s2),
+pairs AS (
+  SELECT floor((b.t - a.t + 5.0) / 1.0) AS bin,
+         (a.v - st1.mu1) * (b.v - st2.mu2) / (st1.sg1 * st2.sg2) AS udcf
+  FROM s1 a, s2 b, st1, st2
+  WHERE b.t - a.t >= -5.0 AND b.t - a.t < 5.0
+)
+SELECT round(-5.0 + (bin + 0.5) * 1.0, 6) AS lag,
+       round(avg(udcf), 6) AS correlation,
+       round(stddev_samp(udcf) / sqrt(count(*)), 6) AS error,
+       count(*)::BIGINT AS n_pairs
+FROM pairs WHERE bin < 10 GROUP BY bin
+"""
+
+
+def q_rolling_fvar(spark, sf_dir):
+    """Rolling fractional variability w=8 per user over flux=|value|+1
+    (reference: src/misc/frac.rs:95-115)."""
+    from chronoxtract_spark.operators.rolling import rolling_fvar
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.abs(F.col("value")) + 1).alias("flux"),
+        F.lit(1.0).alias("err"),
+    )
+    out = rolling_fvar(ev, "user_id", ["ts", "event_id"], "flux", "err", window=8)
+    return out.select(
+        "user_id",
+        "event_id",
+        F.round("fvar", 6).alias("fvar"),
+        F.round("fvar_err", 6).alias("fvar_err"),
+    )
+
+
+SQL_ROLLING_FVAR = """
+WITH f AS (
+  SELECT user_id, ts, event_id, abs(value) + 1 AS flux, 1.0 AS err
+  FROM events
+), w AS (
+  SELECT user_id, event_id,
+         count(*) OVER win AS n,
+         avg(flux) OVER win AS mean_f,
+         var_samp(flux) OVER win AS var_s,
+         avg(err * err) OVER win AS mean_e2,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM f
+  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+)
+SELECT user_id, event_id,
+  round(CASE WHEN mean_f = 0 THEN 'NaN'::DOUBLE
+             WHEN var_s - mean_e2 <= 0 THEN 0.0
+             ELSE sqrt(var_s - mean_e2) / mean_f END, 6) AS fvar,
+  round(CASE WHEN mean_f = 0 THEN 'NaN'::DOUBLE
+             WHEN var_s - mean_e2 <= 0 THEN 0.0
+             ELSE sqrt(
+               pow(sqrt(1.0/(2*n)) * mean_e2 /
+                   (mean_f * mean_f * (sqrt(var_s - mean_e2)/mean_f)), 2)
+               + pow(sqrt(mean_e2/n) / mean_f, 2)) END, 6) AS fvar_err
+FROM w WHERE rn >= 8
+"""
+
+
+def q_stl_oracle(spark, sf_dir):
+    """Simple STL on the global per-minute count series, period 60:
+    centered edge-truncated MA trend (window 90 -> half 45), per-phase
+    seasonal means, remainder (reference: src/seasonality/mod.rs:172-230)
+    — fully SQL-expressible, summarized per phase for a compact oracle."""
+    ev = _events(spark, sf_dir)
+    s = (
+        ev.groupBy(F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    w = W.orderBy("m")
+    half = 45
+    trend = F.avg("v").over(w.rowsBetween(-half, half))
+    s = s.withColumn("trend", trend).withColumn(
+        "i", F.row_number().over(w) - 1
+    ).withColumn("phase", F.col("i") % 60)
+    wp = W.partitionBy("phase")
+    s = s.withColumn("seasonal", F.avg(F.col("v") - F.col("trend")).over(wp))
+    s = s.withColumn(
+        "remainder", F.col("v") - F.col("trend") - F.col("seasonal")
+    )
+    return s.groupBy("phase").agg(
+        F.round(F.avg("trend"), 6).alias("avg_trend"),
+        F.round(F.first("seasonal"), 6).alias("seasonal"),
+        F.round(F.sum(F.col("remainder") * F.col("remainder")), 4).alias(
+            "sse_remainder"
+        ),
+        F.count("*").cast("long").alias("n"),
+    )
+
+
+SQL_STL_ORACLE = """
+WITH s AS (
+  SELECT date_trunc('minute', ts) AS m, count(*)::DOUBLE AS v
+  FROM events GROUP BY 1
+), t AS (
+  SELECT m, v,
+         avg(v) OVER (ORDER BY m ROWS BETWEEN 45 PRECEDING AND 45 FOLLOWING)
+           AS trend,
+         (row_number() OVER (ORDER BY m) - 1) % 60 AS phase
+  FROM s
+), sea AS (
+  SELECT *, avg(v - trend) OVER (PARTITION BY phase) AS seasonal FROM t
+)
+SELECT phase,
+       round(avg(trend), 6) AS avg_trend,
+       round(any_value(seasonal), 6) AS seasonal,
+       round(sum(pow(v - trend - seasonal, 2)), 4) AS sse_remainder,
+       count(*)::BIGINT AS n
+FROM sea GROUP BY phase
+"""
+
+
+def q_hierarchical_moments(spark, sf_dir):
+    """Mergeable-moment tier math: per-(user, hour) raw-moment state
+    summed to (user, day), moments derived from the sums — the 1m→1h→1d
+    re-aggregation trick (reference: src/stats/mod.rs:25-43 made
+    algebraic; SURVEY.md §4.3). Oracle computes the day moments
+    directly: results must agree exactly."""
+    from chronoxtract_spark.functions import moment_state_exprs, moments_from_state
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    hourly = ev.groupBy("user_id", "h", "day").agg(*moment_state_exprs("value"))
+    daily = hourly.groupBy("user_id", "day").agg(
+        F.sum("n").alias("n"),
+        F.sum("s1").alias("s1"),
+        F.sum("s2").alias("s2"),
+        F.sum("s3").alias("s3"),
+        F.sum("s4").alias("s4"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+    m = moments_from_state()
+    return daily.select(
+        "user_id",
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.round(m["mean"], 6).alias("mean"),
+        F.round(m["variance"], 4).alias("variance"),
+        F.round(m["skewness"], 4).alias("skewness"),
+        F.round(m["min"], 6).alias("min"),
+        F.round(m["max"], 6).alias("max"),
+    )
+
+
+SQL_HIERARCHICAL_MOMENTS = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, strftime(ts, '%Y-%m-%d') AS day,
+         count(*) AS n, sum(value) AS s1, sum(value*value) AS s2,
+         sum(value*value*value) AS s3, sum(value*value*value*value) AS s4,
+         min(value) AS mn, max(value) AS mx
+  FROM events GROUP BY 1, 2, 3
+), daily AS (
+  SELECT user_id, day, sum(n) AS n, sum(s1) AS s1, sum(s2) AS s2,
+         sum(s3) AS s3, sum(s4) AS s4, min(mn) AS mn, max(mx) AS mx
+  FROM hourly GROUP BY 1, 2
+)
+SELECT user_id, day, n::BIGINT AS n,
+       round(s1 / n, 6) AS mean,
+       round(s2 / n - (s1 / n) * (s1 / n), 4) AS variance,
+       round(CASE WHEN sqrt(s2/n - (s1/n)*(s1/n)) > 1e-9 THEN
+         (s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+         / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 4) AS skewness,
+       round(mn, 6) AS min,
+       round(mx, 6) AS max
+FROM daily
+"""
+
+
+def q_multiscale_entropy(spark, sf_dir):
+    """Multiscale sample entropy per (event_type, day) window
+    (reference: src/entropy/mod.rs:305-339) — rows-only kernel check."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import entropy as k_entropy
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        x = pdf["value"].to_numpy(np.float64)
+        try:
+            mse = k_entropy.multiscale_entropy(
+                x, 2, 0.2 * max(float(np.std(x)), 1e-12), 3
+            )
+        except ValueError:
+            mse = np.full(3, np.nan)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "day": pdf["day"].iloc[0],
+                "scale": [1, 2, 3],
+                "sampen": mse,
+            }
+        )
+
+    return ev.groupBy("event_type", "day").applyInPandas(
+        fn, schema="event_type string, day string, scale int, sampen double"
+    )
+
+
+def q_lomb_scargle(spark, sf_dir):
+    """Lomb-Scargle periodogram of each event_type's irregular (t, v)
+    series (reference: src/fda/lombscargle.rs:31-74) — rows-only."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import fda as k_fda
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6).alias("t"),
+        "value",
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("t", kind="mergesort")
+        t = pdf["t"].to_numpy(np.float64)
+        v = pdf["value"].to_numpy(np.float64)
+        span = t[-1] - t[0]
+        freqs = np.linspace(1.0 / span, 50.0 / span, 64)
+        power = k_fda.lomb_scargle(t, v, freqs)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "freq": freqs,
+                "power": power,
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        fn, schema="event_type string, freq double, power double"
+    )
+
+
+def q_matrix_profiles(spark, sf_dir):
+    """Hankel / GASF / MTF long-form matrices of each event_type's first
+    32 values (reference: src/matrices/mod.rs) — rows-only."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import matrices as k_mat
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").head(32)
+        x = pdf["value"].to_numpy(np.float64)
+        g = k_mat.gramian_angular_summation_field(x)
+        mtf = k_mat.markov_transition_field(x, 4)
+        rows = []
+        et = pdf["event_type"].iloc[0]
+        for i in range(x.size):
+            for j in range(x.size):
+                rows.append(
+                    {
+                        "event_type": et,
+                        "i": i,
+                        "j": j,
+                        "gasf": g[i, j],
+                        "mtf": mtf[i, j],
+                    }
+                )
+        return pd.DataFrame(rows)
+
+    return ev.groupBy("event_type").applyInPandas(
+        fn, schema="event_type string, i int, j int, gasf double, mtf double"
+    )
+
+
+def q_carma_fit(spark, sf_dir):
+    """Distributed CARMA(1,0) MLE per user series (reference:
+    src/carma/mle.rs:32-114) — rows-only (stochastic multistart)."""
+    from chronoxtract_spark.operators.carma import carma_mle_per_series
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20).select(
+        F.col("user_id").cast("string").alias("series_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6).alias("t"),
+        F.col("value").alias("v"),
+        F.lit(0.5).alias("e"),
+    )
+    return carma_mle_per_series(ev, p=1, q=0, n_starts=6)
+
+
+_EXTRA_QUERIES = {
+    "higher_moments": q_higher_moments,
+    "variability_features": q_variability_features,
+    "energy_distribution": q_energy_distribution,
+    "dcf_cross": q_dcf_cross,
+    "rolling_fvar": q_rolling_fvar,
+    "stl_oracle": q_stl_oracle,
+    "hierarchical_moments": q_hierarchical_moments,
+    "multiscale_entropy": q_multiscale_entropy,
+    "lomb_scargle": q_lomb_scargle,
+    "matrix_profiles": q_matrix_profiles,
+    "carma_fit": q_carma_fit,
+}
+
+_EXTRA_ORACLES = {
+    "higher_moments": SQL_HIGHER_MOMENTS,
+    "variability_features": SQL_VARIABILITY_FEATURES,
+    "energy_distribution": SQL_ENERGY_DISTRIBUTION,
+    "dcf_cross": SQL_DCF_CROSS,
+    "rolling_fvar": SQL_ROLLING_FVAR,
+    "stl_oracle": SQL_STL_ORACLE,
+    "hierarchical_moments": SQL_HIERARCHICAL_MOMENTS,
+}
+
+_BASE_QUERIES = queries
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:  # noqa: F811
+    out = _BASE_QUERIES()
+    out.update(_EXTRA_QUERIES)
+    return out
+
+
+_BASE_ORACLES = oracle_sql
+
+
+def oracle_sql() -> dict[str, str]:  # noqa: F811
+    out = _BASE_ORACLES()
+    out.update(_EXTRA_ORACLES)
+    return out

@@ -297,6 +297,75 @@ def core_features_batch(X: np.ndarray) -> dict[str, np.ndarray]:
     return out
 
 
+def kernel_features_epoch_bucketed(
+    df: DataFrame,
+    bucket_seconds: int,
+    conv_col: str = "conv_id",
+    t_col: str = "t",
+    value_col: str = "rate",
+    mode: str = "core",
+    regenerate_dense: bool = False,
+) -> DataFrame:
+    """Like ``kernel_features_bucketed`` but over slim
+    ``(conv_id, epoch_seconds, value)`` input: integer bucketing and a
+    single int64 argsort inside the kernel, zero datetime objects across
+    the Arrow boundary. Returns ``bucket_epoch`` (long) as the window key.
+
+    ``regenerate_dense``: input rows are the *observed* minutes; the
+    dense gap-filled series is rebuilt in-kernel
+    (kernel.gapfill.dense_from_observed) so the shuffle never carries
+    the ~1000x dense fan-out.
+    """
+    from chronoxtract_spark.kernel import gapfill as k_gapfill
+
+    fields = CORE_FEATURE_FIELDS if mode == "core" else KERNEL_FEATURE_FIELDS
+    m = dict(df.dtypes)
+    schema = (
+        f"{conv_col} {m[conv_col]}, bucket_epoch long, "
+        + ", ".join(f"{c} {t}" for c, t in fields)
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        gval = pdf[conv_col].iloc[0]
+        t = pdf[t_col].to_numpy(np.int64)
+        x = pdf[value_col].to_numpy(np.float64)
+        order = np.argsort(t, kind="stable")
+        t, x = t[order], x[order]
+        if regenerate_dense:
+            t, x, _turns, _obs = k_gapfill.dense_from_observed(t, x)
+        bucket = (t // bucket_seconds) * bucket_seconds
+        change = np.flatnonzero(bucket[1:] != bucket[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(x)]))
+        if mode == "full":
+            rows = []
+            for s, e in zip(starts, ends):
+                feats = compute_kernel_features(x[s:e])
+                feats[conv_col] = gval
+                feats["bucket_epoch"] = int(bucket[s])
+                rows.append(feats)
+            return pd.DataFrame(rows)
+        lengths = ends - starts
+        n_win = len(starts)
+        cols = {c: np.empty(n_win) for c, _ in CORE_FEATURE_FIELDS}
+        for length in np.unique(lengths):
+            sel = np.flatnonzero(lengths == length)
+            mat = np.stack([x[starts[i] : ends[i]] for i in sel])
+            feats = core_features_batch(mat)
+            for c, _ in CORE_FEATURE_FIELDS:
+                cols[c][sel] = feats[c]
+        out = pd.DataFrame(cols)
+        out.insert(0, "bucket_epoch", bucket[starts])
+        out.insert(0, conv_col, gval)
+        return out
+
+    # the kernel fans out ~1000x when regenerating the dense series; the
+    # tiny observed input would otherwise be AQE-coalesced into one task
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism * 2, 16)
+    df = df.repartition(n_part, conv_col)
+    return df.groupBy(conv_col).applyInPandas(fn, schema=schema)
+
+
 def kernel_features_bucketed(
     df: DataFrame,
     group_col: str,

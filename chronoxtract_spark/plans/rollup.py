@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from chronoxtract_spark import compression as cxc
 from chronoxtract_spark import functions as cxf
+from chronoxtract_spark.kernel import gapfill as k_gapfill
 from chronoxtract_spark.operators import features as ops_features
 from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
 
@@ -112,9 +113,8 @@ class RollupEngine:
 
     # -- tier builders --------------------------------------------------------
 
-    def build_base_series(self, transcripts: DataFrame) -> DataFrame:
-        """transcripts → gap-filled per-minute turn-rate series with a
-        ``day`` partition column (north_star steps 2-3)."""
+    def build_observed(self, transcripts: DataFrame) -> DataFrame:
+        """transcripts → per-(conv, minute) turn counts (pre-gap-fill)."""
         df = transcripts
         if self.salts:
             # pre-split hot conversations before the minute aggregation;
@@ -123,10 +123,25 @@ class RollupEngine:
             df = df.withColumn(
                 "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(self.salts))
             )
-        observed = turn_rate_1m(df)
+        return turn_rate_1m(df)
+
+    def build_base_series(self, transcripts: DataFrame) -> DataFrame:
+        """transcripts → gap-filled per-minute turn-rate series with a
+        ``day`` partition column (north_star steps 2-3)."""
+        observed = self.build_observed(transcripts)
         filled = gap_fill_minutes(observed)
         return filled.withColumn(
             "day", F.date_format("minute_ts", "yyyy-MM-dd")
+        )
+
+    @staticmethod
+    def _observed_slim(observed: DataFrame) -> DataFrame:
+        """(conv_id, epoch minute, count) — the only data the dense-series
+        kernels need; ~1000x smaller than the gap-filled table."""
+        return observed.select(
+            "conv_id",
+            F.unix_timestamp("minute_ts").alias("t"),
+            F.col("turns").cast("double").alias("v"),
         )
 
     def build_rollup_1m(self, base: DataFrame) -> DataFrame:
@@ -141,10 +156,21 @@ class RollupEngine:
             "day",
         )
 
-    def _window_tier(self, base: DataFrame, trunc: str, out_bucket: str) -> DataFrame:
+    def _window_tier(
+        self,
+        base: DataFrame,
+        trunc: str,
+        out_bucket: str,
+        observed: DataFrame | None = None,
+    ) -> DataFrame:
         """Shared 1h/1d builder: mergeable moment state + exact summary
         features + (optionally) whole-series kernel features per
-        (conv_id, bucket) window."""
+        (conv_id, bucket) window.
+
+        The kernel-feature pass ships only ``(conv_id, epoch, rate)``
+        through Arrow (12 bytes/row — no timestamp objects) and buckets
+        on integer epoch inside the kernel; the bucket timestamp is
+        reconstructed JVM-side for the join with the SQL state."""
         bucketed = base.withColumn(out_bucket, F.date_trunc(trunc, "minute_ts"))
         keys = ["conv_id", out_bucket]
 
@@ -152,7 +178,10 @@ class RollupEngine:
             *cxf.moment_state_exprs("rate"),
             F.percentile_approx(
                 "rate", F.array(*[F.lit(q) for q in (0.05, 0.25, 0.5, 0.75, 0.95)]),
-                F.lit(2500),
+                # sketch accuracy sized to the window: tier windows hold
+                # <= 1440 points, so 200 keeps the sketch exact-ish while
+                # an oversized sketch just burns memory per group
+                F.lit(200),
             ).alias("q_sketch"),
             F.first("day").alias("day"),
         )
@@ -170,18 +199,31 @@ class RollupEngine:
         if not self.kernel_features:
             return state
 
-        kf = ops_features.kernel_features_bucketed(
-            bucketed.select(*keys, "minute_ts", "rate"),
-            group_col="conv_id",
-            bucket_col=out_bucket,
-            order_cols=["minute_ts"],
-            value_col="rate",
+        if observed is None:
+            slim = bucketed.select(
+                "conv_id",
+                F.unix_timestamp("minute_ts").alias("t"),
+                F.col("rate").cast("double").alias("rate"),
+            )
+            regen = False
+        else:
+            slim = self._observed_slim(observed).withColumnRenamed("v", "rate")
+            regen = True
+        bucket_seconds = {"hour": 3600, "day": 86400}[trunc]
+        kf = ops_features.kernel_features_epoch_bucketed(
+            slim,
+            bucket_seconds=bucket_seconds,
             mode=self.feature_mode,
-        )
+            regenerate_dense=regen,
+        ).withColumn(
+            out_bucket, F.timestamp_seconds(F.col("bucket_epoch"))
+        ).drop("bucket_epoch")
         return state.join(kf, keys)
 
-    def build_rollup_1h(self, base: DataFrame) -> DataFrame:
-        return self._window_tier(base, "hour", "hour_ts")
+    def build_rollup_1h(
+        self, base: DataFrame, observed: DataFrame | None = None
+    ) -> DataFrame:
+        return self._window_tier(base, "hour", "hour_ts", observed=observed)
 
     def build_rollup_1d_from_1h(self, tier_1h: DataFrame) -> DataFrame:
         """1d tier from 1h **state sums** — no base re-scan for the
@@ -208,22 +250,35 @@ class RollupEngine:
             "day_ts", F.to_timestamp(F.col("day"))
         )
 
-    def build_chunks(self, base: DataFrame) -> DataFrame:
+    def build_chunks(self, observed: DataFrame) -> DataFrame:
         """Gorilla-compressed chunk structs per (conv_id, day): the
         vectorized Arrow UDF emitting binary-packed chunks
-        (chronoxtract_spark.compression)."""
+        (chronoxtract_spark.compression).
+
+        Consumes the **observed** per-minute rows only and regenerates
+        the dense gap-filled series inside the kernel
+        (kernel.gapfill.dense_from_observed, bit-identical to the 1m
+        tier) — the shuffle and Arrow transfer carry ~1000x fewer rows
+        than the dense table. Grouped by conversation; the per-day chunk
+        split happens on the regenerated int64 epochs."""
 
         def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-            pdf = pdf.sort_values("minute_ts", kind="mergesort")
-            ts = (
-                pdf["minute_ts"].astype("datetime64[s]").astype(np.int64).to_numpy()
-            )
-            vals = pdf["rate"].to_numpy(dtype=np.float64)
-            ch = cxc.encode_chunk(ts, vals)
             conv = pdf["conv_id"].iloc[0]
-            day = pdf["day"].iloc[0]
-            return pd.DataFrame(
-                [
+            t_obs = pdf["t"].to_numpy(np.int64)
+            v_obs = pdf["v"].to_numpy(np.float64)
+            order = np.argsort(t_obs, kind="stable")
+            t, v, _turns, _obs = k_gapfill.dense_from_observed(
+                t_obs[order], v_obs[order]
+            )
+            day_idx = t // 86400
+            change = np.flatnonzero(day_idx[1:] != day_idx[:-1]) + 1
+            starts = np.concatenate(([0], change))
+            ends = np.concatenate((change, [len(t)]))
+            rows = []
+            for s, e in zip(starts, ends):
+                ch = cxc.encode_chunk(t[s:e], v[s:e])
+                day = str(np.datetime64(int(day_idx[s]) * 86400, "s"))[:10]
+                rows.append(
                     {
                         "conv_id": conv,
                         "day": day,
@@ -236,12 +291,16 @@ class RollupEngine:
                         "raw_size": ch["raw_size"],
                         "enc_size": ch["enc_size"],
                     }
-                ]
-            )
+                )
+            return pd.DataFrame(rows)
 
-        return base.select("conv_id", "day", "minute_ts", "rate").groupBy(
-            "conv_id", "day"
-        ).applyInPandas(encode, schema=CHUNK_SCHEMA)
+        slim = self._observed_slim(observed)
+        # pin fan-out parallelism (the tiny observed input would be
+        # AQE-coalesced into one task while the kernel regenerates the
+        # ~1000x dense series)
+        n_part = max(slim.sparkSession.sparkContext.defaultParallelism * 2, 16)
+        slim = slim.repartition(n_part, "conv_id")
+        return slim.groupBy("conv_id").applyInPandas(encode, schema=CHUNK_SCHEMA)
 
     # -- orchestration --------------------------------------------------------
 
@@ -258,7 +317,17 @@ class RollupEngine:
         dynamic-overwrite so a partially-written partition from a killed
         run is replaced, never duplicated.
         """
-        base = self.build_base_series(transcripts)
+        timings: dict[str, float] = {}
+
+        def mark(name, t0):
+            timings[name] = round(time.time() - t0, 2)
+            return time.time()
+
+        t = time.time()
+        observed = self.build_observed(transcripts)
+        observed.cache()
+        filled = gap_fill_minutes(observed)
+        base = filled.withColumn("day", F.date_format("minute_ts", "yyyy-MM-dd"))
         counts: dict[str, int] = {}
 
         skip_1m = (
@@ -268,13 +337,20 @@ class RollupEngine:
         tier_1m = tier_1m_all.filter(~F.col("day").isin(list(skip_1m)) if skip_1m else F.lit(True))
         tier_1m.cache()
         n_1m = tier_1m.count()
+        t = mark("gapfill_1m_materialize", t)
         if n_1m:
             self.io.overwrite_partitions(tier_1m, "rollup_1m", ["day"])
+            t = mark("write_1m", t)
             self._write_lineage(tier_1m, "rollup_1m", source_snapshot)
+            t = mark("lineage_1m", t)
             if self.compress:
-                chunks = self.build_chunks(tier_1m)
+                # cache: the chunk build feeds both the write and the
+                # lineage checksum — without it the encode runs twice
+                chunks = self.build_chunks(observed).cache()
                 self.io.overwrite_partitions(chunks, CHUNK_TABLE, ["day"])
                 self._write_lineage(chunks, CHUNK_TABLE, source_snapshot)
+                chunks.unpersist()
+                t = mark("chunks", t)
         counts["rollup_1m"] = n_1m
 
         skip_1h = (
@@ -283,13 +359,16 @@ class RollupEngine:
         tier_1h_all = self.build_rollup_1h(
             tier_1m_all.filter(
                 ~F.col("day").isin(list(skip_1h)) if skip_1h else F.lit(True)
-            )
+            ),
+            observed=observed if not skip_1h else None,
         )
         tier_1h_all.cache()
         n_1h = tier_1h_all.count()
+        t = mark("tier_1h_compute", t)
         if n_1h:
             self.io.overwrite_partitions(tier_1h_all, "rollup_1h", ["day"])
             self._write_lineage(tier_1h_all, "rollup_1h", source_snapshot)
+            t = mark("write_1h", t)
         counts["rollup_1h"] = n_1h
 
         skip_1d = (
@@ -302,10 +381,13 @@ class RollupEngine:
         if n_1d:
             self.io.overwrite_partitions(tier_1d, "rollup_1d", ["day"])
             self._write_lineage(tier_1d, "rollup_1d", source_snapshot)
+        t = mark("tier_1d", t)
         counts["rollup_1d"] = n_1d
 
         tier_1m.unpersist()
         tier_1h_all.unpersist()
+        observed.unpersist()
+        self.last_timings = timings
         return counts
 
     # -- retention ------------------------------------------------------------
