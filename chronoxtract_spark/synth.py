@@ -34,11 +34,17 @@ def synth_transcripts(
     seed: int = 42,
     start_ts: str = "2026-01-01 00:00:00",
     partitions: int | None = None,
+    min_turns: int = MIN_TURNS,
+    max_turns: int = MAX_TURNS,
+    length_scale: int = 4,
 ) -> DataFrame:
     """Build the deterministic transcripts DataFrame.
 
     Inter-turn gaps are 5s..~20min (hash-derived), so minute-bucketed
     series have holes and the gap-fill join does real work.
+    ``min_turns``/``max_turns``/``length_scale`` control the Zipf length
+    distribution (larger values → long-span conversations for the
+    compute-heavy scaling benchmark).
     """
     if partitions is None:
         partitions = max(spark.sparkContext.defaultParallelism, 8)
@@ -51,8 +57,10 @@ def synth_transcripts(
     # Zipf-ish length: u in (0,1] from a hash, n_turns ~ u^(-1/alpha)
     u = (F.abs(F.xxhash64("conv_id", F.lit(seed))) % 1000000 + 1) / 1000000.0
     n_turns = F.least(
-        F.lit(MAX_TURNS),
-        (F.lit(MIN_TURNS) + F.pow(u, F.lit(-1.0 / ZIPF_ALPHA)) * 4).cast("int"),
+        F.lit(max_turns),
+        (
+            F.lit(min_turns) + F.pow(u, F.lit(-1.0 / ZIPF_ALPHA)) * length_scale
+        ).cast("int"),
     )
     conv = conv.withColumn("n_turns", n_turns)
 

@@ -4,10 +4,17 @@ The rule's criterion — ">= 0.8 throughput scaling efficiency from N to
 4N executors" — cannot use a real cluster in this sandbox, so (per the
 driver instruction) we run the SAME rollup job on the SAME input at
 local[8] and local[32] in separate JVMs and report throughput at both
-plus efficiency = (T8 / T32) / 4 ... i.e.
-(points_per_sec_32 / points_per_sec_8) / (32/8).
+plus efficiency = (points_per_sec_32 / points_per_sec_8) / (32/8).
 
-Writes BENCH/BASELINE.md. Usage: python tools/scaling_bench.py [sf_dir]
+Input: a deterministically synthesized transcripts table of exactly the
+BASELINE.json:input_hint shape (chronoxtract_spark.synth, seed=42),
+sized so the distributed compute dominates fixed driver/commit costs —
+the regime a 1000-executor deployment actually runs in. Zipf lengths
+include mega-thread skew. The table is written once to parquet and both
+legs read the identical files.
+
+Writes BENCH/BASELINE.md. Usage:
+    python tools/scaling_bench.py [n_conversations] [min_turns]
 """
 
 from __future__ import annotations
@@ -19,25 +26,33 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+INPUT_DIR = "/tmp/cx_scaling_input"
+
+GEN = r"""
+import sys
+sys.path.insert(0, {repo!r})
+from chronoxtract_spark.session import get_spark
+from chronoxtract_spark.synth import synth_transcripts
+
+spark = get_spark(app_name="cx_scale_gen", master="local[32]", shuffle_partitions=32)
+df = synth_transcripts(spark, n_conversations={n_convs}, seed=42,
+                       min_turns={min_turns}, max_turns=8192)
+df.write.mode("overwrite").parquet({input_dir!r})
+print("rows:", spark.read.parquet({input_dir!r}).count())
+spark.stop()
+"""
 
 RUNNER = r"""
 import json, os, shutil, sys, time
 sys.path.insert(0, {repo!r})
-from pyspark.sql import functions as F
 from chronoxtract_spark.session import get_spark
 from chronoxtract_spark.plans.rollup import RollupEngine
 from chronoxtract_spark.sources.tableio import temp_warehouse
 
 cpus = {cpus}
-sf_dir = {sf_dir!r}
 spark = get_spark(app_name=f"cx_scale_{{cpus}}", master=f"local[{{cpus}}]",
                   shuffle_partitions=cpus)
-ev = spark.read.parquet(f"{{sf_dir}}/events.parquet").select(
-    F.col("user_id").cast("string").alias("conv_id"),
-    F.col("event_id").cast("int").alias("turn_idx"),
-    F.lit("user").alias("role"), F.col("props").alias("text"),
-    F.lit(None).cast("string").alias("tool"), "ts")
-ev.cache(); n = ev.count()
+ev = spark.read.parquet({input_dir!r})
 io = temp_warehouse(spark)
 eng = RollupEngine(spark, io, kernel_features=True, compress=True)
 t0 = time.time()
@@ -45,38 +60,44 @@ counts = eng.run(ev, source_snapshot="scale", resume=False)
 dt = time.time() - t0
 shutil.rmtree(io.root, ignore_errors=True)
 total = sum(counts.values())
-print(json.dumps({{"cpus": cpus, "sec": dt, "points": total,
-                   "points_per_sec": total / dt, "input_rows": n}}))
+print("RESULT " + json.dumps({{"cpus": cpus, "sec": dt, "points": total,
+                   "points_per_sec": total / dt,
+                   "phases": eng.last_timings}}))
 spark.stop()
 """
 
 
-def run_at(cpus: int, sf_dir: str) -> dict:
-    code = RUNNER.format(repo=REPO, cpus=cpus, sf_dir=sf_dir)
+def run(code: str) -> str:
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        [sys.executable, "-u", "-c", code],
         capture_output=True,
         text=True,
-        timeout=3600,
+        timeout=5400,
         cwd=REPO,
     )
     for line in out.stdout.splitlines():
-        line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
-    raise RuntimeError(f"run at local[{cpus}] produced no result:\n{out.stderr[-3000:]}")
+        if line.startswith(("RESULT ", "rows:")):
+            return line
+    raise RuntimeError(f"run produced no result:\n{out.stderr[-3000:]}")
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    r8 = run_at(8, sf_dir)
-    print("local[8]:", json.dumps(r8))
-    r32 = run_at(32, sf_dir)
-    print("local[32]:", json.dumps(r32))
+    n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
+    min_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
+    if not os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
+        print(run(GEN.format(repo=REPO, n_convs=n_convs, min_turns=min_turns,
+                             input_dir=INPUT_DIR)))
+    results = {}
+    for cpus in (8, 32):
+        line = run(RUNNER.format(repo=REPO, cpus=cpus, input_dir=INPUT_DIR))
+        results[cpus] = json.loads(line[len("RESULT "):])
+        print(f"local[{cpus}]:", json.dumps(results[cpus]))
+        time.sleep(5)
+    r8, r32 = results[8], results[32]
     speedup = r32["points_per_sec"] / r8["points_per_sec"]
     efficiency = speedup / (32 / 8)
     report = {
-        "sf_dir": sf_dir,
+        "input": f"synth transcripts n_conversations={n_convs} min_turns={min_turns} seed=42",
         "local8": r8,
         "local32": r32,
         "speedup_8_to_32": round(speedup, 3),
@@ -88,13 +109,16 @@ def main():
 Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/scaling_bench.py.
 
 North metric: rolled-up points/sec across all retention tiers
-(1m gap-filled points + 1h windows + 1d windows, with kernel feature
-vectors and Gorilla chunk compression), full pipeline wall-clock
-including tier writes and lineage commits.
+(1m gap-filled points + 1h windows + 1d windows, with the north-star
+per-window feature vectors and Gorilla chunk compression), full
+pipeline wall-clock including tier writes and lineage commits.
 
 Sandbox stand-in for the N vs 4N executor criterion (per driver
-instruction): the same job, same input ({sf_dir}), separate JVMs at
-local[8] vs local[32].
+instruction): the same job on the same input, separate JVMs at
+local[8] vs local[32]. Input: deterministic synthetic transcripts of
+the BASELINE.json:input_hint shape (seed=42, Zipf lengths with
+mega-thread skew), sized so distributed compute dominates fixed
+driver/commit cost — the regime a multi-executor deployment runs in.
 
 | config | wall sec | rolled-up points | points/sec |
 | --- | --- | --- | --- |
@@ -103,6 +127,15 @@ local[8] vs local[32].
 
 - speedup 8→32 cores (4× resources): **{speedup:.2f}×**
 - scaling efficiency (speedup / 4): **{efficiency:.3f}** (north-rule bar: ≥ 0.8)
+
+Per-phase wall seconds (RollupEngine.last_timings):
+
+| phase | local[8] | local[32] |
+| --- | --- | --- |
+""" + "\n".join(
+        f"| {k} | {r8['phases'].get(k, '-')} | {r32['phases'].get(k, '-')} |"
+        for k in r8["phases"]
+    ) + f"""
 
 ```json
 {json.dumps(report, indent=2)}
