@@ -297,6 +297,47 @@ def core_features_batch(X: np.ndarray) -> dict[str, np.ndarray]:
     return out
 
 
+#: mergeable raw-moment state + exact window quantiles, emitted by the
+#: same kernel pass as the core features when ``with_state=True`` —
+#: mirrors functions.moment_state_exprs (src/stats/mod.rs:25-43) and the
+#: reference's interpolated quantiles (src/stats/mod.rs:98-111)
+WINDOW_STATE_FIELDS = [
+    ("n", "long"),
+    ("s1", "double"),
+    ("s2", "double"),
+    ("s3", "double"),
+    ("s4", "double"),
+    ("min", "double"),
+    ("max", "double"),
+    ("q05", "double"),
+    ("q25", "double"),
+    ("median", "double"),
+    ("q75", "double"),
+    ("q95", "double"),
+]
+
+
+def window_state_batch(X: np.ndarray) -> dict[str, np.ndarray]:
+    """Raw-moment state + exact quantiles for a (n_windows, w) batch —
+    one vectorized pass, no per-window Python."""
+    x2 = X * X
+    qs = np.quantile(X, [0.05, 0.25, 0.5, 0.75, 0.95], axis=1)
+    return {
+        "n": np.full(X.shape[0], X.shape[1], dtype=np.int64),
+        "s1": X.sum(axis=1),
+        "s2": x2.sum(axis=1),
+        "s3": (x2 * X).sum(axis=1),
+        "s4": (x2 * x2).sum(axis=1),
+        "min": X.min(axis=1),
+        "max": X.max(axis=1),
+        "q05": qs[0],
+        "q25": qs[1],
+        "median": qs[2],
+        "q75": qs[3],
+        "q95": qs[4],
+    }
+
+
 def kernel_features_epoch_bucketed(
     df: DataFrame,
     bucket_seconds: int,
@@ -305,6 +346,7 @@ def kernel_features_epoch_bucketed(
     value_col: str = "rate",
     mode: str = "core",
     regenerate_dense: bool = False,
+    with_state: bool = False,
 ) -> DataFrame:
     """Like ``kernel_features_bucketed`` but over slim
     ``(conv_id, epoch_seconds, value)`` input: integer bucketing and a
@@ -319,6 +361,10 @@ def kernel_features_epoch_bucketed(
     from chronoxtract_spark.kernel import gapfill as k_gapfill
 
     fields = CORE_FEATURE_FIELDS if mode == "core" else KERNEL_FEATURE_FIELDS
+    if with_state:
+        if mode != "core":
+            raise ValueError("with_state requires mode='core'")
+        fields = WINDOW_STATE_FIELDS + CORE_FEATURE_FIELDS
     m = dict(df.dtypes)
     schema = (
         f"{conv_col} {m[conv_col]}, bucket_epoch long, "
@@ -347,12 +393,18 @@ def kernel_features_epoch_bucketed(
             return pd.DataFrame(rows)
         lengths = ends - starts
         n_win = len(starts)
-        cols = {c: np.empty(n_win) for c, _ in CORE_FEATURE_FIELDS}
+        out_fields = fields
+        cols = {
+            c: np.empty(n_win, dtype=np.int64 if t == "long" else np.float64)
+            for c, t in out_fields
+        }
         for length in np.unique(lengths):
             sel = np.flatnonzero(lengths == length)
             mat = np.stack([x[starts[i] : ends[i]] for i in sel])
             feats = core_features_batch(mat)
-            for c, _ in CORE_FEATURE_FIELDS:
+            if with_state:
+                feats.update(window_state_batch(mat))
+            for c, _ in out_fields:
                 cols[c][sel] = feats[c]
         out = pd.DataFrame(cols)
         out.insert(0, "bucket_epoch", bucket[starts])

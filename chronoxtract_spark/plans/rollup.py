@@ -89,27 +89,34 @@ class RollupEngine:
         )
         return {r[0] for r in rows}
 
-    def _write_lineage(self, df: DataFrame, tier: str, source_snapshot: str):
+    def _write_lineage(self, df: DataFrame, tier: str, source_snapshot: str) -> int:
         """One lineage row per day partition: row count + order-insensitive
         content checksum (bit_xor of per-row xxhash64 — overflow-free
-        under ANSI mode and commutative, so shuffle order can't change it)."""
+        under ANSI mode and commutative, so shuffle order can't change it).
+        Returns the total row count across the committed partitions (the
+        lineage aggregation already computes it — no extra pass)."""
         cols = ", ".join(df.columns)
-        lineage = (
+        rows = (
             df.groupBy("day")
             .agg(
                 F.count("*").alias("row_count"),
                 F.expr(f"bit_xor(xxhash64({cols}))").alias("checksum"),
             )
-            .select(
-                F.lit(tier).alias("tier"),
-                F.col("day").alias("partition_key"),
-                F.lit(source_snapshot).alias("source_snapshot"),
-                "row_count",
-                "checksum",
-                F.lit(int(time.time() * 1000)).alias("committed_at"),
-            )
+            .collect()
         )
-        self.io.append(lineage, LINEAGE_TABLE)
+        now = int(time.time() * 1000)
+        if rows:
+            lineage = self.spark.createDataFrame(
+                [
+                    (tier, r["day"], source_snapshot, r["row_count"],
+                     r["checksum"], now)
+                    for r in rows
+                ],
+                "tier string, partition_key string, source_snapshot string, "
+                "row_count long, checksum long, committed_at long",
+            )
+            self.io.append(lineage, LINEAGE_TABLE)
+        return sum(r["row_count"] for r in rows)
 
     # -- tier builders --------------------------------------------------------
 
@@ -143,6 +150,21 @@ class RollupEngine:
             F.unix_timestamp("minute_ts").alias("t"),
             F.col("turns").cast("double").alias("v"),
         )
+
+    def _candidate_days(self, observed: DataFrame) -> list[str]:
+        """All day partitions the gap-filled output will contain: the
+        union of per-conversation [first, last] observed-day ranges
+        (gap days between observations count; tiny aggregation)."""
+        spans = observed.groupBy("conv_id").agg(
+            F.min(F.to_date("minute_ts")).alias("d0"),
+            F.max(F.to_date("minute_ts")).alias("d1"),
+        )
+        days = spans.select(
+            F.explode(
+                F.sequence(F.col("d0"), F.col("d1"), F.expr("interval 1 day"))
+            ).alias("d")
+        ).distinct()
+        return sorted(str(r[0]) for r in days.collect())
 
     def build_rollup_1m(self, base: DataFrame) -> DataFrame:
         """1m tier = the gap-filled series itself (one point per
@@ -219,6 +241,30 @@ class RollupEngine:
             out_bucket, F.timestamp_seconds(F.col("bucket_epoch"))
         ).drop("bucket_epoch")
         return state.join(kf, keys)
+
+    def build_rollup_1h_kernel(self, observed: DataFrame) -> DataFrame:
+        """Fast path: the whole 1h tier (mergeable moment state, exact
+        window quantiles, north-star features) from ONE kernel pass over
+        the observed rows — the dense series never exists Spark-side for
+        this tier (kernel.gapfill regeneration + batched window math).
+
+        Requires feature_mode='core'. Output schema matches the SQL-path
+        tier (moments derived from state by column math)."""
+        slim = self._observed_slim(observed).withColumnRenamed("v", "rate")
+        kf = ops_features.kernel_features_epoch_bucketed(
+            slim,
+            bucket_seconds=3600,
+            mode="core",
+            regenerate_dense=True,
+            with_state=True,
+        )
+        tier = kf.withColumn(
+            "hour_ts", F.timestamp_seconds(F.col("bucket_epoch"))
+        ).drop("bucket_epoch")
+        derived = cxf.moments_from_state()
+        for name, col in derived.items():
+            tier = tier.withColumn(name, col)
+        return tier.withColumn("day", F.date_format("hour_ts", "yyyy-MM-dd"))
 
     def build_rollup_1h(
         self, base: DataFrame, observed: DataFrame | None = None
@@ -330,37 +376,54 @@ class RollupEngine:
         base = filled.withColumn("day", F.date_format("minute_ts", "yyyy-MM-dd"))
         counts: dict[str, int] = {}
 
+        # -- 1m tier: stream the dense plan straight into the partitioned
+        # write (never cached — the dense fan-out only exists in this one
+        # pass); counts and checksums come from the written files, which
+        # doubles as a write verification
         skip_1m = (
             self.committed_days("rollup_1m", source_snapshot) if resume else set()
         )
-        tier_1m_all = self.build_rollup_1m(base)
-        tier_1m = tier_1m_all.filter(~F.col("day").isin(list(skip_1m)) if skip_1m else F.lit(True))
-        tier_1m.cache()
-        n_1m = tier_1m.count()
-        t = mark("gapfill_1m_materialize", t)
-        if n_1m:
+        day_col = F.date_format("minute_ts", "yyyy-MM-dd")
+        new_days = [
+            d for d in self._candidate_days(observed) if d not in skip_1m
+        ]
+        t = mark("plan_and_skip", t)
+        if new_days:
+            tier_1m = self.build_rollup_1m(base).filter(
+                ~F.col("day").isin(list(skip_1m)) if skip_1m else F.lit(True)
+            )
             self.io.overwrite_partitions(tier_1m, "rollup_1m", ["day"])
             t = mark("write_1m", t)
-            self._write_lineage(tier_1m, "rollup_1m", source_snapshot)
+            written = self.io.read("rollup_1m").filter(F.col("day").isin(new_days))
+            counts["rollup_1m"] = self._write_lineage(
+                written, "rollup_1m", source_snapshot
+            )
             t = mark("lineage_1m", t)
-            if self.compress:
-                # cache: the chunk build feeds both the write and the
-                # lineage checksum — without it the encode runs twice
-                chunks = self.build_chunks(observed).cache()
-                self.io.overwrite_partitions(chunks, CHUNK_TABLE, ["day"])
-                self._write_lineage(chunks, CHUNK_TABLE, source_snapshot)
-                chunks.unpersist()
-                t = mark("chunks", t)
-        counts["rollup_1m"] = n_1m
+        else:
+            counts["rollup_1m"] = 0
 
+        if new_days and self.compress:
+            # cache: the chunk build feeds both the write and the
+            # lineage checksum — without it the encode runs twice
+            chunks = self.build_chunks(observed).filter(
+                ~F.col("day").isin(list(skip_1m)) if skip_1m else F.lit(True)
+            ).cache()
+            self.io.overwrite_partitions(chunks, CHUNK_TABLE, ["day"])
+            self._write_lineage(chunks, CHUNK_TABLE, source_snapshot)
+            chunks.unpersist()
+            t = mark("chunks", t)
+
+        # -- 1h tier: kernel fast path when the core feature mode is on,
+        # else the SQL state aggregation over the dense plan
         skip_1h = (
             self.committed_days("rollup_1h", source_snapshot) if resume else set()
         )
-        tier_1h_all = self.build_rollup_1h(
-            tier_1m_all.filter(
-                ~F.col("day").isin(list(skip_1h)) if skip_1h else F.lit(True)
-            ),
-            observed=observed if not skip_1h else None,
+        if self.kernel_features and self.feature_mode == "core":
+            tier_1h_all = self.build_rollup_1h_kernel(observed)
+        else:
+            tier_1h_all = self.build_rollup_1h(base, observed=observed)
+        tier_1h_all = tier_1h_all.filter(
+            ~F.col("day").isin(list(skip_1h)) if skip_1h else F.lit(True)
         )
         tier_1h_all.cache()
         n_1h = tier_1h_all.count()
@@ -384,7 +447,6 @@ class RollupEngine:
         t = mark("tier_1d", t)
         counts["rollup_1d"] = n_1d
 
-        tier_1m.unpersist()
         tier_1h_all.unpersist()
         observed.unpersist()
         self.last_timings = timings
