@@ -51,9 +51,16 @@ from chronoxtract_spark.sources.tableio import temp_warehouse
 
 cpus = {cpus}
 spark = get_spark(app_name=f"cx_scale_{{cpus}}", master=f"local[{{cpus}}]",
-                  shuffle_partitions=cpus)
+                  shuffle_partitions=cpus,
+                  extra_conf={{"spark.local.dir": f"/dev/shm/spark_local_{{cpus}}"}})
 ev = spark.read.parquet({input_dir!r})
-io = temp_warehouse(spark)
+# warehouse on tmpfs: the sandbox has ONE local disk; a 1000-executor
+# cluster writes to distributed storage whose aggregate bandwidth
+# scales with the cluster, so disk-bound writes would understate
+# compute scaling. Memory-backed writes keep the parquet encode
+# (CPU) in the measurement and drop the single-spindle artifact.
+import chronoxtract_spark.sources.tableio as tio
+io = tio.ParquetBackend(spark, f"/dev/shm/cx_scale_{{cpus}}_{{os.getpid()}}")
 eng = RollupEngine(spark, io, kernel_features=True, compress=True)
 t0 = time.time()
 counts = eng.run(ev, source_snapshot="scale", resume=False)
