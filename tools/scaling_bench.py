@@ -113,13 +113,13 @@ def main():
         results[cpus] = json.loads(line[len("RESULT "):])
         print(f"local[{cpus}]:", json.dumps(results[cpus]))
         time.sleep(5)
-    r8, r32 = results[2], results[8]
-    speedup = r32["points_per_sec"] / r8["points_per_sec"]
+    rn, r4n = results[2], results[8]
+    speedup = r4n["points_per_sec"] / rn["points_per_sec"]
     efficiency = speedup / (8 / 2)
     report = {
         "input": f"synth transcripts n_conversations={n_convs} min_turns={min_turns} seed=42",
-        "local8": r8,
-        "local32": r32,
+        "localN": rn,
+        "local4N": r4n,
         "speedup_8_to_32": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
     }
@@ -143,8 +143,8 @@ driver/commit cost — the regime a multi-executor deployment runs in.
 
 | config | wall sec | rolled-up points | points/sec |
 | --- | --- | --- | --- |
-| local[2] (N)  | {r8['sec']:.2f} | {r8['points']} | {r8['points_per_sec']:.0f} |
-| local[8] (4N) | {r32['sec']:.2f} | {r32['points']} | {r32['points_per_sec']:.0f} |
+| local[2] (N)  | {rn['sec']:.2f} | {rn['points']} | {rn['points_per_sec']:.0f} |
+| local[8] (4N) | {r4n['sec']:.2f} | {r4n['points']} | {r4n['points_per_sec']:.0f} |
 
 - speedup N→4N cores (4× resources): **{speedup:.2f}×**
 - scaling efficiency (speedup / 4): **{efficiency:.3f}** (north-rule bar: ≥ 0.8)
@@ -154,8 +154,8 @@ Per-phase wall seconds (RollupEngine.last_timings):
 | phase | local[2] | local[8] |
 | --- | --- | --- |
 """ + "\n".join(
-        f"| {k} | {r8['phases'].get(k, '-')} | {r32['phases'].get(k, '-')} |"
-        for k in r8["phases"]
+        f"| {k} | {rn['phases'].get(k, '-')} | {r4n['phases'].get(k, '-')} |"
+        for k in rn["phases"]
     ) + f"""
 
 ```json
