@@ -1344,13 +1344,18 @@ def q_hierarchical_moments(spark, sf_dir):
         F.max("max").alias("max"),
     )
     m = moments_from_state()
+    # epsilon-biased integer units: the event values live on a 0.1
+    # lattice, so merged-vs-direct float sums differ by ~1 ulp exactly
+    # at round() boundaries; floor(x*1e4 + 0.5 + 1e-6) is computed with
+    # identical float ops on both engines and the 1e-6 bias absorbs the
+    # ulp noise
     return daily.select(
         "user_id",
         "day",
         F.col("n").cast("long").alias("n"),
         F.round(m["mean"], 6).alias("mean"),
-        F.round(m["variance"], 4).alias("variance"),
-        F.round(m["skewness"], 4).alias("skewness"),
+        F.floor(m["variance"] * 1e4 + 0.5 + 1e-6).cast("long").alias("variance_e4"),
+        F.floor(m["skewness"] * 1e4 + 0.5 + 1e-6).cast("long").alias("skewness_e4"),
         F.round(m["min"], 6).alias("min"),
         F.round(m["max"], 6).alias("max"),
     )
@@ -1370,10 +1375,12 @@ WITH hourly AS (
 )
 SELECT user_id, day, n::BIGINT AS n,
        round(s1 / n, 6) AS mean,
-       round(s2 / n - (s1 / n) * (s1 / n), 4) AS variance,
-       round(CASE WHEN sqrt(s2/n - (s1/n)*(s1/n)) > 1e-9 THEN
+       floor((s2 / n - (s1 / n) * (s1 / n)) * 1e4 + 0.5 + 1e-6)::BIGINT
+         AS variance_e4,
+       floor((CASE WHEN sqrt(s2/n - (s1/n)*(s1/n)) > 1e-9 THEN
          (s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
-         / pow(s2/n - (s1/n)*(s1/n), 1.5) END, 4) AS skewness,
+         / pow(s2/n - (s1/n)*(s1/n), 1.5) END) * 1e4 + 0.5 + 1e-6)::BIGINT
+         AS skewness_e4,
        round(mn, 6) AS min,
        round(mx, 6) AS max
 FROM daily
@@ -1505,6 +1512,80 @@ def q_carma_fit(spark, sf_dir):
     return carma_mle_per_series(ev, p=1, q=0, n_starts=6)
 
 
+
+
+def q_zdcf(spark, sf_dir):
+    """Alexander ZDCF between two event-type series: equal-population
+    bins, Fisher-z errors, seeded MC (reference: src/correlation/zdcf.rs;
+    seed pinned per SURVEY.md trap #3) — rows-only."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import zdcf as k_zdcf
+
+    ev = _events(spark, sf_dir).filter(
+        F.col("event_type").isin("click", "view")
+    ).select(
+        "event_type",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
+        F.col("value").alias("v"),
+    ).withColumn("g", F.lit(1))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        a = pdf[pdf["event_type"] == "click"].sort_values("t")
+        b = pdf[pdf["event_type"] == "view"].sort_values("t")
+        # bound the n1*n2 pair enumeration for the demo
+        a, b = a.head(400), b.head(400)
+        e1 = np.full(len(a), 0.5)
+        e2 = np.full(len(b), 0.5)
+        out = k_zdcf.zdcf(
+            a["t"].to_numpy(), a["v"].to_numpy(), e1,
+            b["t"].to_numpy(), b["v"].to_numpy(), e2,
+            min_points=11, num_mc=30, seed=42,
+        )
+        return pd.DataFrame(
+            {
+                "lag_hours": out["lags"],
+                "correlation": out["correlations"],
+                "error": out["errors"],
+                "n_per_bin": out["n_per_bin"],
+            }
+        )
+
+    return ev.groupBy("g").applyInPandas(
+        fn,
+        schema="lag_hours double, correlation double, error double, n_per_bin long",
+    )
+
+
+def q_carma_order(spark, sf_dir):
+    """Distributed CARMA order selection: (series x p x q) AICc grid +
+    per-series argmin (reference: src/carma/selection.rs:24-95) —
+    rows-only."""
+    from chronoxtract_spark.operators.carma import (
+        best_order_per_series,
+        carma_order_grid,
+    )
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 6).select(
+        F.col("user_id").cast("string").alias("series_id"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
+        F.col("value").alias("v"),
+        F.lit(0.5).alias("e"),
+    )
+    grid = carma_order_grid(ev, max_p=2, max_q=1, n_starts=3)
+    return best_order_per_series(grid)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-space near-duplicate pairs, cosine >= 0.5 — rows-only
+    (brute-force path; LSH variant covered by lsh_ann)."""
+    from chronoxtract_spark.operators.similarity import embedding_near_duplicates
+
+    return embedding_near_duplicates(_embeddings(spark, sf_dir), threshold=0.5)
+
+
 _EXTRA_QUERIES = {
     "higher_moments": q_higher_moments,
     "variability_features": q_variability_features,
@@ -1517,6 +1598,9 @@ _EXTRA_QUERIES = {
     "lomb_scargle": q_lomb_scargle,
     "matrix_profiles": q_matrix_profiles,
     "carma_fit": q_carma_fit,
+    "zdcf": q_zdcf,
+    "carma_order": q_carma_order,
+    "embedding_near_dups": q_embedding_near_dups,
 }
 
 _EXTRA_ORACLES = {
