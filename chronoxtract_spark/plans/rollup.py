@@ -121,14 +121,24 @@ class RollupEngine:
     # -- tier builders --------------------------------------------------------
 
     def build_observed(self, transcripts: DataFrame) -> DataFrame:
-        """transcripts → per-(conv, minute) turn counts (pre-gap-fill)."""
+        """transcripts → per-(conv, minute) turn counts (pre-gap-fill).
+
+        Mega-thread skew: the aggregation key includes the minute bucket,
+        so a 10M-turn conversation spreads over its minutes, and Spark's
+        partial (map-side) aggregation collapses even a single hot
+        (conv, minute) cell before the shuffle — a count is algebraic, so
+        no value-salting is needed on this path. ``salts`` > 0 adds an
+        explicit pre-aggregation salted repartition for inputs whose
+        *file layout* clusters one conversation into one input split
+        (the north rule's salting clause); AQE skew-join splitting
+        (session default) covers the join-side case.
+        """
         df = transcripts
         if self.salts:
-            # pre-split hot conversations before the minute aggregation;
-            # the salt folds back in at the minute groupBy (keys include
-            # the minute so the salt only widens the partial-agg fanout)
-            df = df.withColumn(
-                "_salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(self.salts))
+            df = df.repartition(
+                max(df.sparkSession.sparkContext.defaultParallelism * 2, 16),
+                F.col("conv_id"),
+                F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(self.salts)),
             )
         return turn_rate_1m(df)
 
