@@ -14,6 +14,13 @@ the 6th decimal numerically meaningless across summation orders.
 
 from __future__ import annotations
 
+import os
+import sys
+
+# the engine package lives next to this file; driver harnesses may
+# import this module from a different working directory
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1287,6 +1294,7 @@ def q_stl_oracle(spark, sf_dir):
     s = s.withColumn(
         "remainder", F.col("v") - F.col("trend") - F.col("seasonal")
     )
+    s = s.withColumn("phase", F.col("phase").cast("long"))
     return s.groupBy("phase").agg(
         F.round(F.avg("trend"), 6).alias("avg_trend"),
         F.round(F.first("seasonal"), 6).alias("seasonal"),

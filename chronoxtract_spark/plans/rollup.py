@@ -467,7 +467,13 @@ class RollupEngine:
     def apply_retention(self, policy: dict[str, str]) -> dict[str, list[str]]:
         """Partition-level retention deletes: drop day partitions older
         than each tier's cutoff (``policy = {"rollup_1m": "2026-01-15"}``)
-        and record the expiry in lineage."""
+        and record the expiry in lineage.
+
+        Interplay with resume: the original commit lineage rows remain,
+        so a re-run against the same source snapshot SKIPS expired
+        partitions rather than rebuilding them — retention wins over
+        resume by design (rebuild intentionally requires a new
+        source_snapshot)."""
         dropped: dict[str, list[str]] = {}
         for tier, cutoff in policy.items():
             days = [
