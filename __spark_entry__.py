@@ -1594,6 +1594,98 @@ def q_embedding_near_dups(spark, sf_dir):
     return embedding_near_duplicates(_embeddings(spark, sf_dir), threshold=0.5)
 
 
+
+
+def q_seasonality_acf(spark, sf_dir):
+    """Normalized autocorrelation at lags 1..5 per event_type + the
+    detect_seasonality thresholding (reference:
+    src/seasonality/mod.rs:232-265): acf_k = sum((x_i-mu)(x_{i+k}-mu))
+    / sum((x_i-mu)^2) over the (ts, event_id)-ordered series."""
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    wg = W.partitionBy("event_type")
+    wo = wg.orderBy("ts", "event_id")
+    d = ev.withColumn("c", F.col("value") - F.avg("value").over(wg))
+    rows = None
+    for k in (1, 2, 3, 4, 5):
+        dk = d.withColumn("ck", F.lead("c", k).over(wo))
+        r = dk.groupBy("event_type").agg(
+            F.lit(k).cast("long").alias("lag"),
+            F.round(
+                F.sum(F.when(F.col("ck").isNotNull(), F.col("c") * F.col("ck")).otherwise(0.0))
+                / F.sum(F.col("c") * F.col("c")),
+                6,
+            ).alias("acf"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.withColumn("seasonal_at_03", F.abs(F.col("acf")) > 0.3)
+
+
+SQL_SEASONALITY_ACF = """
+WITH c AS (
+  SELECT event_type, ts, event_id,
+         value - avg(value) OVER (PARTITION BY event_type) AS c
+  FROM events
+), lagged AS (
+  SELECT event_type, c, k.lag,
+         lead(c, k.lag) OVER (PARTITION BY event_type, k.lag
+                              ORDER BY ts, event_id) AS ck
+  FROM c CROSS JOIN (SELECT unnest([1,2,3,4,5]) AS lag) k
+)
+SELECT event_type, lag::BIGINT AS lag,
+       round(sum(CASE WHEN ck IS NOT NULL THEN c * ck ELSE 0 END)
+             / sum(c * c), 6) AS acf,
+       abs(sum(CASE WHEN ck IS NOT NULL THEN c * ck ELSE 0 END)
+           / sum(c * c)) > 0.3 AS seasonal_at_03
+FROM lagged GROUP BY event_type, lag
+"""
+
+
+def q_strict_peaks(spark, sf_dir):
+    """Strict local maxima per event_type series (the candidate set of
+    enhanced_peak_stats, reference: src/shape/mod.rs:268-276): count,
+    max peak value, mean spacing."""
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+    wo = W.partitionBy("event_type").orderBy("ts", "event_id")
+    d = (
+        ev.withColumn("prev", F.lag("value").over(wo))
+        .withColumn("next", F.lead("value").over(wo))
+        .withColumn("i", F.row_number().over(wo))
+    )
+    is_peak = (
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (F.col("value") > F.col("prev"))
+        & (F.col("value") > F.col("next"))
+    )
+    peaks = d.filter(is_peak).withColumn(
+        "gap", F.col("i") - F.lag("i").over(wo)
+    )
+    return peaks.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_peaks"),
+        F.round(F.max("value"), 6).alias("max_peak"),
+        F.round(F.avg("gap"), 6).alias("mean_spacing"),
+    )
+
+
+SQL_STRICT_PEAKS = """
+WITH d AS (
+  SELECT event_type, value,
+         lag(value) OVER w AS prev, lead(value) OVER w AS next,
+         row_number() OVER w AS i
+  FROM events WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+), p AS (
+  SELECT event_type, value, i,
+         i - lag(i) OVER (PARTITION BY event_type ORDER BY i) AS gap
+  FROM d
+  WHERE prev IS NOT NULL AND next IS NOT NULL AND value > prev AND value > next
+)
+SELECT event_type, count(*)::BIGINT AS n_peaks,
+       round(max(value), 6) AS max_peak,
+       round(avg(gap), 6) AS mean_spacing
+FROM p GROUP BY event_type
+"""
+
+
 _EXTRA_QUERIES = {
     "higher_moments": q_higher_moments,
     "variability_features": q_variability_features,
@@ -1609,6 +1701,8 @@ _EXTRA_QUERIES = {
     "zdcf": q_zdcf,
     "carma_order": q_carma_order,
     "embedding_near_dups": q_embedding_near_dups,
+    "seasonality_acf": q_seasonality_acf,
+    "strict_peaks": q_strict_peaks,
 }
 
 _EXTRA_ORACLES = {
@@ -1619,6 +1713,8 @@ _EXTRA_ORACLES = {
     "rolling_fvar": SQL_ROLLING_FVAR,
     "stl_oracle": SQL_STL_ORACLE,
     "hierarchical_moments": SQL_HIERARCHICAL_MOMENTS,
+    "seasonality_acf": SQL_SEASONALITY_ACF,
+    "strict_peaks": SQL_STRICT_PEAKS,
 }
 
 _BASE_QUERIES = queries
