@@ -669,36 +669,44 @@ GROUP BY n_name
 
 
 def q_dedup_exact(spark, sf_dir):
-    """Byte-identical document groups (hash-groupBy dedup)."""
+    """Hash-groupBy dedup on the first-128-char head fingerprint — the
+    key that actually collides on this corpus (full texts are all
+    distinct at every sf, which would make the check vacuous)."""
     from chronoxtract_spark.operators.dedup import exact_duplicates
 
-    return exact_duplicates(_documents(spark, sf_dir)).select(
+    return exact_duplicates(_documents(spark, sf_dir), key="prefix").select(
         "text_hash", "n_docs"
     )
 
 
 SQL_DEDUP_EXACT = """
-SELECT md5(text) AS text_hash, count(*)::BIGINT AS n_docs
-FROM documents GROUP BY md5(text) HAVING count(*) > 1
+SELECT md5(substr(text, 1, 128)) AS text_hash, count(*)::BIGINT AS n_docs
+FROM documents GROUP BY 1 HAVING count(*) > 1
 """
 
 
 def q_ngram_jaccard(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs >= 0.25 via the
-    inverted shingle index (explode + equi-join, no cross join)."""
+    inverted shingle index (explode + equi-join, no cross join).
+    ``max_shingle_df`` drops boilerplate shingles before the self-join —
+    without it one hot shingle across 1M docs is a 10^12-pair bucket."""
     from chronoxtract_spark.operators.dedup import ngram_jaccard_pairs
 
     return ngram_jaccard_pairs(
-        _documents(spark, sf_dir), "doc_id", "text", n=3, threshold=0.25
+        _documents(spark, sf_dir), "doc_id", "text", n=3, threshold=0.25,
+        max_shingle_df=100,
     )
 
 
 SQL_NGRAM_JACCARD = """
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
-), sh AS (
+), sh0 AS (
   SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), sh AS (
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
 ), sizes AS (
   SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
 ), inter AS (
@@ -817,9 +825,7 @@ def q_kernel_features(spark, sf_dir):
     return kernel_features(ev, ["event_type", "day"], ["ts", "event_id"], "value")
 
 
-def q_rollup_tiers(spark, sf_dir):
-    """North-rule rollup demo: events-as-transcripts → gap-filled 1m
-    base → 1h moment/feature tier (plans.rollup)."""
+def _rollup_1h_tier(spark, sf_dir):
     from chronoxtract_spark.plans.rollup import RollupEngine
     from chronoxtract_spark.sources.tableio import temp_warehouse
 
@@ -834,6 +840,105 @@ def q_rollup_tiers(spark, sf_dir):
     eng = RollupEngine(spark, temp_warehouse(spark), kernel_features=False, compress=False)
     base = eng.build_base_series(ev)
     return eng.build_rollup_1h(base)
+
+
+def q_rollup_tiers(spark, sf_dir):
+    """North-rule flagship: events-as-transcripts → gap-filled 1m base →
+    1h tier (plans.rollup). The driver surface is the tier's mergeable
+    moment state + derived moments (reference semantics:
+    src/stats/mod.rs:25-79 distributed); the approx-quantile sketch
+    columns live in the rows-only sibling ``rollup_quantiles``.
+    Skew/kurt are quantized with the epsilon-biased integer-unit trick
+    (see q_hierarchical_moments) and gated on quantized variance > 0 so
+    constant gap-fill spans can't amplify ulp noise."""
+    tier = _rollup_1h_tier(spark, sf_dir)
+    var_q = F.floor(F.col("variance") * 1e4 + 0.5 + 1e-6).cast("long")
+    return tier.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("hour_ts").cast("long").alias("hour_epoch"),
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("mean"), 6).alias("mean"),
+        var_q.alias("variance_e4"),
+        F.when(
+            var_q > 0,
+            F.floor(F.col("skewness") * 1e4 + 0.5 + 1e-6).cast("long"),
+        ).alias("skewness_e4"),
+        F.when(
+            var_q > 0,
+            F.floor(F.col("kurtosis") * 1e4 + 0.5 + 1e-6).cast("long"),
+        ).alias("kurtosis_e4"),
+        F.round(F.col("min"), 6).alias("min_rate"),
+        F.round(F.col("max"), 6).alias("max_rate"),
+        F.round(F.col("sum"), 4).alias("sum_rate"),
+        F.round(F.col("absolute_energy"), 4).alias("energy"),
+    )
+
+
+SQL_ROLLUP_TIERS = """
+WITH m AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute_ts, count(*) AS turns
+  FROM events GROUP BY 1, 2
+), seg AS (
+  SELECT user_id, minute_ts, turns::DOUBLE AS pv,
+         lead(minute_ts) OVER w AS next_ts,
+         lead(turns::DOUBLE) OVER w AS nv
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY minute_ts)
+), dense AS (
+  SELECT user_id, pv, nv,
+         epoch(minute_ts)::BIGINT AS t0,
+         epoch(coalesce(next_ts, minute_ts))::BIGINT AS t1,
+         unnest(generate_series(
+           epoch(minute_ts)::BIGINT,
+           epoch(coalesce(next_ts - INTERVAL 1 MINUTE, minute_ts))::BIGINT,
+           60)) AS tsec
+  FROM seg
+), rates AS (
+  SELECT user_id, tsec,
+         CASE WHEN tsec = t0 THEN pv
+              ELSE pv + (nv - pv) * ((tsec - t0)::DOUBLE / (t1 - t0)) END AS rate
+  FROM dense
+), hourly AS (
+  SELECT user_id, (tsec // 3600) * 3600 AS hour_epoch,
+         count(*) AS n, sum(rate) AS s1, sum(rate*rate) AS s2,
+         sum(rate*rate*rate) AS s3, sum(rate*rate*rate*rate) AS s4,
+         min(rate) AS mn, max(rate) AS mx
+  FROM rates GROUP BY 1, 2
+)
+SELECT user_id, hour_epoch::BIGINT AS hour_epoch, n::BIGINT AS n,
+       round(s1 / n, 6) AS mean,
+       floor((s2/n - (s1/n)*(s1/n)) * 1e4 + 0.5 + 1e-6)::BIGINT AS variance_e4,
+       CASE WHEN floor((s2/n - (s1/n)*(s1/n)) * 1e4 + 0.5 + 1e-6) > 0 THEN
+         floor(((s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+                / pow(s2/n - (s1/n)*(s1/n), 1.5)) * 1e4 + 0.5 + 1e-6)::BIGINT
+       END AS skewness_e4,
+       CASE WHEN floor((s2/n - (s1/n)*(s1/n)) * 1e4 + 0.5 + 1e-6) > 0 THEN
+         floor(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                 - 3*pow(s1/n, 4))
+                / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0)
+               * 1e4 + 0.5 + 1e-6)::BIGINT
+       END AS kurtosis_e4,
+       round(mn, 6) AS min_rate,
+       round(mx, 6) AS max_rate,
+       round(s1, 4) AS sum_rate,
+       round(s2, 4) AS energy
+FROM hourly
+"""
+
+
+def q_rollup_quantiles(spark, sf_dir):
+    """Rows-only sibling of ``rollup_tiers``: the tier's window-quantile
+    scalars (median + q05/25/75/95 from the per-window
+    percentile_approx sketch, accuracy sized to <=1440-point windows)."""
+    tier = _rollup_1h_tier(spark, sf_dir)
+    return tier.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.unix_timestamp("hour_ts").cast("long").alias("hour_epoch"),
+        F.round("q05", 6).alias("q05"),
+        F.round("q25", 6).alias("q25"),
+        F.round("median", 6).alias("median"),
+        F.round("q75", 6).alias("q75"),
+        F.round("q95", 6).alias("q95"),
+    )
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -1517,7 +1622,165 @@ def q_carma_fit(spark, sf_dir):
         F.col("value").alias("v"),
         F.lit(0.5).alias("e"),
     )
-    return carma_mle_per_series(ev, p=1, q=0, n_starts=6)
+    fit = carma_mle_per_series(ev, p=1, q=0, n_starts=6)
+    # scalarize the coefficient arrays for the driver surface (the
+    # canonicalizer can't sort array columns)
+    return fit.select(
+        "series_id",
+        "p",
+        "q",
+        "loglikelihood",
+        "aic",
+        "aicc",
+        "bic",
+        "sigma",
+        F.get("ar_coeffs", 0).alias("ar1"),
+        F.get("ma_coeffs", 0).alias("ma0"),
+        "converged",
+        "n_obs",
+    )
+
+
+def q_carma_loglik(spark, sf_dir):
+    """CARMA(1,0) Kalman loglikelihood at fixed params per user series —
+    oracle-exact: with (near-)zero measurement error the OU filter
+    collapses to its closed form pred_i = v_{i-1} e^{-a dt},
+    ivar_i = b0^2 sigma^2 (1 - e^{-2 a dt}) / (4 a^2), which DuckDB
+    computes with one lag() window (reference recursion:
+    src/carma/kalman.rs:261-331; per-point term
+    -0.5 (innov^2/ivar + ln ivar + 2 ln pi))."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import carma as k_carma
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 40)
+        .groupBy(
+            F.col("user_id").cast("long").alias("series_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("t", kind="mergesort")
+        t = pdf["t"].to_numpy(np.float64)
+        v = pdf["v"].to_numpy(np.float64)
+        e = np.full(t.size, 1e-9)
+        params = k_carma.CarmaParams(
+            p=1, q=0, ar_coeffs=np.array([0.5]), ma_coeffs=np.array([1.0]),
+            sigma=1.0,
+        )
+        try:
+            ll = k_carma.kalman_loglikelihood(params, t, v, e)
+        except k_carma.CarmaError:
+            ll = float("nan")
+        return pd.DataFrame(
+            [
+                {
+                    "series_id": int(pdf["series_id"].iloc[0]),
+                    "n_obs": int(t.size),
+                    "loglik": ll,
+                }
+            ]
+        )
+
+    return (
+        ev.groupBy("series_id")
+        .applyInPandas(fn, schema="series_id long, n_obs long, loglik double")
+        .select("series_id", "n_obs", F.round("loglik", 4).alias("loglik"))
+    )
+
+
+SQL_CARMA_LOGLIK = """
+WITH s AS (
+  SELECT user_id AS series_id,
+         epoch_us(ts)::BIGINT / 1000000.0 / 3600.0 AS t,
+         avg(value) AS v
+  FROM events WHERE user_id < 40 GROUP BY 1, 2
+), lagged AS (
+  SELECT series_id, t, v,
+         lag(t) OVER w AS pt, lag(v) OVER w AS pv
+  FROM s WINDOW w AS (PARTITION BY series_id ORDER BY t)
+), terms AS (
+  SELECT series_id,
+         CASE WHEN pt IS NULL THEN v
+              ELSE v - pv * exp(-0.5 * (t - pt)) END AS innov,
+         CASE WHEN pt IS NULL THEN 1.0 / (4 * 0.25)
+              ELSE (1 - exp(-2 * 0.5 * (t - pt))) / (4 * 0.25) END
+           + 1e-18 AS ivar
+  FROM lagged
+)
+SELECT series_id, count(*)::BIGINT AS n_obs,
+       round(sum(-0.5 * (innov*innov/ivar + ln(ivar) + 2*ln(pi()))), 4)
+         AS loglik
+FROM terms GROUP BY series_id
+"""
+
+
+def q_carma_mcmc(spark, sf_dir):
+    """Seeded parallel-tempering CARMA(1,0) MCMC per user series
+    (reference: src/carma/mcmc.rs:387-501) — rows-only; emits posterior
+    medians plus R-hat / ESS convergence diagnostics."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import carma as k_carma
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 5)
+        .groupBy(
+            F.col("user_id").cast("long").alias("series_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("t", kind="mergesort")
+        t = pdf["t"].to_numpy(np.float64)
+        v = pdf["v"].to_numpy(np.float64)
+        e = np.full(t.size, 0.5)
+        sid = int(pdf["series_id"].iloc[0])
+        try:
+            out = k_carma.carma_mcmc(
+                t, v, e, p=1, q=0, n_samples=250, n_burn=150, seed=42
+            )
+            samples = out["samples"]
+            med = np.median(samples, axis=0)
+            row = {
+                "series_id": sid,
+                "n_obs": int(t.size),
+                "ar1_med": float(med[0]),
+                # sample vectors carry log(sigma); exp of the median is
+                # the median of sigma (monotone map)
+                "sigma_med": float(np.exp(med[-1])),
+                "accept_rate": float(out["acceptance_rate"]),
+                "max_rhat": float(np.max(out["rhat"])),
+                "min_ess": float(np.min(out["ess"])),
+            }
+        except (k_carma.CarmaError, ValueError):
+            row = {
+                "series_id": sid,
+                "n_obs": int(t.size),
+                "ar1_med": float("nan"),
+                "sigma_med": float("nan"),
+                "accept_rate": float("nan"),
+                "max_rhat": float("nan"),
+                "min_ess": float("nan"),
+            }
+        return pd.DataFrame([row])
+
+    return ev.groupBy("series_id").applyInPandas(
+        fn,
+        schema="series_id long, n_obs long, ar1_med double, sigma_med double, "
+        "accept_rate double, max_rhat double, min_ess double",
+    )
 
 
 
@@ -1703,6 +1966,9 @@ _EXTRA_QUERIES = {
     "embedding_near_dups": q_embedding_near_dups,
     "seasonality_acf": q_seasonality_acf,
     "strict_peaks": q_strict_peaks,
+    "rollup_quantiles": q_rollup_quantiles,
+    "carma_loglik": q_carma_loglik,
+    "carma_mcmc": q_carma_mcmc,
 }
 
 _EXTRA_ORACLES = {
@@ -1715,6 +1981,8 @@ _EXTRA_ORACLES = {
     "hierarchical_moments": SQL_HIERARCHICAL_MOMENTS,
     "seasonality_acf": SQL_SEASONALITY_ACF,
     "strict_peaks": SQL_STRICT_PEAKS,
+    "rollup_tiers": SQL_ROLLUP_TIERS,
+    "carma_loglik": SQL_CARMA_LOGLIK,
 }
 
 _BASE_QUERIES = queries

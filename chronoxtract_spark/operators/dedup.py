@@ -29,11 +29,31 @@ from pyspark.sql import functions as F
 
 
 def exact_duplicates(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    key: str = "exact",
+    prefix_len: int = 128,
 ) -> DataFrame:
-    """Groups of byte-identical documents: (text_hash, n_docs, doc_ids)."""
+    """Groups of duplicate documents: (text_hash, n_docs, doc_ids).
+
+    ``key`` picks the dedup fingerprint:
+    - ``exact``      — md5 of the full text (byte-identical dups)
+    - ``normalized`` — md5 of lowercased, whitespace-collapsed text
+    - ``prefix``     — md5 of the first ``prefix_len`` chars (the cheap
+      head-fingerprint used to catch template/boilerplate families)
+    All variants are one digest projection + one hash-partitioned
+    groupBy with map-side partial aggregation.
+    """
+    text = F.col(text_col)
+    if key == "normalized":
+        text = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    elif key == "prefix":
+        text = F.substring(text, 1, prefix_len)
+    elif key != "exact":
+        raise ValueError(f"unknown dedup key: {key}")
     return (
-        df.select(F.md5(F.col(text_col)).alias("text_hash"), F.col(id_col))
+        df.select(F.md5(text).alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
