@@ -809,10 +809,11 @@ FROM r WHERE rank <= 3
 
 def q_kernel_features(spark, sf_dir):
     """Whole-series kernel feature vector (entropy family, Welch
-    spectral block, Hjorth, peaks, DFA) per (event_type, day) window
-    via applyInPandas (SURVEY.md §2.8). Day-bounded windows keep the
-    O(n^2) entropy kernels constant-cost per group — the same bound the
-    rollup tiers guarantee (<=1440 points per window)."""
+    spectral block, Hjorth, peaks, DFA) per (event_type, day,
+    position-window) via applyInPandas (SURVEY.md §2.8).
+    ``max_points=1440`` splits each day group into bounded position
+    windows so the O(n^2) entropy kernels stay constant-cost per task
+    at any event rate — the same bound the rollup tiers guarantee."""
     from chronoxtract_spark.operators.features import kernel_features
 
     ev = _events(spark, sf_dir).select(
@@ -822,7 +823,9 @@ def q_kernel_features(spark, sf_dir):
         "event_id",
         "value",
     )
-    return kernel_features(ev, ["event_type", "day"], ["ts", "event_id"], "value")
+    return kernel_features(
+        ev, ["event_type", "day"], ["ts", "event_id"], "value", max_points=1440
+    )
 
 
 def _rollup_1h_tier(spark, sf_dir):
@@ -1576,8 +1579,11 @@ def q_lomb_scargle(spark, sf_dir):
 
 
 def q_matrix_profiles(spark, sf_dir):
-    """Hankel / GASF / MTF long-form matrices of each event_type's first
-    32 values (reference: src/matrices/mod.rs) — rows-only."""
+    """GASF / MTF long-form matrices of each event_type's first 32
+    values (reference: src/matrices/mod.rs:122-269) — oracle-exact:
+    both fields are deterministic element-wise IEEE math (min-max
+    normalize, clip, outer products; equal-width-bin transition lookup),
+    so DuckDB reproduces them bit-for-bit before rounding."""
     import pandas as pd
 
     from chronoxtract_spark.kernel import matrices as k_mat
@@ -1591,24 +1597,124 @@ def q_matrix_profiles(spark, sf_dir):
         x = pdf["value"].to_numpy(np.float64)
         g = k_mat.gramian_angular_summation_field(x)
         mtf = k_mat.markov_transition_field(x, 4)
-        rows = []
-        et = pdf["event_type"].iloc[0]
-        for i in range(x.size):
-            for j in range(x.size):
-                rows.append(
-                    {
-                        "event_type": et,
-                        "i": i,
-                        "j": j,
-                        "gasf": g[i, j],
-                        "mtf": mtf[i, j],
-                    }
-                )
-        return pd.DataFrame(rows)
+        ii, jj = np.meshgrid(np.arange(x.size), np.arange(x.size), indexing="ij")
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "i": ii.ravel().astype(np.int32),
+                "j": jj.ravel().astype(np.int32),
+                "gasf": g.ravel(),
+                "mtf": mtf.ravel(),
+            }
+        )
 
-    return ev.groupBy("event_type").applyInPandas(
+    out = ev.groupBy("event_type").applyInPandas(
         fn, schema="event_type string, i int, j int, gasf double, mtf double"
     )
+    return out.select(
+        "event_type",
+        "i",
+        "j",
+        F.round("gasf", 6).alias("gasf"),
+        F.round("mtf", 6).alias("mtf"),
+    )
+
+
+SQL_MATRIX_PROFILES = """
+WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           - 1 AS rn
+  FROM events QUALIFY rn < 32
+), mm AS (
+  SELECT event_type, min(value) AS mn, max(value) AS mx FROM s GROUP BY 1
+), norm AS (
+  SELECT s.event_type, s.rn,
+    CASE WHEN abs(mx - mn) <= 1e-12 * greatest(abs(mn), abs(mx), 1.0)
+         THEN 0.0
+         ELSE least(greatest(2.0 * (value - mn) / (mx - mn) - 1.0, -1.0), 1.0)
+    END AS nv,
+    CASE WHEN abs(mx - mn) <= 1e-12 * greatest(abs(mn), abs(mx), 1.0)
+         THEN 0
+         ELSE least(floor(least(greatest((value - mn) / (mx - mn), 0.0), 1.0)
+                          * 4)::BIGINT, 3)
+    END AS bin
+  FROM s JOIN mm USING (event_type)
+), trans AS (
+  SELECT event_type, bin AS b1,
+         lead(bin) OVER (PARTITION BY event_type ORDER BY rn) AS b2
+  FROM norm
+), tc AS (
+  SELECT event_type, b1, b2, count(*)::DOUBLE AS c
+  FROM trans WHERE b2 IS NOT NULL GROUP BY 1, 2, 3
+), rowsum AS (
+  SELECT event_type, b1, sum(c) AS sc FROM tc GROUP BY 1, 2
+), p AS (
+  SELECT tc.event_type, tc.b1, tc.b2, tc.c / rowsum.sc AS pr
+  FROM tc JOIN rowsum USING (event_type, b1)
+)
+SELECT a.event_type, a.rn::INT AS i, b.rn::INT AS j,
+       round(a.nv * b.nv
+             - sqrt(greatest(1 - a.nv * a.nv, 0.0))
+               * sqrt(greatest(1 - b.nv * b.nv, 0.0)), 6) AS gasf,
+       round(coalesce(p.pr, 0.0), 6) AS mtf
+FROM norm a
+JOIN norm b USING (event_type)
+LEFT JOIN p ON p.event_type = a.event_type
+           AND p.b1 = a.bin AND p.b2 = b.bin
+"""
+
+
+def q_hankel(spark, sf_dir):
+    """Time-delay (Hankel) embedding H[i,j] = x[i+j], window 8, of each
+    event_type's first 32 values (reference: src/matrices/mod.rs:52-97)
+    — oracle-exact (entries are raw copies of the series)."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import matrices as k_mat
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").head(32)
+        x = pdf["value"].to_numpy(np.float64)
+        h = k_mat.time_delay_embedding(x, 8)
+        ii, jj = np.meshgrid(
+            np.arange(h.shape[0]), np.arange(h.shape[1]), indexing="ij"
+        )
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "i": ii.ravel().astype(np.int32),
+                "j": jj.ravel().astype(np.int32),
+                "h": h.ravel(),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        fn, schema="event_type string, i int, j int, h double"
+    )
+
+
+SQL_HANKEL = """
+WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           - 1 AS rn
+  FROM events QUALIFY rn < 32
+), dims AS (
+  SELECT event_type, count(*)::BIGINT AS n FROM s GROUP BY 1
+), grid AS (
+  SELECT d.event_type, i.i, j.j
+  FROM dims d,
+       unnest(generate_series(0, d.n - 8)) AS i(i),
+       unnest(generate_series(0, 7)) AS j(j)
+)
+SELECT g.event_type, g.i::INT AS i, g.j::INT AS j, s.value AS h
+FROM grid g JOIN s ON s.event_type = g.event_type AND s.rn = g.i + g.j
+"""
 
 
 def q_carma_fit(spark, sf_dir):
@@ -1850,11 +1956,15 @@ def q_carma_order(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-space near-duplicate pairs, cosine >= 0.5 — rows-only
-    (brute-force path; LSH variant covered by lsh_ann)."""
+    """Embedding-space near-duplicate pairs, cosine >= 0.5, via
+    hyperplane-LSH buckets + exact cosine verify (no cross join; the
+    plan shape is asserted in tests/test_plan_shapes.py). Few planes +
+    many tables because 0.5 is a low threshold (wide angle)."""
     from chronoxtract_spark.operators.similarity import embedding_near_duplicates
 
-    return embedding_near_duplicates(_embeddings(spark, sf_dir), threshold=0.5)
+    return embedding_near_duplicates(
+        _embeddings(spark, sf_dir), threshold=0.5, n_planes=4, n_tables=16
+    )
 
 
 
@@ -1868,19 +1978,28 @@ def q_seasonality_acf(spark, sf_dir):
     wg = W.partitionBy("event_type")
     wo = wg.orderBy("ts", "event_id")
     d = ev.withColumn("c", F.col("value") - F.avg("value").over(wg))
-    rows = None
+    # all 5 leads share one window spec -> ONE window pass; posexplode
+    # fans the lags out so a single groupBy aggregates every lag
+    # (each row contributes its c^2 once per lag, so the denominator is
+    # unchanged)
     for k in (1, 2, 3, 4, 5):
-        dk = d.withColumn("ck", F.lead("c", k).over(wo))
-        r = dk.groupBy("event_type").agg(
-            F.lit(k).cast("long").alias("lag"),
-            F.round(
-                F.sum(F.when(F.col("ck").isNotNull(), F.col("c") * F.col("ck")).otherwise(0.0))
-                / F.sum(F.col("c") * F.col("c")),
-                6,
-            ).alias("acf"),
+        d = d.withColumn(f"_ck{k}", F.lead("c", k).over(wo))
+    leads = F.array(*[F.col(f"_ck{k}") for k in (1, 2, 3, 4, 5)])
+    e = d.select(
+        "event_type", "c", F.posexplode(leads).alias("lag0", "ck")
+    )
+    acf = F.round(
+        F.sum(
+            F.when(F.col("ck").isNotNull(), F.col("c") * F.col("ck")).otherwise(0.0)
         )
-        rows = r if rows is None else rows.unionByName(r)
-    return rows.withColumn("seasonal_at_03", F.abs(F.col("acf")) > 0.3)
+        / F.sum(F.col("c") * F.col("c")),
+        6,
+    )
+    return (
+        e.groupBy("event_type", (F.col("lag0") + 1).cast("long").alias("lag"))
+        .agg(acf.alias("acf"))
+        .withColumn("seasonal_at_03", F.abs(F.col("acf")) > 0.3)
+    )
 
 
 SQL_SEASONALITY_ACF = """
@@ -1949,6 +2068,253 @@ FROM p GROUP BY event_type
 """
 
 
+def q_seasonal_strength(spark, sf_dir):
+    """Seasonal / trend strength from the STL variance ratios per
+    event_type minute-count series, period 60 (reference:
+    src/seasonality/mod.rs:148-170) — oracle-exact: the decomposition
+    is the same SQL as stl_oracle, the strengths are var_pop ratios."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import seasonality as k_seas
+
+    s = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("minute", "ts").alias("m")
+        )
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("m", kind="mergesort")
+        x = pdf["v"].to_numpy(np.float64)
+        try:
+            ss, ts_ = k_seas.seasonal_trend_strength(x, 60)
+        except ValueError:
+            ss = ts_ = float("nan")
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n_minutes": int(x.size),
+                    "seasonal_strength": ss,
+                    "trend_strength": ts_,
+                }
+            ]
+        )
+
+    out = s.groupBy("event_type").applyInPandas(
+        fn,
+        schema="event_type string, n_minutes long, seasonal_strength double, "
+        "trend_strength double",
+    )
+    return out.select(
+        "event_type",
+        "n_minutes",
+        F.round("seasonal_strength", 6).alias("seasonal_strength"),
+        F.round("trend_strength", 6).alias("trend_strength"),
+    )
+
+
+SQL_SEASONAL_STRENGTH = """
+WITH s AS (
+  SELECT event_type, date_trunc('minute', ts) AS m, count(*)::DOUBLE AS v
+  FROM events GROUP BY 1, 2
+), t AS (
+  SELECT event_type, m, v,
+         avg(v) OVER (PARTITION BY event_type ORDER BY m
+                      ROWS BETWEEN 45 PRECEDING AND 45 FOLLOWING) AS trend,
+         (row_number() OVER (PARTITION BY event_type ORDER BY m) - 1) % 60
+           AS phase
+  FROM s
+), sea AS (
+  SELECT *, avg(v - trend) OVER (PARTITION BY event_type, phase) AS seasonal
+  FROM t
+), r AS (
+  SELECT event_type, seasonal, trend,
+         v - trend - seasonal AS remainder
+  FROM sea
+), vv AS (
+  SELECT event_type, count(*)::BIGINT AS n_minutes,
+         var_pop(remainder) AS var_rem,
+         var_pop(seasonal + remainder) AS var_sr,
+         var_pop(trend + remainder) AS var_tr
+  FROM r GROUP BY 1
+)
+SELECT event_type, n_minutes,
+       round(greatest(CASE WHEN var_sr > 0
+                      THEN 1.0 - greatest(var_rem / var_sr, 0.0)
+                      ELSE 0.0 END, 0.0), 6) AS seasonal_strength,
+       round(greatest(CASE WHEN var_tr > 0
+                      THEN 1.0 - greatest(var_rem / var_tr, 0.0)
+                      ELSE 0.0 END, 0.0), 6) AS trend_strength
+FROM vv
+"""
+
+
+def q_variability_statistics(spark, sf_dir):
+    """Tau-population statistics (min/max/mean/median/std-over-n/count
+    of adjacent-pair variability timescales) per user series
+    (reference: src/misc/var.rs:62-150) — oracle-exact: the pair scan
+    is one lag() window, the stats are plain aggregates."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import misc as k_misc
+
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6).alias("t"),
+        (F.abs(F.col("value")) + 1).alias("flux"),
+        F.lit(1.0).alias("err"),
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["t", "event_id"], kind="mergesort")
+        st = k_misc.variability_statistics(
+            pdf["t"].to_numpy(np.float64),
+            pdf["flux"].to_numpy(np.float64),
+            pdf["err"].to_numpy(np.float64),
+        )
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_tau": int(st["count"]),
+                    "tau_min": st["min"],
+                    "tau_max": st["max"],
+                    "tau_mean": st["mean"],
+                    "tau_median": st["median"],
+                    "tau_std": st["std_dev"],
+                }
+            ]
+        )
+
+    out = ev.groupBy("user_id").applyInPandas(
+        fn,
+        schema="user_id long, n_tau long, tau_min double, tau_max double, "
+        "tau_mean double, tau_median double, tau_std double",
+    )
+    return out.select(
+        "user_id",
+        "n_tau",
+        F.round("tau_min", 6).alias("tau_min"),
+        F.round("tau_max", 6).alias("tau_max"),
+        F.round("tau_mean", 6).alias("tau_mean"),
+        F.round("tau_median", 6).alias("tau_median"),
+        F.round("tau_std", 6).alias("tau_std"),
+    )
+
+
+SQL_VARIABILITY_STATISTICS = """
+WITH f AS (
+  SELECT user_id, event_id,
+         epoch_us(ts)::BIGINT / 1000000.0 AS t,
+         abs(value) + 1 AS flux
+  FROM events
+), p AS (
+  SELECT user_id,
+         t - lag(t) OVER w AS dt,
+         lag(flux) OVER w AS f1, flux AS f2
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), taus AS (
+  SELECT user_id, dt / abs(ln(f2 / f1)) AS tau
+  FROM p
+  WHERE dt > 0 AND f1 > 0 AND f2 > 0 AND ln(f2 / f1) != 0
+        AND abs(f2 - f1) >= sqrt(2.0)
+)
+SELECT f.user_id,
+       coalesce(t.n_tau, 0)::BIGINT AS n_tau,
+       t.tau_min, t.tau_max, t.tau_mean, t.tau_median, t.tau_std
+FROM (SELECT DISTINCT user_id FROM f) f
+LEFT JOIN (
+  SELECT user_id, count(*) AS n_tau,
+         round(min(tau), 6) AS tau_min,
+         round(max(tau), 6) AS tau_max,
+         round(avg(tau), 6) AS tau_mean,
+         round(median(tau), 6) AS tau_median,
+         round(stddev_pop(tau), 6) AS tau_std
+  FROM taus GROUP BY user_id
+) t USING (user_id)
+"""
+
+
+def q_peak_prominence(spark, sf_dir):
+    """Per-peak prominence over each event_type series: plateau-midpoint
+    peak finder + take-while contiguous-run base search (reference:
+    src/peaks/peak_func.rs:1-63) — rows-only (the outward walk is
+    sequential)."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import peaks as k_peaks
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        x = pdf["value"].to_numpy(np.float64)
+        peaks = k_peaks.find_peaks(x)
+        prom = k_peaks.peak_prominence(x, peaks)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "peak_pos": peaks.astype(np.int64),
+                "peak_value": x[peaks],
+                "prominence": prom,
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        fn,
+        schema="event_type string, peak_pos long, peak_value double, "
+        "prominence double",
+    )
+
+
+def q_peak_to_peak(spark, sf_dir):
+    """Consecutive-peak amplitude stats (max/mean/std) per event_type
+    series using the strict-peak finder at prominence 0.01 (reference:
+    src/shape/mod.rs:354-390) — rows-only."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import shape as k_shape
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        x = pdf["value"].to_numpy(np.float64)
+        try:
+            mx, mean, std = k_shape.peak_to_peak_amplitude(x)
+        except ValueError:
+            mx = mean = std = float("nan")
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "max_p2p": mx,
+                    "mean_p2p": mean,
+                    "std_p2p": std,
+                }
+            ]
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        fn,
+        schema="event_type string, max_p2p double, mean_p2p double, "
+        "std_p2p double",
+    )
+
+
 _EXTRA_QUERIES = {
     "higher_moments": q_higher_moments,
     "variability_features": q_variability_features,
@@ -1969,6 +2335,11 @@ _EXTRA_QUERIES = {
     "rollup_quantiles": q_rollup_quantiles,
     "carma_loglik": q_carma_loglik,
     "carma_mcmc": q_carma_mcmc,
+    "hankel": q_hankel,
+    "seasonal_strength": q_seasonal_strength,
+    "variability_statistics": q_variability_statistics,
+    "peak_prominence": q_peak_prominence,
+    "peak_to_peak": q_peak_to_peak,
 }
 
 _EXTRA_ORACLES = {
@@ -1983,6 +2354,10 @@ _EXTRA_ORACLES = {
     "strict_peaks": SQL_STRICT_PEAKS,
     "rollup_tiers": SQL_ROLLUP_TIERS,
     "carma_loglik": SQL_CARMA_LOGLIK,
+    "matrix_profiles": SQL_MATRIX_PROFILES,
+    "hankel": SQL_HANKEL,
+    "seasonal_strength": SQL_SEASONAL_STRENGTH,
+    "variability_statistics": SQL_VARIABILITY_STATISTICS,
 }
 
 _BASE_QUERIES = queries

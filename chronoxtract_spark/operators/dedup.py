@@ -208,17 +208,48 @@ def minhash_lsh_pairs(
         .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .distinct()
     )
-    # exact verify on the candidate subset only
-    cand_docs = (
-        candidates.select(F.col("d1").alias("doc"))
-        .union(candidates.select("d2"))
-        .distinct()
+    # exact verify per candidate PAIR: shingle both sides of each pair
+    # and count the intersection with one equi-join keyed on
+    # (pair, shingle). Cost is O(sum of candidate-pair shingle sizes) —
+    # NOT the inverted-index self-join over the whole candidate-doc
+    # subset, which degenerates toward full-Jaccard cost when candidates
+    # are dense (e.g. a boilerplate-heavy corpus).
+    sh = word_shingles(
+        df.join(
+            candidates.select(F.col("d1").alias("doc"))
+            .union(candidates.select("d2"))
+            .distinct(),
+            df[id_col] == F.col("doc"),
+            "left_semi",
+        ),
+        id_col,
+        text_col,
+        n,
+    ).withColumnRenamed(id_col, "d")
+    sizes = sh.groupBy("d").agg(F.count("*").alias("n_sh"))
+    s1 = sh.select(F.col("d").alias("d1"), "shingle")
+    s2 = sh.select(F.col("d").alias("d2"), "shingle")
+    inter = (
+        candidates.join(s1, "d1")
+        .join(s2, ["d2", "shingle"])
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("inter"))
     )
-    subset = df.join(cand_docs, df[id_col] == cand_docs["doc"], "left_semi")
-    verified = ngram_jaccard_pairs(
-        subset, id_col, text_col, n, threshold=verify_threshold
+    verified = (
+        inter.join(
+            sizes.withColumnRenamed("d", "d1").withColumnRenamed("n_sh", "n1"), "d1"
+        )
+        .join(
+            sizes.withColumnRenamed("d", "d2").withColumnRenamed("n_sh", "n2"), "d2"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("n1") + F.col("n2") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= verify_threshold)
+        .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
-    return candidates.join(verified, ["d1", "d2"])
+    return verified
 
 
 def simhash_duplicates(

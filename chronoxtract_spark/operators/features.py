@@ -19,7 +19,7 @@ import math
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from chronoxtract_spark import functions as cxf
@@ -198,6 +198,7 @@ def kernel_features(
     group_cols: list[str],
     order_cols: list[str],
     value_col: str = "value",
+    max_points: int | None = None,
 ) -> DataFrame:
     """Per-group whole-series kernel feature row via applyInPandas.
 
@@ -205,16 +206,34 @@ def kernel_features(
     columns) so the grouped-map contract stays deterministic regardless
     of shuffle order — the reference requires stable (turn_idx, ts)
     ordering for every sequential algorithm (BASELINE.json:input_hint).
+
+    ``max_points`` bounds the cost of the O(n^2) entropy kernels at any
+    data rate: each group is split into consecutive position windows of
+    at most that many ordered points (row_number arithmetic, one window
+    pass) and one feature row is emitted per (group, window_idx). The
+    Arrow batch per task is then bounded too — without it a
+    (group, day)-keyed battery grows linearly with event rate and
+    SampEn/ApEn quadratically.
     """
     key_fields = ", ".join(
         f"{c} {t}" for c, t in zip(group_cols, _group_types(df, group_cols))
     )
     feat_fields = ", ".join(f"{c} {t}" for c, t in KERNEL_FEATURE_FIELDS)
-    schema = f"{key_fields}, {feat_fields}"
 
     order = list(order_cols)
     val = value_col
     gcols = list(group_cols)
+
+    if max_points is not None:
+        w = Window.partitionBy(*gcols).orderBy(*order)
+        df = df.withColumn(
+            "window_idx",
+            ((F.row_number().over(w) - F.lit(1)) / F.lit(max_points))
+            .cast("long"),
+        )
+        gcols = gcols + ["window_idx"]
+        key_fields += ", window_idx long"
+    schema = f"{key_fields}, {feat_fields}"
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort")

@@ -159,10 +159,61 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_planes: int = 4,
+    n_tables: int = 16,
+    dim: int = 64,
+    seed: int = 42,
 ) -> DataFrame:
-    """All pairs with cosine >= threshold (d1 < d2) — embedding-space
-    near-dup detection. Brute force here; route through lsh_topk
-    buckets at scale."""
+    """Pairs with cosine >= threshold (d1 < d2) — embedding-space
+    near-dup detection, LSH-bucketed (the 100 TB path).
+
+    Candidates come from equi-joins on random-hyperplane sign buckets
+    (one self-join per table, never a cross join); exact cosine then
+    verifies each candidate pair. Recall is probabilistic: a pair at
+    angle theta collides per table with (1 - theta/pi)^n_planes, so for
+    low thresholds use few planes + many tables. Shuffle volume is
+    O(n * n_tables) plus the candidate pairs themselves."""
+    u = with_unit_norm(df, vec_col).select(
+        F.col(id_col).alias("d"), F.col("_unit").alias("v")
+    )
+    n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    cand = None
+    for t in range(n_tables):
+        planes = _hyperplanes(dim, n_planes, seed + 101 * t)
+        bt = u.withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+        # pin fan-out parallelism before the quadratic-output self-join
+        # (AQE sees only the small bucketed input)
+        bt = bt.repartition(n_part, "bucket")
+        a, b = bt.alias("a"), bt.alias("b")
+        pairs = a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.d") < F.col("b.d")),
+        ).select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    # dedupe bare id-pairs first (small rows), then attach vectors once —
+    # shipping both vectors through every table's union would multiply
+    # shuffle bytes by n_tables
+    cand = cand.dropDuplicates(["d1", "d2"])
+    v1 = u.select(F.col("d").alias("d1"), F.col("v").alias("v1"))
+    v2 = u.select(F.col("d").alias("d2"), F.col("v").alias("v2"))
+    return (
+        cand.join(v1, "d1")
+        .join(v2, "d2")
+        .withColumn("cosine", _dot(F.col("v1"), F.col("v2")))
+        .filter(F.col("cosine") >= threshold)
+        .select("d1", "d2", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_near_duplicates_brute(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs exact variant — the recall oracle for the LSH path in
+    tests. O(n^2): never use beyond fixture scale."""
     u = with_unit_norm(df, vec_col).select(
         F.col(id_col).alias("d"), F.col("_unit").alias("v")
     )

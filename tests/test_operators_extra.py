@@ -252,3 +252,58 @@ class TestIncremental:
         assert days_touched <= late_days | before
         assert days_touched  # something re-rolled
         shutil.rmtree(io.root, ignore_errors=True)
+
+
+class TestEmbeddingNearDups:
+    def test_lsh_matches_brute_force(self, spark):
+        """The bucketed near-dup path must recover every pair the exact
+        all-pairs scan finds on the sf0.001 corpus (few planes + many
+        tables at this low threshold)."""
+        from chronoxtract_spark.operators.similarity import (
+            embedding_near_duplicates,
+            embedding_near_duplicates_brute,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        brute = {
+            (r["d1"], r["d2"], r["cosine"])
+            for r in embedding_near_duplicates_brute(emb, 0.4).collect()
+        }
+        lsh = {
+            (r["d1"], r["d2"], r["cosine"])
+            for r in embedding_near_duplicates(
+                emb, 0.4, n_planes=4, n_tables=16
+            ).collect()
+        }
+        assert brute, "fixture corpus should contain at least one pair"
+        # exact-verify means zero false positives; recall is
+        # probabilistic ((1-(1-p^planes)^tables) per pair) — at these
+        # params the per-pair miss chance is ~6% at cos 0.4, so demand
+        # >= 0.9 overall and that every strong pair (>= 0.5) is found
+        assert lsh <= brute
+        assert len(lsh) >= 0.9 * len(brute)
+        strong = {p for p in brute if p[2] >= 0.5}
+        assert strong <= lsh
+
+    def test_minhash_pairwise_verify_matches_inverted_index(self, spark):
+        """The pair-keyed verify join must produce the same (pair,
+        jaccard) set as running the full inverted-index Jaccard over the
+        corpus and intersecting with LSH candidates."""
+        from chronoxtract_spark.operators.dedup import (
+            minhash_lsh_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {
+            (r["d1"], r["d2"], r["jaccard"])
+            for r in minhash_lsh_pairs(
+                docs, num_hashes=32, bands=8, verify_threshold=0.25
+            ).collect()
+        }
+        full = {
+            (r["d1"], r["d2"], r["jaccard"])
+            for r in ngram_jaccard_pairs(docs, threshold=0.25).collect()
+        }
+        # every verified LSH pair is a true near-dup pair
+        assert got <= full

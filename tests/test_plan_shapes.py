@@ -117,3 +117,21 @@ class TestKillResume:
 
         shutil.rmtree(io.root, ignore_errors=True)
         shutil.rmtree(io2.root, ignore_errors=True)
+
+    def test_embedding_near_dups_has_no_cross_join(self, spark):
+        """The LSH-bucketed near-dup path must plan as equi-joins on the
+        bucket key — no CartesianProduct / BroadcastNestedLoopJoin
+        anywhere (the O(n^2) shape that can't survive a real corpus)."""
+        from chronoxtract_spark.operators.similarity import (
+            embedding_near_duplicates,
+        )
+
+        emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+        plan = (
+            embedding_near_duplicates(emb, threshold=0.5, n_tables=2)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastNestedLoopJoin" not in plan
