@@ -142,7 +142,7 @@ FROM events GROUP BY event_type
 def q_mode(spark, sf_dir):
     """Deterministic mode: most frequent value, smallest on ties
     (reference: src/stats/mod.rs:116-130; tie-break pinned per
-    SURVEY.md §7.3). Values bucketed to 3 decimals so ties exist."""
+    SURVEY.md §7.3). Values bucketed to integers so ties exist."""
     from chronoxtract_spark.functions import mode_agg
 
     ev = _events(spark, sf_dir).select(
@@ -929,41 +929,179 @@ FROM hourly
 
 
 def q_rollup_quantiles(spark, sf_dir):
-    """Rows-only sibling of ``rollup_tiers``: the tier's window-quantile
-    scalars (median + q05/25/75/95 from the per-window
-    percentile_approx sketch, accuracy sized to <=1440-point windows)."""
-    tier = _rollup_1h_tier(spark, sf_dir)
-    return tier.select(
-        F.col("conv_id").cast("long").alias("user_id"),
-        F.unix_timestamp("hour_ts").cast("long").alias("hour_epoch"),
-        F.round("q05", 6).alias("q05"),
-        F.round("q25", 6).alias("q25"),
-        F.round("median", 6).alias("median"),
-        F.round("q75", 6).alias("q75"),
-        F.round("q95", 6).alias("q95"),
+    """Tier window quantiles, exact: interpolated q05/25/50/75/95 per
+    (conv, hour) window over the gap-filled rates. Exact ``percentile``
+    is safe here because tier windows are bounded (<=60 minutes of
+    1m rows); the tier's own percentile_approx sketch stays the
+    mergeable scale path. Oracle-checked against quantile_cont over the
+    same gap-fill SQL as rollup_tiers."""
+    from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
     )
+    base = gap_fill_minutes(turn_rate_1m(ev))
+    qs = F.percentile(
+        F.col("rate"), F.array(*[F.lit(q) for q in (0.05, 0.25, 0.5, 0.75, 0.95)])
+    )
+    return (
+        base.groupBy(
+            F.col("conv_id").cast("long").alias("user_id"),
+            (F.unix_timestamp(F.date_trunc("hour", "minute_ts"))).cast("long").alias(
+                "hour_epoch"
+            ),
+        )
+        .agg(qs.alias("q"))
+        .select(
+            "user_id",
+            "hour_epoch",
+            F.round(F.col("q")[0], 6).alias("q05"),
+            F.round(F.col("q")[1], 6).alias("q25"),
+            F.round(F.col("q")[2], 6).alias("median"),
+            F.round(F.col("q")[3], 6).alias("q75"),
+            F.round(F.col("q")[4], 6).alias("q95"),
+        )
+    )
+
+
+SQL_ROLLUP_QUANTILES = """
+WITH m AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute_ts, count(*) AS turns
+  FROM events GROUP BY 1, 2
+), seg AS (
+  SELECT user_id, minute_ts, turns::DOUBLE AS pv,
+         lead(minute_ts) OVER w AS next_ts,
+         lead(turns::DOUBLE) OVER w AS nv
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY minute_ts)
+), dense AS (
+  SELECT user_id, pv, nv,
+         epoch(minute_ts)::BIGINT AS t0,
+         epoch(coalesce(next_ts, minute_ts))::BIGINT AS t1,
+         unnest(generate_series(
+           epoch(minute_ts)::BIGINT,
+           epoch(coalesce(next_ts - INTERVAL 1 MINUTE, minute_ts))::BIGINT,
+           60)) AS tsec
+  FROM seg
+), rates AS (
+  SELECT user_id, tsec,
+         CASE WHEN tsec = t0 THEN pv
+              ELSE pv + (nv - pv) * ((tsec - t0)::DOUBLE / (t1 - t0)) END AS rate
+  FROM dense
+)
+SELECT user_id, ((tsec // 3600) * 3600)::BIGINT AS hour_epoch,
+       round(quantile_cont(rate, 0.05), 6) AS q05,
+       round(quantile_cont(rate, 0.25), 6) AS q25,
+       round(quantile_cont(rate, 0.5), 6) AS median,
+       round(quantile_cont(rate, 0.75), 6) AS q75,
+       round(quantile_cont(rate, 0.95), 6) AS q95
+FROM rates GROUP BY 1, 2
+"""
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates, exact-verified (scale path)."""
+    """MinHash+LSH near-dup candidates, exact-verified (scale path) —
+    oracle-exact end-to-end via the portable md5-prefix hash family
+    (32 hashes, 8 bands; integer-exact, no fp anywhere until the final
+    jaccard ratio)."""
     from chronoxtract_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(
-        _documents(spark, sf_dir), num_hashes=32, bands=8, verify_threshold=0.25
+        _documents(spark, sf_dir),
+        num_hashes=32,
+        bands=8,
+        verify_threshold=0.25,
+        hash_fn="md5_60",
     )
+
+
+SQL_MINHASH_LSH = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id AS d, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), mins AS (
+  SELECT d, i.i,
+         min(('0x' || substr(md5(shingle || chr(1) || i.i::VARCHAR), 1, 15))
+             ::BIGINT) AS h
+  FROM sh, unnest(generate_series(0, 31)) AS i(i)
+  GROUP BY 1, 2
+), sig AS (
+  SELECT d, list(h ORDER BY i) AS sig FROM mins GROUP BY 1
+), buckets AS (
+  SELECT d, b.b AS band,
+         sig[b.b*4 + 1]::VARCHAR || ':' || sig[b.b*4 + 2]::VARCHAR || ':'
+           || sig[b.b*4 + 3]::VARCHAR || ':' || sig[b.b*4 + 4]::VARCHAR AS key
+  FROM sig, unnest(generate_series(0, 7)) AS b(b)
+), cand AS (
+  SELECT DISTINCT a.d AS d1, b.d AS d2
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+                               AND a.d < b.d
+), sizes AS (
+  SELECT d, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT c.d1, c.d2, count(*) AS i
+  FROM cand c
+  JOIN sh a ON a.d = c.d1
+  JOIN sh b ON b.d = c.d2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT d1, d2, round(i::DOUBLE / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.d = d1
+JOIN sizes s2 ON s2.d = d2
+WHERE i::DOUBLE / (s1.n + s2.n - i) >= 0.25
+"""
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash banded near-dup candidates with Hamming distance."""
+    """SimHash banded near-dup candidates with Hamming distance —
+    oracle-exact via the portable md5-prefix 60-bit hash (4 bands of
+    15 bits; bit votes and fingerprints are pure integer math)."""
     from chronoxtract_spark.operators.dedup import simhash_duplicates
 
-    return simhash_duplicates(_documents(spark, sf_dir)).filter(
-        F.col("hamming") <= 6
+    return simhash_duplicates(
+        _documents(spark, sf_dir), band_bits=15, hash_fn="md5_60"
+    ).filter(F.col("hamming") <= 6).select(
+        "d1", "d2", F.col("hamming").cast("long").alias("hamming")
     )
 
 
+SQL_SIMHASH = """
+WITH tokens AS (
+  SELECT doc_id AS d, unnest(string_split(text, ' ')) AS tok FROM documents
+), hv AS (
+  SELECT d, ('0x' || substr(md5(tok || chr(1) || '0'), 1, 15))::BIGINT AS h
+  FROM tokens
+), votes AS (
+  SELECT d, i.i,
+         sum(CASE WHEN (h >> i.i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hv, unnest(generate_series(0, 59)) AS i(i)
+  GROUP BY 1, 2
+), fp AS (
+  SELECT d,
+         sum(CASE WHEN v > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
+           AS simhash
+  FROM votes GROUP BY 1
+), bands AS (
+  SELECT d, simhash, b.b AS band, (simhash >> (b.b * 15)) & 32767 AS key
+  FROM fp, unnest(generate_series(0, 3)) AS b(b)
+), pairs AS (
+  SELECT DISTINCT a.d AS d1, b.d AS d2,
+         a.simhash AS s1, b.simhash AS s2
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+                           AND a.d < b.d
+)
+SELECT d1, d2, bit_count(xor(s1, s2))::BIGINT AS hamming
+FROM pairs WHERE bit_count(xor(s1, s2)) <= 6
+"""
+
+
 def q_lsh_ann(spark, sf_dir):
-    """Random-hyperplane LSH approximate top-3 (bucketed ANN path)."""
+    """Random-hyperplane LSH approximate top-3 (bucketed ANN path) —
+    oracle-checked: the oracle SQL embeds the same seeded hyperplanes
+    as float literals, so DuckDB reproduces the buckets, the candidate
+    union, and the exact re-rank."""
     from chronoxtract_spark.operators.similarity import lsh_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -971,14 +1109,96 @@ def q_lsh_ann(spark, sf_dir):
     return lsh_topk(queries, emb, k=3, n_planes=6, n_tables=4, dim=64)
 
 
+def _sql_lsh_ann() -> str:
+    """Generate the DuckDB mirror of q_lsh_ann: same seeded planes
+    (similarity._hyperplanes, seed 42+t), sign-bit buckets, per-table
+    candidate equi-join, exact cosine re-rank."""
+    from chronoxtract_spark.operators.similarity import _hyperplanes
+
+    def bucket_expr(col: str, planes) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({col}, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    table_ctes = []
+    table_selects = []
+    for t in range(4):
+        planes = _hyperplanes(64, 6, 42 + t)
+        table_ctes.append(
+            f"bq{t} AS (SELECT query_id, {bucket_expr('qv', planes)} AS bucket "
+            f"FROM q),\n"
+            f"bc{t} AS (SELECT neighbor_id, {bucket_expr('cv', planes)} AS bucket "
+            f"FROM c),\n"
+            f"p{t} AS (SELECT query_id, neighbor_id FROM bq{t} JOIN bc{t} "
+            f"USING (bucket) WHERE query_id != neighbor_id)"
+        )
+        table_selects.append(f"SELECT query_id, neighbor_id FROM p{t}")
+    union = " UNION ALL ".join(table_selects)
+    return f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                 y -> y * y)))) AS v
+  FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 20
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv FROM u
+),
+{','.join(table_ctes)},
+cand AS (
+  SELECT DISTINCT query_id, neighbor_id FROM ({union})
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.qv, c.cv) AS cosine
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+), r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+       rank::BIGINT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def q_lang_id_pred(spark, sf_dir):
-    """Marker-based language-ID heuristic vs the labeled lang column."""
+    """Marker-based language-ID heuristic vs the labeled lang column —
+    oracle-exact (marker hit counting + struct-argmax tie-break are
+    pure integer/string ops)."""
     from chronoxtract_spark.operators.text import with_lang_id
 
     d = with_lang_id(_documents(spark, sf_dir))
     return d.groupBy("lang", "lang_pred").agg(
         F.count("*").cast("long").alias("n")
     )
+
+
+SQL_LANG_ID_PRED = """
+WITH w AS (
+  SELECT lang, string_split(lower(text), ' ') AS ws FROM documents
+), best AS (
+  SELECT lang, list_max([
+    {'h': len(list_filter(ws, x -> list_contains(['the','a','and','of','to'], x))), 'l': 'en'},
+    {'h': len(list_filter(ws, x -> list_contains(['el','la','de','que','y'], x))), 'l': 'es'},
+    {'h': len(list_filter(ws, x -> list_contains(['der','die','das','und','ist'], x))), 'l': 'de'},
+    {'h': len(list_filter(ws, x -> list_contains(['le','la','de','et','les'], x))), 'l': 'fr'},
+    {'h': len(list_filter(ws, x -> list_contains(['的','是','了','在','我'], x))), 'l': 'zh'}
+  ]) AS b
+  FROM w
+)
+SELECT lang, CASE WHEN b.h > 0 THEN b.l ELSE 'und' END AS lang_pred,
+       count(*)::BIGINT AS n
+FROM best GROUP BY 1, 2
+"""
 
 
 def q_rolling_entropy(spark, sf_dir):
@@ -1005,15 +1225,52 @@ def q_rolling_entropy(spark, sf_dir):
             }
         )
 
-    return ev.groupBy("event_type").applyInPandas(
+    out = ev.groupBy("event_type").applyInPandas(
         fn, schema="event_type string, offset long, entropy double"
     )
+    return out.select(
+        "event_type", "offset", F.round("entropy", 6).alias("entropy")
+    )
+
+
+SQL_ROLLING_ENTROPY = """
+WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           - 1 AS rn
+  FROM events
+), w AS (
+  SELECT event_type, rn, value,
+         min(value) OVER win AS mn, max(value) OVER win AS mx,
+         list(value) OVER win AS vals
+  FROM s
+  WINDOW win AS (PARTITION BY event_type ORDER BY rn
+                 ROWS BETWEEN 31 PRECEDING AND CURRENT ROW)
+), e AS (
+  SELECT event_type, rn - 31 AS "offset", mn, mx, unnest(vals) AS v
+  FROM w WHERE rn >= 31
+), b AS (
+  SELECT event_type, "offset", mx = mn AS flat,
+         CASE WHEN mx = mn THEN 0
+              ELSE least(floor((v - mn) / (mx - mn) * 8)::BIGINT, 7) END AS bin
+  FROM e
+), h AS (
+  SELECT event_type, "offset", flat, bin, count(*)::DOUBLE / 32.0 AS p
+  FROM b GROUP BY 1, 2, 3, 4
+)
+SELECT event_type, "offset"::BIGINT AS "offset",
+       round(CASE WHEN bool_or(flat) THEN 0.0
+                  ELSE sum(-p * log2(p)) END, 6) AS entropy
+FROM h GROUP BY event_type, "offset"
+"""
 
 
 def q_stl_eventcount(spark, sf_dir):
     """Simple STL decomposition of the global per-minute count series
     (reference: src/seasonality/mod.rs:172-213) — per-row
-    trend/seasonal/remainder via the kernel."""
+    trend/seasonal/remainder via the kernel, oracle-exact: the
+    edge-truncated centered MA is a ROWS window, per-phase means are a
+    partitioned avg."""
     import pandas as pd
 
     from chronoxtract_spark.kernel import seasonality as k_seas
@@ -1039,11 +1296,39 @@ def q_stl_eventcount(spark, sf_dir):
             }
         )
 
-    return s.groupBy("g").applyInPandas(
+    out = s.groupBy("g").applyInPandas(
         fn,
         schema="minute_ts timestamp, v double, trend double, seasonal double, "
         "remainder double",
     )
+    return out.select(
+        F.unix_timestamp("minute_ts").cast("long").alias("minute_epoch"),
+        "v",
+        F.round("trend", 6).alias("trend"),
+        F.round("seasonal", 6).alias("seasonal"),
+        F.round("remainder", 6).alias("remainder"),
+    )
+
+
+SQL_STL_EVENTCOUNT = """
+WITH s AS (
+  SELECT date_trunc('minute', ts) AS m, count(*)::DOUBLE AS v
+  FROM events GROUP BY 1
+), t AS (
+  SELECT m, v,
+         avg(v) OVER (ORDER BY m ROWS BETWEEN 45 PRECEDING AND 45 FOLLOWING)
+           AS trend,
+         (row_number() OVER (ORDER BY m) - 1) % 60 AS phase
+  FROM s
+), sea AS (
+  SELECT *, avg(v - trend) OVER (PARTITION BY phase) AS seasonal FROM t
+)
+SELECT epoch(m)::BIGINT AS minute_epoch, v,
+       round(trend, 6) AS trend,
+       round(seasonal, 6) AS seasonal,
+       round(v - trend - seasonal, 6) AS remainder
+FROM sea
+"""
 
 
 def q_compression_stats(spark, sf_dir):
@@ -1538,9 +1823,75 @@ def q_multiscale_entropy(spark, sf_dir):
             }
         )
 
-    return ev.groupBy("event_type", "day").applyInPandas(
+    out = ev.groupBy("event_type", "day").applyInPandas(
         fn, schema="event_type string, day string, scale int, sampen double"
     )
+    return out.select(
+        "event_type", "day", "scale", F.round("sampen", 6).alias("sampen")
+    )
+
+
+SQL_MULTISCALE_ENTROPY = """
+WITH x AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value,
+         row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+), meta AS (
+  SELECT event_type, day, count(*) AS n,
+         0.2 * greatest(stddev_pop(value), 1e-12) AS r
+  FROM x GROUP BY 1, 2
+), sc AS (
+  SELECT unnest([1, 2, 3]) AS scale
+), cg AS (
+  -- non-overlapping scale-length means; full groups only
+  SELECT x.event_type, x.day, sc.scale, x.rn // sc.scale AS i,
+         avg(x.value) AS y
+  FROM x, sc
+  GROUP BY 1, 2, 3, 4
+  HAVING count(*) = scale
+), tpl AS (
+  SELECT event_type, day, scale, i, y AS y0,
+         lead(y, 1) OVER w AS y1,
+         lead(y, 2) OVER w AS y2
+  FROM cg WINDOW w AS (PARTITION BY event_type, day, scale ORDER BY i)
+), sizes AS (
+  SELECT event_type, day, scale, count(*) AS ncg
+  FROM cg GROUP BY 1, 2, 3
+), bcnt AS (
+  SELECT a.event_type, a.day, a.scale, count(*) AS b
+  FROM tpl a
+  JOIN tpl b ON a.event_type = b.event_type AND a.day = b.day
+            AND a.scale = b.scale AND a.i < b.i
+  JOIN meta m ON m.event_type = a.event_type AND m.day = a.day
+  WHERE a.y1 IS NOT NULL AND b.y1 IS NOT NULL
+    AND greatest(abs(a.y0 - b.y0), abs(a.y1 - b.y1)) <= m.r
+  GROUP BY 1, 2, 3
+), acnt AS (
+  SELECT a.event_type, a.day, a.scale, count(*) AS a
+  FROM tpl a
+  JOIN tpl b ON a.event_type = b.event_type AND a.day = b.day
+            AND a.scale = b.scale AND a.i < b.i
+  JOIN meta m ON m.event_type = a.event_type AND m.day = a.day
+  WHERE a.y2 IS NOT NULL AND b.y2 IS NOT NULL
+    AND greatest(abs(a.y0 - b.y0), abs(a.y1 - b.y1), abs(a.y2 - b.y2)) <= m.r
+  GROUP BY 1, 2, 3
+)
+SELECT m.event_type, m.day, sc.scale::INT AS scale,
+       round(CASE
+         WHEN m.n < 9 THEN 'NaN'::DOUBLE
+         WHEN s.ncg < 3 THEN 'NaN'::DOUBLE
+         WHEN coalesce(bc.b, 0) = 0 THEN 'Infinity'::DOUBLE
+         WHEN s.ncg = 3 THEN 'NaN'::DOUBLE
+         WHEN coalesce(ac.a, 0) = 0 THEN 'Infinity'::DOUBLE
+         ELSE -ln((ac.a / (s.ncg - 3.0)) / (bc.b / (s.ncg - 2.0)))
+       END, 6) AS sampen
+FROM meta m
+CROSS JOIN sc
+LEFT JOIN sizes s USING (event_type, day, scale)
+LEFT JOIN bcnt bc USING (event_type, day, scale)
+LEFT JOIN acnt ac USING (event_type, day, scale)
+"""
 
 
 def q_lomb_scargle(spark, sf_dir):
@@ -1573,9 +1924,50 @@ def q_lomb_scargle(spark, sf_dir):
             }
         )
 
-    return ev.groupBy("event_type").applyInPandas(
+    out = ev.groupBy("event_type").applyInPandas(
         fn, schema="event_type string, freq double, power double"
     )
+    return out.select(
+        "event_type", "freq", F.round("power", 4).alias("power")
+    )
+
+
+SQL_LOMB_SCARGLE = """
+WITH s AS (
+  SELECT event_type, epoch_us(ts)::BIGINT / 1000000.0 AS t, value AS y
+  FROM events
+), span AS (
+  SELECT event_type, max(t) - min(t) AS sp FROM s GROUP BY 1
+), freqs AS (
+  -- np.linspace(1/span, 50/span, 64): start + k*step, endpoint pinned
+  SELECT event_type, k.k,
+         CASE WHEN k.k = 63 THEN 50.0 / sp
+              ELSE k.k * ((50.0 / sp - 1.0 / sp) / 63) + 1.0 / sp END AS f
+  FROM span, unnest(generate_series(0, 63)) AS k(k)
+), o AS (
+  SELECT event_type, k, f, 2 * pi() * f AS w FROM freqs
+), tau AS (
+  SELECT o.event_type, o.k, o.f, o.w,
+         0.5 * atan(sum(sin(2 * o.w * s.t)) / sum(cos(2 * o.w * s.t))) / o.w
+           AS tau
+  FROM o JOIN s USING (event_type)
+  GROUP BY o.event_type, o.k, o.f, o.w
+), p AS (
+  SELECT t2.event_type, t2.k, t2.f,
+         sum(s.y * cos(t2.w * (s.t - t2.tau))) AS syc,
+         sum(s.y * sin(t2.w * (s.t - t2.tau))) AS sys,
+         sum(cos(t2.w * (s.t - t2.tau)) * cos(t2.w * (s.t - t2.tau))) AS sc2,
+         sum(sin(t2.w * (s.t - t2.tau)) * sin(t2.w * (s.t - t2.tau))) AS ss2
+  FROM tau t2 JOIN s USING (event_type)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, f AS freq,
+       round(0.5 * ((CASE WHEN abs(sc2) > 2.220446049250313e-16
+                          THEN syc * syc / sc2 ELSE 0.0 END)
+                  + (CASE WHEN abs(ss2) > 2.220446049250313e-16
+                          THEN sys * sys / ss2 ELSE 0.0 END)), 4) AS power
+FROM p
+"""
 
 
 def q_matrix_profiles(spark, sf_dir):
@@ -1959,12 +2351,60 @@ def q_embedding_near_dups(spark, sf_dir):
     """Embedding-space near-duplicate pairs, cosine >= 0.5, via
     hyperplane-LSH buckets + exact cosine verify (no cross join; the
     plan shape is asserted in tests/test_plan_shapes.py). Few planes +
-    many tables because 0.5 is a low threshold (wide angle)."""
+    many tables because 0.5 is a low threshold (wide angle). The oracle
+    SQL replays the same seeded planes as literals."""
     from chronoxtract_spark.operators.similarity import embedding_near_duplicates
 
     return embedding_near_duplicates(
         _embeddings(spark, sf_dir), threshold=0.5, n_planes=4, n_tables=16
     )
+
+
+def _sql_embedding_near_dups() -> str:
+    """DuckDB mirror of q_embedding_near_dups: 16 seeded hyperplane
+    tables (similarity._hyperplanes, seed 42+101t), bucket self-joins,
+    distinct candidate pairs, exact cosine >= 0.5 verify."""
+    from chronoxtract_spark.operators.similarity import _hyperplanes
+
+    def bucket_expr(planes) -> str:
+        terms = []
+        for i, p in enumerate(planes):
+            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
+                f"THEN {1 << i} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    ctes = []
+    selects = []
+    for t in range(16):
+        planes = _hyperplanes(64, 4, 42 + 101 * t)
+        ctes.append(
+            f"b{t} AS (SELECT d, {bucket_expr(planes)} AS bucket FROM u),\n"
+            f"p{t} AS (SELECT a.d AS d1, b.d AS d2 FROM b{t} a "
+            f"JOIN b{t} b ON a.bucket = b.bucket AND a.d < b.d)"
+        )
+        selects.append(f"SELECT d1, d2 FROM p{t}")
+    union = " UNION ALL ".join(selects)
+    return f"""
+WITH u AS (
+  SELECT vec_id AS d,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                 y -> y * y)))) AS v
+  FROM embeddings
+),
+{','.join(ctes)},
+cand AS (
+  SELECT DISTINCT d1, d2 FROM ({union})
+), scored AS (
+  SELECT cand.d1, cand.d2, list_dot_product(a.v, b.v) AS cosine
+  FROM cand JOIN u a ON a.d = cand.d1 JOIN u b ON b.d = cand.d2
+)
+SELECT d1, d2, round(cosine, 6) AS cosine
+FROM scored WHERE cosine >= 0.5
+"""
 
 
 
@@ -2353,8 +2793,16 @@ _EXTRA_ORACLES = {
     "seasonality_acf": SQL_SEASONALITY_ACF,
     "strict_peaks": SQL_STRICT_PEAKS,
     "rollup_tiers": SQL_ROLLUP_TIERS,
+    "rollup_quantiles": SQL_ROLLUP_QUANTILES,
+    "stl_eventcount": SQL_STL_EVENTCOUNT,
+    "rolling_entropy": SQL_ROLLING_ENTROPY,
+    "minhash_lsh": SQL_MINHASH_LSH,
+    "simhash": SQL_SIMHASH,
+    "lang_id_pred": SQL_LANG_ID_PRED,
     "carma_loglik": SQL_CARMA_LOGLIK,
     "matrix_profiles": SQL_MATRIX_PROFILES,
+    "multiscale_entropy": SQL_MULTISCALE_ENTROPY,
+    "lomb_scargle": SQL_LOMB_SCARGLE,
     "hankel": SQL_HANKEL,
     "seasonal_strength": SQL_SEASONAL_STRENGTH,
     "variability_statistics": SQL_VARIABILITY_STATISTICS,
@@ -2375,4 +2823,6 @@ _BASE_ORACLES = oracle_sql
 def oracle_sql() -> dict[str, str]:  # noqa: F811
     out = _BASE_ORACLES()
     out.update(_EXTRA_ORACLES)
+    out["lsh_ann"] = _sql_lsh_ann()
+    out["embedding_near_dups"] = _sql_embedding_near_dups()
     return out

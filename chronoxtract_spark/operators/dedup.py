@@ -137,22 +137,41 @@ def ngram_jaccard_pairs(
     return out
 
 
+def _hash64(col, seed, hash_fn: str):
+    """Seeded 64-bit-ish hash column: ``xxhash64`` (fast JVM default) or
+    ``md5_60`` — the low 60 bits of md5(value || 0x01 || seed), which
+    DuckDB reproduces exactly (`('0x' || substr(md5(..),1,15))::BIGINT`)
+    so oracle queries can verify the whole pipeline end-to-end."""
+    if hash_fn == "xxhash64":
+        return F.xxhash64(col, F.lit(seed))
+    if hash_fn == "md5_60":
+        return F.conv(
+            F.substring(
+                F.md5(F.concat(col, F.lit("\x01"), F.lit(str(seed)))), 1, 15
+            ),
+            16,
+            10,
+        ).cast("long")
+    raise ValueError(f"unknown hash_fn: {hash_fn}")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     n: int = 3,
     num_hashes: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash signature per document as an array<long> column.
 
-    Each hash function is ``xxhash64(shingle, seed_i)``; the signature
-    is the per-seed minimum — one groupBy over the exploded shingles,
-    all JVM-side column expressions.
+    Each hash function is ``hash(shingle, seed_i)``; the signature is
+    the per-seed minimum — one groupBy over the exploded shingles, all
+    JVM-side column expressions.
     """
     sh = word_shingles(df, id_col, text_col, n)
     mins = [
-        F.min(F.xxhash64("shingle", F.lit(i))).alias(f"h{i}")
+        F.min(_hash64(F.col("shingle"), i, hash_fn)).alias(f"h{i}")
         for i in range(num_hashes)
     ]
     agg = sh.groupBy(id_col).agg(*mins)
@@ -169,23 +188,34 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     verify_threshold: float = 0.4,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs, exact-verified.
 
     Candidates = documents sharing any (band, band-signature-hash)
     bucket; each candidate pair is then verified with exact shingle
     Jaccard. At scale the verify join touches only candidate docs.
+
+    With ``hash_fn='md5_60'`` the bucket key is the concatenated band
+    values (portable, integer-exact) instead of their xxhash64 — the
+    whole pipeline is then engine-independent and oracle-checkable.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn)
+
+    def band_key(b):
+        vals = [
+            F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)
+        ]
+        if hash_fn == "xxhash64":
+            return F.xxhash64(*vals).cast("string")
+        return F.concat_ws(":", *[v.cast("string") for v in vals])
+
     band_cols = F.explode(
         F.array(
             *[
                 F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        *[F.col("signature")[b * rows_per_band + r] for r in range(rows_per_band)]
-                    ).alias("bucket"),
+                    F.lit(b).alias("band"), band_key(b).alias("bucket")
                 )
                 for b in range(bands)
             ]
@@ -257,31 +287,38 @@ def simhash_duplicates(
     id_col: str = "doc_id",
     text_col: str = "text",
     band_bits: int = 16,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """SimHash near-duplicate candidate pairs via banded equi-join.
 
-    64-bit SimHash: explode tokens, each token votes its xxhash64 bits
-    (+1/-1), sign of the per-bit sum is the fingerprint. Documents
-    sharing any of the 64/band_bits bands are candidates (standard
-    Hamming-distance blocking).
+    SimHash: explode tokens, each token votes its hash bits (+1/-1),
+    sign of the per-bit sum is the fingerprint. Documents sharing any
+    of the n_bits/band_bits bands are candidates (standard
+    Hamming-distance blocking). ``hash_fn='md5_60'`` uses the portable
+    60-bit md5-prefix hash (oracle-checkable; band_bits must divide 60).
     """
+    n_bits = 64 if hash_fn == "xxhash64" else 60
     tokens = df.select(
         F.col(id_col).alias("d"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
-    h = F.xxhash64("tok")
+    h = (
+        F.xxhash64("tok")
+        if hash_fn == "xxhash64"
+        else _hash64(F.col("tok"), 0, hash_fn)
+    )
     votes = [
         F.sum(
             F.when(h.bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(n_bits)
     ]
     agg = tokens.groupBy("d").agg(*votes)
     bit_terms = None
-    for i in range(64):
+    for i in range(n_bits):
         term = F.when(F.col(f"b{i}") > 0, F.shiftleft(F.lit(1).cast("long"), i)).otherwise(0)
         bit_terms = term if bit_terms is None else bit_terms.bitwiseOR(term)
     fp = agg.select("d", bit_terms.alias("simhash"))
-    n_bands = 64 // band_bits
+    n_bands = n_bits // band_bits
     mask = (1 << band_bits) - 1
     bandrows = fp.select(
         "d",
