@@ -1014,17 +1014,34 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
-SQL_MINHASH_LSH = """
+def _sql_minhash_lsh() -> str:
+    """DuckDB mirror of q_minhash_lsh: same one-md5 base hash and the
+    same derived-hash coefficients (dedup.minhash_coeffs) as literals."""
+    from chronoxtract_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    hashes = ", ".join(
+        f"{{'i': {i}, 'v': ({a}*hi + {b}*lo + {i}) % {MINHASH_P}}}"
+        for i, (a, b) in enumerate(minhash_coeffs(32))
+    )
+    return SQL_MINHASH_LSH_TMPL.replace("__HASHES__", hashes)
+
+
+SQL_MINHASH_LSH_TMPL = """
 WITH words AS (
   SELECT doc_id, string_split(text, ' ') AS w FROM documents
 ), sh AS (
   SELECT DISTINCT doc_id AS d, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
   FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), hparts AS (
+  SELECT d,
+         ('0x' || substr(md5(shingle || chr(1) || 'base'), 1, 15))::BIGINT >> 30
+           AS hi,
+         ('0x' || substr(md5(shingle || chr(1) || 'base'), 1, 15))::BIGINT
+           & 1073741823 AS lo
+  FROM sh
 ), mins AS (
-  SELECT d, i.i,
-         min(('0x' || substr(md5(shingle || chr(1) || i.i::VARCHAR), 1, 15))
-             ::BIGINT) AS h
-  FROM sh, unnest(generate_series(0, 31)) AS i(i)
+  SELECT d, hh.i AS i, min(hh.v) AS h
+  FROM hparts, unnest([__HASHES__]) AS t(hh)
   GROUP BY 1, 2
 ), sig AS (
   SELECT d, list(h ORDER BY i) AS sig FROM mins GROUP BY 1
@@ -2796,7 +2813,6 @@ _EXTRA_ORACLES = {
     "rollup_quantiles": SQL_ROLLUP_QUANTILES,
     "stl_eventcount": SQL_STL_EVENTCOUNT,
     "rolling_entropy": SQL_ROLLING_ENTROPY,
-    "minhash_lsh": SQL_MINHASH_LSH,
     "simhash": SQL_SIMHASH,
     "lang_id_pred": SQL_LANG_ID_PRED,
     "carma_loglik": SQL_CARMA_LOGLIK,
@@ -2825,4 +2841,5 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out.update(_EXTRA_ORACLES)
     out["lsh_ann"] = _sql_lsh_ann()
     out["embedding_near_dups"] = _sql_embedding_near_dups()
+    out["minhash_lsh"] = _sql_minhash_lsh()
     return out

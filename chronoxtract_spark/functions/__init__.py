@@ -68,7 +68,12 @@ def moment_state_exprs(c: str = "value") -> list[Column]:
     by *summing* them — plain column arithmetic, no re-scan of the base
     data (SURVEY.md §4.3).
     """
-    col = F.col(c)
+    return moment_state_exprs_for(F.col(c))
+
+
+def moment_state_exprs_for(col: Column) -> list[Column]:
+    """Same mergeable state over an arbitrary column expression (used
+    by the streaming tier, where the value may be a literal weight)."""
     return [
         F.count(col).alias("n"),
         F.sum(col).alias("s1"),

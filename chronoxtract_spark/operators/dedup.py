@@ -155,6 +155,29 @@ def _hash64(col, seed, hash_fn: str):
     raise ValueError(f"unknown hash_fn: {hash_fn}")
 
 
+#: 2^61 - 1 (Mersenne prime) — the modulus of the derived-hash family
+MINHASH_P = (1 << 61) - 1
+
+
+def minhash_coeffs(num_hashes: int, seed: int = 7) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) multipliers (< 2^31, odd a) for the
+    universal family h_i(x) = (a_i*hi30 + b_i*lo30 + i) mod (2^61-1)
+    over the 60-bit md5-prefix base hash. One md5 per value serves every
+    hash function — the portable analogue of 'one xxhash64 per seed'
+    at ~1/num_hashes the hashing cost. Products stay < 2^62, so the
+    arithmetic is exact in int64 on both engines (no overflow under
+    Spark ANSI mode)."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    out = []
+    for _ in range(num_hashes):
+        a = int(rng.randint(1, 1 << 31)) | 1
+        b = int(rng.randint(0, 1 << 31))
+        out.append((a, b))
+    return out
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -170,10 +193,29 @@ def minhash_signatures(
     JVM-side column expressions.
     """
     sh = word_shingles(df, id_col, text_col, n)
-    mins = [
-        F.min(_hash64(F.col("shingle"), i, hash_fn)).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "md5_60":
+        # one md5 per shingle; every hash function derives from it with
+        # exact int64 arithmetic (see minhash_coeffs)
+        base = _hash64(F.col("shingle"), "base", hash_fn)
+        sh = sh.select(
+            id_col,
+            F.shiftright(base, 30).alias("_hi"),
+            base.bitwiseAND(F.lit((1 << 30) - 1)).alias("_lo"),
+        )
+        mins = [
+            F.min(
+                F.pmod(
+                    F.lit(a) * F.col("_hi") + F.lit(b) * F.col("_lo") + F.lit(i),
+                    F.lit(MINHASH_P),
+                )
+            ).alias(f"h{i}")
+            for i, (a, b) in enumerate(minhash_coeffs(num_hashes))
+        ]
+    else:
+        mins = [
+            F.min(_hash64(F.col("shingle"), i, hash_fn)).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
     agg = sh.groupBy(id_col).agg(*mins)
     return agg.select(
         id_col, F.array(*[f"h{i}" for i in range(num_hashes)]).alias("signature")

@@ -1,0 +1,195 @@
+"""Structured Streaming front-end for the rollup pipeline.
+
+The batch-incremental path (streaming/incremental.py) re-rolls touched
+day partitions; this module is the true streaming face of the same
+semantics (SURVEY.md §2.10):
+
+- ``watermarked_minute_counts`` — the streaming form of
+  operators.gapfill.turn_rate_1m: event-time 1-minute tumbling windows
+  with a watermark, so late turns within the allowed lateness still
+  land in their window and older ones are dropped instead of corrupting
+  closed windows.
+- ``watermarked_hour_state`` — the streaming form of the 1h tier's
+  mergeable moment state (functions.moment_state_exprs): per
+  (conv, hour window) n/s1..s4/min/max in one watermarked agg. A batch
+  job derives the moment features from the state exactly like
+  plans.rollup does — state columns are engine-wide currency.
+- ``stateful_ema`` — custom stateful operator via
+  ``applyInPandasWithState``: per-conversation EMA of per-batch turn
+  counts carried in GroupState across micro-batches (the reference's
+  sequential recurrence, src/rollingstats/mod.rs:45-66, lifted to a
+  streaming group state).
+
+All three run on any streaming source (file, Kafka, rate); tests drive
+them with a file source + checkpoints so watermark advancement and
+state recovery across restarts are exercised for real.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from chronoxtract_spark import functions as cxf
+
+
+def watermarked_minute_counts(
+    events: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Per-(conversation, minute-window) turn counts over event time.
+
+    Append-mode compatible: a window only emits once the watermark
+    passes its end, and turns later than ``watermark`` are dropped —
+    the streaming contract for the 1m tier.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(conv_col),
+            F.window(F.col(ts_col), "1 minute").alias("w"),
+        )
+        .agg(F.count("*").alias("turns"))
+        .select(
+            conv_col,
+            F.col("w.start").alias("minute_ts"),
+            F.col("turns").cast("long").alias("turns"),
+        )
+    )
+
+
+def watermarked_hour_state(
+    events: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming 1h-tier moment state: per (conv, hour window)
+    ``n, s1..s4, min, max`` over the value column (turn count weight 1.0
+    when ``value_col`` is None). The same mergeable state the batch tier
+    sums (plans.rollup), so downstream tiers and the moment-derivation
+    column math apply unchanged.
+    """
+    v = (
+        F.lit(1.0)
+        if value_col is None
+        else F.col(value_col).cast("double")
+    )
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(conv_col),
+            F.window(F.col(ts_col), "1 hour").alias("w"),
+        )
+        .agg(*cxf.moment_state_exprs_for(v))
+        .select(
+            conv_col,
+            F.col("w.start").alias("hour_ts"),
+            "n",
+            "s1",
+            "s2",
+            "s3",
+            "s4",
+            "min",
+            "max",
+        )
+    )
+
+
+EMA_STATE_SCHEMA = "ema double, n long"
+EMA_OUT_SCHEMA = "conv_id string, batch_rows long, ema double"
+
+
+def stateful_ema(
+    minute_counts: DataFrame,
+    alpha: float = 0.2,
+    conv_col: str = "conv_id",
+    order_col: str = "minute_ts",
+    value_col: str = "turns",
+) -> DataFrame:
+    """Per-conversation streaming EMA via ``applyInPandasWithState``.
+
+    GroupState carries (ema, n) across micro-batches; each batch folds
+    its rows in event-time order through the same recurrence as the
+    batch kernel (kernel.rolling.exponential_moving_average), so a
+    restart from checkpoint resumes mid-series with identical values.
+    """
+
+    def fn(key, pdfs, state: GroupState):
+        ema = None
+        n = 0
+        if state.exists:
+            ema, n = state.get
+        rows = 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values(order_col, kind="mergesort")
+            for v in pdf[value_col].astype(float):
+                ema = v if ema is None or n == 0 else alpha * v + (1 - alpha) * ema
+                n += 1
+                rows += 1
+        state.update((float(ema) if ema is not None else 0.0, int(n)))
+        yield pd.DataFrame(
+            [{"conv_id": key[0], "batch_rows": rows, "ema": ema}]
+        )
+
+    return minute_counts.groupBy(conv_col).applyInPandasWithState(
+        fn,
+        outputStructType=EMA_OUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_to_memory(
+    stream_df: DataFrame,
+    query_name: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+):
+    """Drive a streaming DataFrame to a memory sink with availableNow —
+    one call processes everything currently in the source and stops.
+    Returns the in-memory table name (== query_name). The memory sink
+    is NOT checkpoint-recoverable; for restart tests use
+    ``run_collect``."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return query_name
+
+
+def run_collect(
+    stream_df: DataFrame,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+) -> list:
+    """Drive a streaming DataFrame with availableNow through
+    ``foreachBatch``, collecting every micro-batch's rows driver-side.
+    foreachBatch is checkpoint-recoverable, so consecutive calls with
+    the same checkpoint resume watermark + operator state — the restart
+    path the tests exercise."""
+    rows: list = []
+
+    def sink(batch_df, _batch_id):
+        rows.extend(batch_df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return rows

@@ -1,0 +1,136 @@
+"""Structured Streaming front-end tests: file source + checkpoints so
+watermark advancement and state recovery across restarts are real."""
+
+import shutil
+import tempfile
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from chronoxtract_spark.streaming import live
+
+SCHEMA = "conv_id string, turn_idx int, ts timestamp"
+
+
+def _rows(spark, rows):
+    return spark.createDataFrame(
+        [(c, i, datetime.fromisoformat(t)) for c, i, t in rows], SCHEMA
+    )
+
+
+@pytest.fixture()
+def dirs():
+    src = tempfile.mkdtemp(prefix="cx_stream_src_")
+    ckpt = tempfile.mkdtemp(prefix="cx_stream_ckpt_")
+    yield src, ckpt
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def _read_stream(spark, src):
+    return spark.readStream.schema(SCHEMA).parquet(src)
+
+
+class TestWatermarkedCounts:
+    def test_matches_batch_counts(self, spark, dirs):
+        src, ckpt = dirs
+        data = _rows(
+            spark,
+            [
+                ("a", 1, "2026-01-01T00:00:10"),
+                ("a", 2, "2026-01-01T00:00:50"),
+                ("a", 3, "2026-01-01T00:02:00"),
+                ("b", 1, "2026-01-01T00:01:30"),
+                # sentinel far in the future: advances the watermark so
+                # every earlier window closes and emits in append mode
+                ("z", 1, "2026-01-01T12:00:00"),
+            ],
+        )
+        data.write.mode("append").parquet(src)
+        out = live.watermarked_minute_counts(_read_stream(spark, src))
+        name = live.run_to_memory(out, "wm_counts", ckpt)
+        got = {
+            (r["conv_id"], str(r["minute_ts"]), r["turns"])
+            for r in spark.table(name).collect()
+        }
+        assert ("a", "2026-01-01 00:00:00", 2) in got
+        assert ("a", "2026-01-01 00:02:00", 1) in got
+        assert ("b", "2026-01-01 00:01:00", 1) in got
+
+    def test_late_rows_beyond_watermark_are_dropped(self, spark, dirs):
+        src, ckpt = dirs
+        _rows(
+            spark,
+            [
+                ("a", 1, "2026-01-01T00:00:10"),
+                ("z", 1, "2026-01-01T06:00:00"),
+            ],
+        ).write.mode("append").parquet(src)
+        out = live.watermarked_minute_counts(
+            _read_stream(spark, src), watermark="10 minutes"
+        )
+        live.run_collect(out, ckpt)
+
+        # second run, same checkpoint: watermark is already at
+        # 06:00 - 10min, so a turn at 00:05 is hours late -> dropped
+        _rows(
+            spark,
+            [
+                ("a", 9, "2026-01-01T00:05:00"),
+                ("z", 2, "2026-01-01T07:00:00"),
+            ],
+        ).write.mode("append").parquet(src)
+        out2 = live.watermarked_minute_counts(
+            _read_stream(spark, src), watermark="10 minutes"
+        )
+        rows = live.run_collect(out2, ckpt)
+        got = {(r["conv_id"], str(r["minute_ts"])) for r in rows}
+        assert ("a", "2026-01-01 00:05:00") not in got
+
+
+class TestHourState:
+    def test_state_matches_batch_moments(self, spark, dirs):
+        src, ckpt = dirs
+        rows = [
+            ("a", i, f"2026-01-01T00:{mm:02d}:00")
+            for i, mm in enumerate([1, 2, 10, 59])
+        ] + [("z", 1, "2026-01-02T00:00:00")]
+        _rows(spark, rows).write.mode("append").parquet(src)
+        out = live.watermarked_hour_state(_read_stream(spark, src))
+        name = live.run_to_memory(out, "hour_state", ckpt)
+        got = {r["conv_id"]: r for r in spark.table(name).collect()}
+        a = got["a"]
+        # unit weights: n == s1 == s2 == s3 == s4 == 4, min == max == 1
+        assert a["n"] == 4 and a["s1"] == 4.0 and a["s4"] == 4.0
+        assert a["min"] == 1.0 and a["max"] == 1.0
+
+
+class TestStatefulEma:
+    def test_ema_survives_restart(self, spark, dirs):
+        src, ckpt = dirs
+        counts_schema = "conv_id string, minute_ts timestamp, turns long"
+
+        def write(rows):
+            spark.createDataFrame(
+                [(c, datetime.fromisoformat(t), n) for c, t, n in rows],
+                counts_schema,
+            ).write.mode("append").parquet(src)
+
+        def run():
+            stream = spark.readStream.schema(counts_schema).parquet(src)
+            return live.run_collect(
+                live.stateful_ema(stream, alpha=0.5), ckpt, output_mode="update"
+            )
+
+        write([("a", "2026-01-01T00:00:00", 4), ("a", "2026-01-01T00:01:00", 2)])
+        first = {r["conv_id"]: r for r in run()}
+        # fold: 4 -> 0.5*2 + 0.5*4 = 3
+        assert first["a"]["ema"] == pytest.approx(3.0)
+
+        # restart from checkpoint with new data: state must resume at 3
+        write([("a", "2026-01-01T00:02:00", 7)])
+        second = {r["conv_id"]: r for r in run()}
+        # 0.5*7 + 0.5*3 = 5 — only correct if GroupState survived
+        assert second["a"]["ema"] == pytest.approx(5.0)
+        assert second["a"]["batch_rows"] == 1
