@@ -1187,6 +1187,34 @@ FROM r WHERE rank <= 3
 """
 
 
+def q_ivf_ann(spark, sf_dir):
+    """IVF approximate top-3: seeded spherical k-means coarse quantizer
+    (bounded driver-side train sample) + probe-list equi-join + exact
+    re-rank — the classic ANN scale path alongside lsh_ann. Rows-only
+    (the kmeans++ sampling chain isn't SQL-expressible); recall vs
+    knn_brute is asserted in tests/test_operators_extra.py."""
+    from chronoxtract_spark.operators.similarity import ivf_topk
+
+    emb = _embeddings(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 20)
+    return ivf_topk(queries, emb, k=3, n_centroids=16, n_probe=8)
+
+
+def q_doc_fingerprint(spark, sf_dir):
+    """Whole-document content fingerprint on whitespace-normalized
+    lowercased text (md5 digest form) — oracle-exact."""
+    d = _documents(spark, sf_dir)
+    norm = F.regexp_replace(F.lower(F.col("text")), r"\s+", " ")
+    return d.select("doc_id", F.md5(norm).alias("fingerprint"))
+
+
+SQL_DOC_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+         AS fingerprint
+FROM documents
+"""
+
+
 def q_lang_id_pred(spark, sf_dir):
     """Marker-based language-ID heuristic vs the labeled lang column —
     oracle-exact (marker hit counting + struct-argmax tie-break are
@@ -2793,6 +2821,8 @@ _EXTRA_QUERIES = {
     "carma_loglik": q_carma_loglik,
     "carma_mcmc": q_carma_mcmc,
     "hankel": q_hankel,
+    "ivf_ann": q_ivf_ann,
+    "doc_fingerprint": q_doc_fingerprint,
     "seasonal_strength": q_seasonal_strength,
     "variability_statistics": q_variability_statistics,
     "peak_prominence": q_peak_prominence,
@@ -2815,6 +2845,7 @@ _EXTRA_ORACLES = {
     "rolling_entropy": SQL_ROLLING_ENTROPY,
     "simhash": SQL_SIMHASH,
     "lang_id_pred": SQL_LANG_ID_PRED,
+    "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "carma_loglik": SQL_CARMA_LOGLIK,
     "matrix_profiles": SQL_MATRIX_PROFILES,
     "multiscale_entropy": SQL_MULTISCALE_ENTROPY,

@@ -353,8 +353,9 @@ class RollupEngine:
         slim = self._observed_slim(observed)
         # pin fan-out parallelism (the tiny observed input would be
         # AQE-coalesced into one task while the kernel regenerates the
-        # ~1000x dense series)
-        n_part = max(slim.sparkSession.sparkContext.defaultParallelism * 2, 16)
+        # ~1000x dense series); floor 32 granules so Zipf-skewed
+        # conversations don't straggle a low-parallelism leg
+        n_part = max(slim.sparkSession.sparkContext.defaultParallelism * 2, 32)
         slim = slim.repartition(n_part, "conv_id")
         return slim.groupBy("conv_id").applyInPandas(encode, schema=CHUNK_SCHEMA)
 
@@ -439,7 +440,14 @@ class RollupEngine:
         n_1h = tier_1h_all.count()
         t = mark("tier_1h_compute", t)
         if n_1h:
-            self.io.overwrite_partitions(tier_1h_all, "rollup_1h", ["day"])
+            # day-keyed repartition before the partitioned write: the 1h
+            # tier is small (1 row per conv-hour), so the shuffle is
+            # cheap and collapses tasks-x-days small files into one file
+            # per day. The 1m tier deliberately does NOT do this — there
+            # the dense-row shuffle would cost more than the files.
+            self.io.overwrite_partitions(
+                tier_1h_all.repartition(F.col("day")), "rollup_1h", ["day"]
+            )
             self._write_lineage(tier_1h_all, "rollup_1h", source_snapshot)
             t = mark("write_1h", t)
         counts["rollup_1h"] = n_1h
@@ -452,7 +460,9 @@ class RollupEngine:
         )
         n_1d = tier_1d.count()
         if n_1d:
-            self.io.overwrite_partitions(tier_1d, "rollup_1d", ["day"])
+            self.io.overwrite_partitions(
+                tier_1d.repartition(F.col("day")), "rollup_1d", ["day"]
+            )
             self._write_lineage(tier_1d, "rollup_1d", source_snapshot)
         t = mark("tier_1d", t)
         counts["rollup_1d"] = n_1d

@@ -161,7 +161,9 @@ Per-phase wall seconds (RollupEngine.last_timings):
 ```json
 {json.dumps(report, indent=2)}
 ```
-"""
+
+## Methodology
+{METHODOLOGY_NOTE}"""
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
         f.write(md)
     print(json.dumps(report))
