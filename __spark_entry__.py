@@ -722,6 +722,61 @@ WHERE i::DOUBLE / (s1.n + s2.n - i) >= 0.25
 """
 
 
+def q_dup_clusters(spark, sf_dir):
+    """Near-duplicate clusters: connected components (min-label
+    propagation) over the word-3-gram Jaccard >= 0.25 pairs, reported
+    as (cluster representative, cluster size). Oracle-exact via a
+    DuckDB recursive CTE over the same pair set."""
+    from chronoxtract_spark.operators.dedup import (
+        duplicate_clusters,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(
+        _documents(spark, sf_dir), "doc_id", "text", n=3, threshold=0.25,
+        max_shingle_df=100,
+    )
+    labels = duplicate_clusters(pairs)
+    return labels.groupBy(F.col("cluster").cast("long").alias("cluster")).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+
+
+SQL_DUP_CLUSTERS = """
+WITH RECURSIVE words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh0 AS (
+  SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), sh AS (
+  SELECT doc_id, shingle FROM sh0
+  QUALIFY count(*) OVER (PARTITION BY shingle) <= 100
+), sizes AS (
+  SELECT doc_id, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS i
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT d1, d2 FROM inter
+  JOIN sizes s1 ON s1.doc_id = d1
+  JOIN sizes s2 ON s2.doc_id = d2
+  WHERE i::DOUBLE / (s1.n + s2.n - i) >= 0.25
+), edges AS (
+  SELECT d1 AS a, d2 AS b FROM pairs
+  UNION SELECT d2, d1 FROM pairs
+), walk(node, lbl) AS (
+  SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+  UNION
+  SELECT e.a, w.lbl FROM edges e JOIN walk w ON w.node = e.b
+), labels AS (
+  SELECT node, min(lbl) AS cluster FROM walk GROUP BY node
+)
+SELECT cluster::BIGINT AS cluster, count(*)::BIGINT AS n_docs
+FROM labels GROUP BY cluster
+"""
+
+
 def q_token_stats(spark, sf_dir):
     """Whitespace token counts + quality ratios per document."""
     from chronoxtract_spark.operators.text import with_quality_score, with_token_counts
@@ -874,6 +929,11 @@ def q_rollup_tiers(spark, sf_dir):
         F.round(F.col("max"), 6).alias("max_rate"),
         F.round(F.col("sum"), 4).alias("sum_rate"),
         F.round(F.col("absolute_energy"), 4).alias("energy"),
+        F.round(F.col("q05"), 6).alias("q05"),
+        F.round(F.col("q25"), 6).alias("q25"),
+        F.round(F.col("median"), 6).alias("median"),
+        F.round(F.col("q75"), 6).alias("q75"),
+        F.round(F.col("q95"), 6).alias("q95"),
     )
 
 
@@ -904,7 +964,10 @@ WITH m AS (
   SELECT user_id, (tsec // 3600) * 3600 AS hour_epoch,
          count(*) AS n, sum(rate) AS s1, sum(rate*rate) AS s2,
          sum(rate*rate*rate) AS s3, sum(rate*rate*rate*rate) AS s4,
-         min(rate) AS mn, max(rate) AS mx
+         min(rate) AS mn, max(rate) AS mx,
+         quantile_cont(rate, 0.05) AS q05, quantile_cont(rate, 0.25) AS q25,
+         quantile_cont(rate, 0.5) AS q50, quantile_cont(rate, 0.75) AS q75,
+         quantile_cont(rate, 0.95) AS q95
   FROM rates GROUP BY 1, 2
 )
 SELECT user_id, hour_epoch::BIGINT AS hour_epoch, n::BIGINT AS n,
@@ -923,7 +986,12 @@ SELECT user_id, hour_epoch::BIGINT AS hour_epoch, n::BIGINT AS n,
        round(mn, 6) AS min_rate,
        round(mx, 6) AS max_rate,
        round(s1, 4) AS sum_rate,
-       round(s2, 4) AS energy
+       round(s2, 4) AS energy,
+       round(q05, 6) AS q05,
+       round(q25, 6) AS q25,
+       round(q50, 6) AS median,
+       round(q75, 6) AS q75,
+       round(q95, 6) AS q95
 FROM hourly
 """
 
@@ -2821,6 +2889,7 @@ _EXTRA_QUERIES = {
     "carma_loglik": q_carma_loglik,
     "carma_mcmc": q_carma_mcmc,
     "hankel": q_hankel,
+    "dup_clusters": q_dup_clusters,
     "ivf_ann": q_ivf_ann,
     "doc_fingerprint": q_doc_fingerprint,
     "seasonal_strength": q_seasonal_strength,
@@ -2846,6 +2915,7 @@ _EXTRA_ORACLES = {
     "simhash": SQL_SIMHASH,
     "lang_id_pred": SQL_LANG_ID_PRED,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
+    "dup_clusters": SQL_DUP_CLUSTERS,
     "carma_loglik": SQL_CARMA_LOGLIK,
     "matrix_profiles": SQL_MATRIX_PROFILES,
     "multiscale_entropy": SQL_MULTISCALE_ENTROPY,

@@ -324,6 +324,69 @@ def minhash_lsh_pairs(
     return verified
 
 
+def duplicate_clusters(
+    pairs: DataFrame,
+    d1: str = "d1",
+    d2: str = "d2",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected components over near-duplicate pairs → (doc, cluster).
+
+    Min-label propagation: every doc starts labeled with itself; each
+    round, labels flow across edges and every doc keeps the minimum it
+    has seen. Converges in O(component diameter) rounds — near-dup
+    clusters are shallow (template families), so a handful of rounds
+    closes them. Each round is two shuffles (join + min-agg); the loop
+    lives on the driver with a cheap convergence check, the data never
+    does — the standard GraphX-free component pattern at scale.
+    """
+    edges = (
+        pairs.select(F.col(d1).alias("a"), F.col(d2).alias("b"))
+        .union(pairs.select(F.col(d2).alias("a"), F.col(d1).alias("b")))
+        .distinct()
+    )
+    labels = (
+        edges.select(F.col("a").alias("doc"))
+        .distinct()
+        .withColumn("cluster", F.col("doc"))
+    )
+    for _ in range(max_iters):
+        # labels reachable over one hop, merged with current
+        prop = (
+            edges.join(labels, edges["b"] == labels["doc"])
+            .select(F.col("a").alias("doc"), "cluster")
+            .unionByName(labels)
+            .groupBy("doc")
+            .agg(F.min("cluster").alias("cluster"))
+        )
+        changed = (
+            prop.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = prop
+        if changed == 0:
+            break
+        labels = labels.localCheckpoint(eager=True)
+    return labels
+
+
+def dedup_keep_representatives(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Drop all but the smallest-id doc of each near-duplicate cluster
+    (deterministic representative); docs in no pair pass through."""
+    clusters = duplicate_clusters(pairs)
+    losers = clusters.filter(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def simhash_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",

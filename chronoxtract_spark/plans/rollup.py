@@ -60,6 +60,7 @@ class RollupEngine:
         kernel_features: bool = True,
         compress: bool = True,
         feature_mode: str = "core",
+        quantiles: str = "exact",
     ):
         self.spark = spark
         self.io = io
@@ -69,6 +70,10 @@ class RollupEngine:
         # 'core' = the north-star window features vectorized across
         # windows; 'full' = the whole kernel battery per window
         self.feature_mode = feature_mode
+        # 'exact' = sort-based interpolated percentile (windows are
+        # bounded, oracle-checkable); 'approx' = mergeable t-digest-style
+        # sketch for deployments that re-merge window quantiles
+        self.quantiles = quantiles
 
     # -- lineage ------------------------------------------------------------
 
@@ -206,15 +211,18 @@ class RollupEngine:
         bucketed = base.withColumn(out_bucket, F.date_trunc(trunc, "minute_ts"))
         keys = ["conv_id", out_bucket]
 
+        qprobs = F.array(*[F.lit(q) for q in (0.05, 0.25, 0.5, 0.75, 0.95)])
+        if self.quantiles == "exact":
+            # tier windows are bounded (<= 1440 points), so the exact
+            # sort-based percentile is cheap AND oracle-checkable; the
+            # approx sketch exists for deployments that re-merge window
+            # quantiles across tiers
+            qagg = F.percentile("rate", qprobs)
+        else:
+            qagg = F.percentile_approx("rate", qprobs, F.lit(200))
         state = bucketed.groupBy(*keys).agg(
             *cxf.moment_state_exprs("rate"),
-            F.percentile_approx(
-                "rate", F.array(*[F.lit(q) for q in (0.05, 0.25, 0.5, 0.75, 0.95)]),
-                # sketch accuracy sized to the window: tier windows hold
-                # <= 1440 points, so 200 keeps the sketch exact-ish while
-                # an oversized sketch just burns memory per group
-                F.lit(200),
-            ).alias("q_sketch"),
+            qagg.alias("q_sketch"),
             F.first("day").alias("day"),
         )
         derived = cxf.moments_from_state()

@@ -348,3 +348,29 @@ class TestIvfAnn:
             .toString()
         )
         assert "CartesianProduct" not in plan
+
+
+class TestDupClusters:
+    def test_components_and_representatives(self, spark):
+        from chronoxtract_spark.operators.dedup import (
+            dedup_keep_representatives,
+            duplicate_clusters,
+        )
+
+        # two components: {1,2,3} (chain), {7,9}; 5 is isolated (no pair)
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (7, 9)], "d1 long, d2 long"
+        )
+        labels = {
+            r["doc"]: r["cluster"] for r in duplicate_clusters(pairs).collect()
+        }
+        assert labels == {1: 1, 2: 1, 3: 1, 7: 7, 9: 7}
+
+        docs = spark.createDataFrame(
+            [(i, f"t{i}") for i in (1, 2, 3, 5, 7, 9)], "doc_id long, text string"
+        )
+        kept = sorted(
+            r["doc_id"]
+            for r in dedup_keep_representatives(docs, pairs).collect()
+        )
+        assert kept == [1, 5, 7]
