@@ -2874,6 +2874,192 @@ LEFT JOIN (
 """
 
 
+def q_entropy_battery(spark, sf_dir):
+    """Permutation entropy (m=3, stable tie-break) and approximate
+    entropy (m=2, r=0.2*std) per (event_type, day) window (reference:
+    src/entropy/mod.rs:160-256) — oracle-exact: ordinal patterns are
+    pairwise-comparison arithmetic over lead() triples, ApEn's phi is a
+    self-inclusive pair join."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import entropy as k_entropy
+
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "ts",
+        "event_id",
+        "value",
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        x = pdf["value"].to_numpy(np.float64)
+        try:
+            pe = k_entropy.permutation_entropy(x, 3, 1)
+        except ValueError:
+            pe = float("nan")
+        try:
+            ae = k_entropy.approximate_entropy(
+                x, 2, 0.2 * max(float(np.std(x)), 1e-12)
+            )
+        except ValueError:
+            ae = float("nan")
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "day": pdf["day"].iloc[0],
+                    "perm_entropy": pe,
+                    "approx_entropy": ae,
+                }
+            ]
+        )
+
+    out = ev.groupBy("event_type", "day").applyInPandas(
+        fn,
+        schema="event_type string, day string, perm_entropy double, "
+        "approx_entropy double",
+    )
+    return out.select(
+        "event_type",
+        "day",
+        F.round("perm_entropy", 6).alias("perm_entropy"),
+        F.round("approx_entropy", 6).alias("approx_entropy"),
+    )
+
+
+SQL_ENTROPY_BATTERY = """
+WITH x AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value,
+         row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+), meta AS (
+  SELECT event_type, day, count(*) AS n,
+         0.2 * greatest(stddev_pop(value), 1e-12) AS r
+  FROM x GROUP BY 1, 2
+), tri AS (
+  SELECT event_type, day, value AS a,
+         lead(value, 1) OVER w AS b, lead(value, 2) OVER w AS c
+  FROM x WINDOW w AS (PARTITION BY event_type, day ORDER BY rn)
+), codes AS (
+  -- ordinal-pattern code: element j contributes j * 3^slot_j where
+  -- slot_j = #elements sorting before it under (value, position)
+  SELECT event_type, day,
+         1 * pow(3, (CASE WHEN a <= b THEN 1 ELSE 0 END)
+                  + (CASE WHEN c <  b THEN 1 ELSE 0 END))
+       + 2 * pow(3, (CASE WHEN a <= c THEN 1 ELSE 0 END)
+                  + (CASE WHEN b <= c THEN 1 ELSE 0 END)) AS code
+  FROM tri WHERE b IS NOT NULL AND c IS NOT NULL
+), pe AS (
+  SELECT event_type, day,
+         -sum(p * ln(p)) AS perm_entropy
+  FROM (
+    SELECT event_type, day,
+           count(*)::DOUBLE / sum(count(*)) OVER (PARTITION BY event_type, day)
+             AS p
+    FROM codes GROUP BY event_type, day, code
+  ) GROUP BY 1, 2
+), tpl AS (
+  SELECT event_type, day, rn, value AS y0,
+         lead(value, 1) OVER w AS y1, lead(value, 2) OVER w AS y2
+  FROM x WINDOW w AS (PARTITION BY event_type, day ORDER BY rn)
+), phi2 AS (
+  SELECT a.event_type, a.day,
+         sum(ln(cnt / k)) / any_value(k) AS phi
+  FROM (
+    SELECT a.event_type, a.day, a.rn,
+           count(*)::DOUBLE AS cnt,
+           any_value(m.n - 1)::DOUBLE AS k
+    FROM tpl a
+    JOIN tpl b ON a.event_type = b.event_type AND a.day = b.day
+    JOIN meta m ON m.event_type = a.event_type AND m.day = a.day
+    WHERE a.y1 IS NOT NULL AND b.y1 IS NOT NULL
+      AND greatest(abs(a.y0 - b.y0), abs(a.y1 - b.y1)) <= m.r
+    GROUP BY 1, 2, 3
+  ) a GROUP BY 1, 2
+), phi3 AS (
+  SELECT a.event_type, a.day,
+         sum(ln(cnt / k)) / any_value(k) AS phi
+  FROM (
+    SELECT a.event_type, a.day, a.rn,
+           count(*)::DOUBLE AS cnt,
+           any_value(m.n - 2)::DOUBLE AS k
+    FROM tpl a
+    JOIN tpl b ON a.event_type = b.event_type AND a.day = b.day
+    JOIN meta m ON m.event_type = a.event_type AND m.day = a.day
+    WHERE a.y2 IS NOT NULL AND b.y2 IS NOT NULL
+      AND greatest(abs(a.y0 - b.y0), abs(a.y1 - b.y1), abs(a.y2 - b.y2))
+            <= m.r
+    GROUP BY 1, 2, 3
+  ) a GROUP BY 1, 2
+)
+SELECT m.event_type, m.day,
+       round(CASE WHEN m.n >= 3 THEN pe.perm_entropy END, 6)
+         AS perm_entropy,
+       round(CASE WHEN m.n >= 3 THEN phi2.phi - phi3.phi END, 6)
+         AS approx_entropy
+FROM meta m
+LEFT JOIN pe USING (event_type, day)
+LEFT JOIN phi2 USING (event_type, day)
+LEFT JOIN phi3 USING (event_type, day)
+"""
+
+
+def q_chunk_layout(spark, sf_dir):
+    """Gorilla chunk layout per (conversation, day): point count, epoch
+    start, raw byte size — the SQL-expressible face of the chunk
+    pipeline (build_chunks splits the regenerated dense series on day
+    boundaries; n and t0 must match the gap-fill SQL exactly)."""
+    from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
+    from chronoxtract_spark.plans.rollup import RollupEngine
+    from chronoxtract_spark.sources.tableio import temp_warehouse
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    filled = gap_fill_minutes(turn_rate_1m(ev)).withColumn(
+        "day", F.date_format("minute_ts", "yyyy-MM-dd")
+    )
+    eng = RollupEngine(spark, temp_warehouse(spark))
+    chunks = eng.build_chunks(filled)
+    return chunks.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        "day",
+        F.col("n").cast("long").alias("n"),
+        F.col("t0").cast("long").alias("t0"),
+        F.col("raw_size").cast("long").alias("raw_size"),
+    )
+
+
+SQL_CHUNK_LAYOUT = """
+WITH m AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute_ts, count(*) AS turns
+  FROM events GROUP BY 1, 2
+), seg AS (
+  SELECT user_id, minute_ts,
+         lead(minute_ts) OVER w AS next_ts
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY minute_ts)
+), dense AS (
+  SELECT user_id,
+         unnest(generate_series(
+           epoch(minute_ts)::BIGINT,
+           epoch(coalesce(next_ts - INTERVAL 1 MINUTE, minute_ts))::BIGINT,
+           60)) AS tsec
+  FROM seg
+)
+SELECT user_id,
+       strftime(to_timestamp((tsec // 86400) * 86400), '%Y-%m-%d') AS day,
+       count(*)::BIGINT AS n,
+       min(tsec)::BIGINT AS t0,
+       (count(*) * 16)::BIGINT AS raw_size
+FROM dense GROUP BY 1, 2
+"""
+
+
 def q_welch_psd(spark, sf_dir):
     """Welch PSD (the north-star 'Welch/FFT spectral power' block) of
     each event_type series: hann-windowed, mean-detrended, 50%-overlap
@@ -3154,6 +3340,8 @@ _EXTRA_QUERIES = {
     "hankel": q_hankel,
     "dup_clusters": q_dup_clusters,
     "welch_psd": q_welch_psd,
+    "entropy_battery": q_entropy_battery,
+    "chunk_layout": q_chunk_layout,
     "ivf_ann": q_ivf_ann,
     "doc_fingerprint": q_doc_fingerprint,
     "seasonal_strength": q_seasonal_strength,
@@ -3188,6 +3376,8 @@ _EXTRA_ORACLES = {
     "seasonal_strength": SQL_SEASONAL_STRENGTH,
     "variability_statistics": SQL_VARIABILITY_STATISTICS,
     "welch_psd": SQL_WELCH_PSD,
+    "entropy_battery": SQL_ENTROPY_BATTERY,
+    "chunk_layout": SQL_CHUNK_LAYOUT,
     "peak_prominence": SQL_PEAK_PROMINENCE,
     "peak_to_peak": SQL_PEAK_TO_PEAK,
 }
