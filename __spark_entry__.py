@@ -3060,6 +3060,111 @@ FROM dense GROUP BY 1, 2
 """
 
 
+def q_dfa(spark, sf_dir):
+    """DFA scaling exponent per event_type series (reference:
+    src/seasonality/mod.rs:267-366) — oracle-exact: integration is a
+    running sum, the per-window OLS detrend has a closed form over the
+    in-window index, the size ladder and the final log-log fit are
+    plain arithmetic."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import seasonality as k_seas
+
+    ev = _events(spark, sf_dir).select("event_type", "ts", "event_id", "value")
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        x = pdf["value"].to_numpy(np.float64)
+        try:
+            alpha = k_seas.detrended_fluctuation_analysis(x)
+        except ValueError:
+            alpha = float("nan")
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n": int(x.size),
+                    "alpha": alpha,
+                }
+            ]
+        )
+
+    out = ev.groupBy("event_type").applyInPandas(
+        fn, schema="event_type string, n long, alpha double"
+    )
+    return out.select("event_type", "n", F.round("alpha", 6).alias("alpha"))
+
+
+SQL_DFA = """
+WITH s AS (
+  SELECT event_type, value,
+         row_number() OVER (PARTITION BY event_type ORDER BY ts, event_id)
+           - 1 AS rn
+  FROM events
+), centered AS (
+  SELECT event_type, rn,
+         value - avg(value) OVER (PARTITION BY event_type) AS c
+  FROM s
+), integ AS (
+  SELECT event_type, rn,
+         sum(c) OVER (PARTITION BY event_type ORDER BY rn
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+  FROM centered
+), meta AS (
+  SELECT event_type, count(*) AS n FROM s GROUP BY 1
+), ladder AS (
+  SELECT * FROM (
+    SELECT m.event_type, i.i, m.n,
+           round(exp(ln(4.0)
+                     + i.i * ((ln((m.n // 4)::DOUBLE) - ln(4.0)) / 9.0)))
+             ::BIGINT AS ws
+    FROM meta m, unnest(generate_series(0, 9)) AS i(i)
+  ) WHERE ws >= 4 AND ws <= n // 4
+), win AS (
+  SELECT l.event_type, l.i, l.ws,
+         g.rn // l.ws AS w, g.rn % l.ws AS il, g.y
+  FROM ladder l
+  JOIN integ g ON g.event_type = l.event_type
+              AND g.rn < (SELECT m2.n FROM meta m2
+                          WHERE m2.event_type = l.event_type) // l.ws * l.ws
+), fits AS (
+  SELECT event_type, i, ws, w,
+         ws::DOUBLE AS nf,
+         ws::DOUBLE * (ws - 1) / 2.0 AS sx,
+         ws::DOUBLE * (ws - 1) * (2.0 * ws - 1) / 6.0 AS sxx,
+         sum(y) AS sy, sum(il * y) AS sxy
+  FROM win GROUP BY 1, 2, 3, 4
+), resid AS (
+  SELECT w.event_type, w.i, w.ws, w.w,
+         avg(pow(w.y - (((f.nf * f.sxy - f.sx * f.sy)
+                          / (f.nf * f.sxx - f.sx * f.sx)) * w.il
+                        + (f.sy - ((f.nf * f.sxy - f.sx * f.sy)
+                                   / (f.nf * f.sxx - f.sx * f.sx)) * f.sx)
+                          / f.nf), 2)) AS mean_sq
+  FROM win w
+  JOIN fits f ON f.event_type = w.event_type AND f.i = w.i AND f.w = w.w
+  GROUP BY 1, 2, 3, 4
+), fl AS (
+  SELECT event_type, i, ws, sqrt(sum(mean_sq) / count(*)) AS f
+  FROM resid GROUP BY 1, 2, 3
+), fit AS (
+  SELECT event_type, count(*)::DOUBLE AS n,
+         sum(ln(ws::DOUBLE)) AS sx, sum(ln(f)) AS sy,
+         sum(ln(ws::DOUBLE) * ln(ws::DOUBLE)) AS sxx,
+         sum(ln(ws::DOUBLE) * ln(f)) AS sxy
+  FROM fl GROUP BY 1
+)
+SELECT m.event_type, m.n::BIGINT AS n,
+       round(CASE WHEN fit.n >= 2
+             THEN (fit.n * fit.sxy - fit.sx * fit.sy)
+                  / (fit.n * fit.sxx - fit.sx * fit.sx)
+             ELSE 0.0 END, 6) AS alpha
+FROM meta m LEFT JOIN fit ON fit.event_type = m.event_type
+"""
+
+
 def q_welch_psd(spark, sf_dir):
     """Welch PSD (the north-star 'Welch/FFT spectral power' block) of
     each event_type series: hann-windowed, mean-detrended, 50%-overlap
@@ -3342,6 +3447,7 @@ _EXTRA_QUERIES = {
     "welch_psd": q_welch_psd,
     "entropy_battery": q_entropy_battery,
     "chunk_layout": q_chunk_layout,
+    "dfa": q_dfa,
     "ivf_ann": q_ivf_ann,
     "doc_fingerprint": q_doc_fingerprint,
     "seasonal_strength": q_seasonal_strength,
@@ -3378,6 +3484,7 @@ _EXTRA_ORACLES = {
     "welch_psd": SQL_WELCH_PSD,
     "entropy_battery": SQL_ENTROPY_BATTERY,
     "chunk_layout": SQL_CHUNK_LAYOUT,
+    "dfa": SQL_DFA,
     "peak_prominence": SQL_PEAK_PROMINENCE,
     "peak_to_peak": SQL_PEAK_TO_PEAK,
 }
