@@ -1194,21 +1194,28 @@ def q_lsh_ann(spark, sf_dir):
     return lsh_topk(queries, emb, k=3, n_planes=6, n_tables=4, dim=64)
 
 
+def _sql_bucket_expr(col: str, planes) -> str:
+    """Sign-bit hyperplane bucket id as a DuckDB expression — the SQL
+    twin of similarity.lsh_bucket_col (bit i set when the dot product
+    with plane i is positive). Shared by every generated LSH oracle so
+    the sign convention can't drift between them."""
+    terms = []
+    for i, p in enumerate(planes):
+        lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
+        terms.append(
+            f"(CASE WHEN list_dot_product({col}, {lit}) > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
 def _sql_lsh_ann() -> str:
     """Generate the DuckDB mirror of q_lsh_ann: same seeded planes
     (similarity._hyperplanes, seed 42+t), sign-bit buckets, per-table
     candidate equi-join, exact cosine re-rank."""
     from chronoxtract_spark.operators.similarity import _hyperplanes
 
-    def bucket_expr(col: str, planes) -> str:
-        terms = []
-        for i, p in enumerate(planes):
-            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
-            terms.append(
-                f"(CASE WHEN list_dot_product({col}, {lit}) > 0 "
-                f"THEN {1 << i} ELSE 0 END)"
-            )
-        return " + ".join(terms)
+    bucket_expr = _sql_bucket_expr
 
     table_ctes = []
     table_selects = []
@@ -1258,9 +1265,11 @@ FROM r WHERE rank <= 3
 def q_ivf_ann(spark, sf_dir):
     """IVF approximate top-3: seeded spherical k-means coarse quantizer
     (bounded driver-side train sample) + probe-list equi-join + exact
-    re-rank — the classic ANN scale path alongside lsh_ann. Rows-only
-    (the kmeans++ sampling chain isn't SQL-expressible); recall vs
-    knn_brute is asserted in tests/test_operators_extra.py."""
+    re-rank — the classic ANN scale path alongside lsh_ann.
+    Oracle-checked via _sql_ivf_ann, which retrains the deterministic
+    quantizer from the same parquet and embeds the centroids as SQL
+    literals; recall vs knn_brute is additionally asserted in
+    tests/test_operators_extra.py."""
     from chronoxtract_spark.operators.similarity import ivf_topk
 
     emb = _embeddings(spark, sf_dir)
@@ -1271,18 +1280,31 @@ def q_ivf_ann(spark, sf_dir):
 def _sql_ivf_ann() -> str:
     """DuckDB mirror of q_ivf_ann. The coarse quantizer is trained on
     the id-sorted corpus with a fixed seed, so this generator reproduces
-    the exact centroids by reading the same parquet (driver correctness
-    runs at sf0.01; the unit-norm fold is mirrored with cumsum so the
-    kmeans input is bit-identical) and embeds them as literals."""
+    the exact centroids by reading the same parquet the driver compares
+    against (sf0.01 by contract; override with $CX_ORACLE_SF_DIR when
+    checking another scale — the unit-norm fold is mirrored with cumsum
+    so the kmeans input is bit-identical) and embeds them as literals.
+    Only valid while the corpus fits the 4096-vector train sample; for
+    larger corpora the Spark side hash-samples and the oracle is not
+    registered."""
+    import os
+
     import duckdb
     import numpy as np
 
     from chronoxtract_spark.operators.similarity import _kmeans_centroids
 
+    sf_dir = os.environ.get("CX_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     con = duckdb.connect()
+    n_corpus = con.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+    ).fetchone()[0]
+    if n_corpus > 4096:
+        con.close()
+        raise ValueError("corpus exceeds the train sample; oracle invalid")
     rows = con.sql(
         "SELECT vec_id, embedding FROM "
-        "'/root/testdata/sf0.01/embeddings.parquet' ORDER BY vec_id"
+        f"'{sf_dir}/embeddings.parquet' ORDER BY vec_id"
     ).fetchall()
     con.close()
     vecs = []
@@ -2086,7 +2108,9 @@ LEFT JOIN acnt ac USING (event_type, day, scale)
 
 def q_lomb_scargle(spark, sf_dir):
     """Lomb-Scargle periodogram of each event_type's irregular (t, v)
-    series (reference: src/fda/lombscargle.rs:31-74) — rows-only."""
+    series (reference: src/fda/lombscargle.rs:31-74) — oracle-exact
+    (the tau-corrected periodogram is cos/sin sums over a frequency
+    grid, SQL_LOMB_SCARGLE)."""
     import pandas as pd
 
     from chronoxtract_spark.kernel import fda as k_fda
@@ -2262,6 +2286,12 @@ def q_hankel(spark, sf_dir):
 
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort").head(32)
         x = pdf["value"].to_numpy(np.float64)
+        if x.size < 8:
+            # mirror the oracle: generate_series(0, n-8) is empty for
+            # short groups, so they contribute no rows
+            return pd.DataFrame(
+                {"event_type": [], "i": [], "j": [], "h": []}
+            ).astype({"i": "int32", "j": "int32", "h": "float64"})
         h = k_mat.time_delay_embedding(x, 8)
         ii, jj = np.meshgrid(
             np.arange(h.shape[0]), np.arange(h.shape[1]), indexing="ij"
@@ -2556,22 +2586,13 @@ def _sql_embedding_near_dups() -> str:
     distinct candidate pairs, exact cosine >= 0.5 verify."""
     from chronoxtract_spark.operators.similarity import _hyperplanes
 
-    def bucket_expr(planes) -> str:
-        terms = []
-        for i, p in enumerate(planes):
-            lit = "[" + ", ".join(repr(float(x)) for x in p) + "]"
-            terms.append(
-                f"(CASE WHEN list_dot_product(v, {lit}) > 0 "
-                f"THEN {1 << i} ELSE 0 END)"
-            )
-        return " + ".join(terms)
-
     ctes = []
     selects = []
     for t in range(16):
         planes = _hyperplanes(64, 4, 42 + 101 * t)
         ctes.append(
-            f"b{t} AS (SELECT d, {bucket_expr(planes)} AS bucket FROM u),\n"
+            f"b{t} AS (SELECT d, {_sql_bucket_expr('v', planes)} AS bucket "
+            f"FROM u),\n"
             f"p{t} AS (SELECT a.d AS d1, b.d AS d2 FROM b{t} a "
             f"JOIN b{t} b ON a.bucket = b.bucket AND a.d < b.d)"
         )
@@ -2774,12 +2795,14 @@ WITH s AS (
   FROM r GROUP BY 1
 )
 SELECT event_type, n_minutes,
-       round(greatest(CASE WHEN var_sr > 0
-                      THEN 1.0 - greatest(var_rem / var_sr, 0.0)
-                      ELSE 0.0 END, 0.0), 6) AS seasonal_strength,
-       round(greatest(CASE WHEN var_tr > 0
-                      THEN 1.0 - greatest(var_rem / var_tr, 0.0)
-                      ELSE 0.0 END, 0.0), 6) AS trend_strength
+       CASE WHEN n_minutes >= 60 THEN
+         round(greatest(CASE WHEN var_sr > 0
+                        THEN 1.0 - greatest(var_rem / var_sr, 0.0)
+                        ELSE 0.0 END, 0.0), 6) END AS seasonal_strength,
+       CASE WHEN n_minutes >= 60 THEN
+         round(greatest(CASE WHEN var_tr > 0
+                        THEN 1.0 - greatest(var_rem / var_tr, 0.0)
+                        ELSE 0.0 END, 0.0), 6) END AS trend_strength
 FROM vv
 """
 
@@ -3182,6 +3205,13 @@ def q_welch_psd(spark, sf_dir):
 
         pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
         x = pdf["value"].to_numpy(np.float64)
+        if x.size < 64:
+            # groups shorter than one segment are skipped on both sides
+            # (the kernel would shrink nperseg; the oracle's fixed-64
+            # grid can't — align by exclusion)
+            return pd.DataFrame({"event_type": [], "k": [], "psd": []}).astype(
+                {"k": "int32", "psd": "float64"}
+            )
         psd = k_fda.welch_power(x, nperseg=64)
         return pd.DataFrame(
             {
@@ -3206,6 +3236,7 @@ WITH s AS (
 ), params AS (
   SELECT event_type, ((count(*) - 64) // 32 + 1) AS nseg
   FROM s GROUP BY 1
+  HAVING count(*) >= 64
 ), wsum AS (
   SELECT sum(pow(0.5 - 0.5 * cos(2 * pi() * i.i / 63.0), 2)) AS w
   FROM unnest(generate_series(0, 63)) AS i(i)

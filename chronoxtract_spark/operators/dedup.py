@@ -351,14 +351,16 @@ def duplicate_clusters(
         .withColumn("cluster", F.col("doc"))
     )
     for _ in range(max_iters):
-        # labels reachable over one hop, merged with current
+        # labels reachable over one hop, merged with current;
+        # checkpoint BEFORE the convergence count so the propagation
+        # plan is evaluated once, not once per downstream action
         prop = (
             edges.join(labels, edges["b"] == labels["doc"])
             .select(F.col("a").alias("doc"), "cluster")
             .unionByName(labels)
             .groupBy("doc")
             .agg(F.min("cluster").alias("cluster"))
-        )
+        ).localCheckpoint(eager=True)
         changed = (
             prop.alias("n")
             .join(labels.alias("o"), "doc")
@@ -368,9 +370,12 @@ def duplicate_clusters(
         )
         labels = prop
         if changed == 0:
-            break
-        labels = labels.localCheckpoint(eager=True)
-    return labels
+            return labels
+    raise RuntimeError(
+        f"duplicate_clusters did not converge in {max_iters} rounds — "
+        "a component's diameter exceeds the iteration budget; raise "
+        "max_iters (rounds needed = longest chain in the pair graph)"
+    )
 
 
 def dedup_keep_representatives(
@@ -403,6 +408,12 @@ def simhash_duplicates(
     60-bit md5-prefix hash (oracle-checkable; band_bits must divide 60).
     """
     n_bits = 64 if hash_fn == "xxhash64" else 60
+    if n_bits % band_bits:
+        raise ValueError(
+            f"band_bits={band_bits} must divide {n_bits} for "
+            f"hash_fn={hash_fn!r} (otherwise high fingerprint bits are "
+            "silently excluded from banding)"
+        )
     tokens = df.select(
         F.col(id_col).alias("d"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )

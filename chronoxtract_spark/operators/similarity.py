@@ -171,8 +171,13 @@ def _kmeans_centroids(
             ((x[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(axis=2),
             axis=1,
         )
-        p = d2 / max(d2.sum(), 1e-300)
-        cents.append(x[int(rng.choice(n, p=p))])
+        total = float(d2.sum())
+        if total <= 0.0:
+            # every remaining vector coincides with a centroid (e.g. a
+            # corpus of duplicates) — fall back to a uniform pick
+            cents.append(x[int(rng.randint(n))])
+            continue
+        cents.append(x[int(rng.choice(n, p=d2 / total))])
     c = np.asarray(cents)
     for _ in range(n_iters):
         d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
