@@ -374,3 +374,49 @@ class TestDupClusters:
             for r in dedup_keep_representatives(docs, pairs).collect()
         )
         assert kept == [1, 5, 7]
+
+
+class TestPortableHash:
+    def test_md5_60_matches_duckdb(self, spark):
+        """The portable hash family must produce identical values in
+        Spark and DuckDB for arbitrary unicode inputs — the property
+        every oracle-checked dedup pipeline rests on."""
+        import duckdb
+        import numpy as np
+
+        from chronoxtract_spark.operators.dedup import (
+            MINHASH_P,
+            _hash64,
+            minhash_coeffs,
+        )
+        from pyspark.sql import functions as F
+
+        rng = np.random.RandomState(7)
+        alphabet = list("abc XYZ09_é中文!")
+        strings = [
+            "".join(rng.choice(alphabet, size=rng.randint(1, 30)))
+            for _ in range(50)
+        ]
+        df = spark.createDataFrame([(s,) for s in strings], "s string")
+        a, b = minhash_coeffs(4)[3]
+        base = _hash64(F.col("s"), "base", "md5_60")
+        got = df.select(
+            "s",
+            base.alias("h"),
+            F.pmod(
+                F.lit(a) * F.shiftright(base, 30)
+                + F.lit(b) * base.bitwiseAND(F.lit((1 << 30) - 1))
+                + F.lit(3),
+                F.lit(MINHASH_P),
+            ).alias("d"),
+        ).collect()
+
+        con = duckdb.connect()
+        for r in got:
+            h, d = con.sql(
+                "SELECT ('0x' || substr(md5(? || chr(1) || 'base'), 1, 15))"
+                "::BIGINT AS h, "
+                f"((? * (h >> 30)) + (? * (h & 1073741823)) + 3) % {MINHASH_P}",
+                params=[r["s"], a, b],
+            ).fetchone()
+            assert h == r["h"] and d == r["d"], r["s"]

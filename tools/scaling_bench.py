@@ -107,12 +107,26 @@ def main():
     if not os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
         print(run(GEN.format(repo=REPO, n_convs=n_convs, min_turns=min_turns,
                              input_dir=INPUT_DIR)))
+    reps = int(os.environ.get("CX_SCALE_REPS", "2"))
     results = {}
     for cpus in (2, 8):
-        line = run(RUNNER.format(repo=REPO, cpus=cpus, input_dir=INPUT_DIR), cpus=cpus)
-        results[cpus] = json.loads(line[len("RESULT "):])
-        print(f"local[{cpus}]:", json.dumps(results[cpus]))
-        time.sleep(5)
+        # best-of-k per leg, same k for both: hypervisor steal is
+        # strictly additive noise (it only ever slows a leg down), so
+        # the minimum wall time is the estimator closest to the
+        # engine's true cost; single runs were observed to swing the
+        # 8-core leg by 20% run-to-run
+        best = None
+        for rep in range(reps):
+            line = run(
+                RUNNER.format(repo=REPO, cpus=cpus, input_dir=INPUT_DIR),
+                cpus=cpus,
+            )
+            r = json.loads(line[len("RESULT "):])
+            print(f"local[{cpus}] rep{rep}:", json.dumps(r))
+            if best is None or r["sec"] < best["sec"]:
+                best = r
+            time.sleep(5)
+        results[cpus] = best
     rn, r4n = results[2], results[8]
     speedup = r4n["points_per_sec"] / rn["points_per_sec"]
     efficiency = speedup / (8 / 2)
