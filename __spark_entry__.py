@@ -807,6 +807,73 @@ FROM documents
 """
 
 
+def q_quality_filter(spark, sf_dir):
+    """Composite training-data filter: per language, how many documents
+    pass the quality gate (heuristic quality_score >= 0.6 and >= 10
+    whitespace tokens) — the end-to-end shape of a corpus-cleaning
+    pipeline stage; oracle mirrors the exact score formula."""
+    from chronoxtract_spark.operators.text import with_quality_score
+
+    d = with_quality_score(_documents(spark, sf_dir))
+    passed = (F.col("quality_score") >= 0.6) & (
+        F.size(F.split(F.col("text"), " ")) >= 10
+    )
+    return d.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.when(passed, 1).otherwise(0)).cast("long").alias("n_pass"),
+        F.round(F.avg("quality_score"), 6).alias("avg_score"),
+    )
+
+
+SQL_QUALITY_FILTER = """
+WITH q AS (
+  SELECT lang,
+         length(text) AS nc,
+         array_length(string_split(text, ' ')) AS nw,
+         (length(text) - (array_length(string_split(text, ' ')) - 1))::DOUBLE
+           / array_length(string_split(text, ' ')) AS mwl,
+         (length(text)
+          - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+           / length(text) AS punct,
+         (length(text)
+          - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+           / length(text) AS digit
+  FROM documents
+), scored AS (
+  SELECT lang, nw,
+         round((1.0 - least(punct * 2, 0.5) - least(digit * 2, 0.3))
+               * (CASE WHEN mwl >= 2 AND mwl <= 12 THEN 1.0 ELSE 0.5 END), 6)
+           AS score
+  FROM q
+)
+SELECT lang, count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN score >= 0.6 AND nw >= 10 THEN 1 ELSE 0 END)::BIGINT
+         AS n_pass,
+       round(avg(score), 6) AS avg_score
+FROM scored GROUP BY lang
+"""
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal binary-column plumbing exposed to the driver: the
+    deterministic synthetic media table (image/audio/video mimes,
+    binary payloads) through the mapInPandas image-feature extractor —
+    rows-only (payload decode is the honest fake; the Spark-side
+    schema/batching is the real thing under test)."""
+    from chronoxtract_spark.operators.multimodal import image_features, synth_media
+
+    media = synth_media(spark, 48)
+    out = image_features(media)
+    return out.select(
+        "media_id",
+        "mime",
+        "n_bytes",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+        F.round("std_pixel", 6).alias("std_pixel"),
+        F.round("edge_density", 6).alias("edge_density"),
+    )
+
+
 def q_lang_counts(spark, sf_dir):
     """Document counts per language tag (scan + agg on documents)."""
     return (
@@ -3475,6 +3542,8 @@ _EXTRA_QUERIES = {
     "carma_mcmc": q_carma_mcmc,
     "hankel": q_hankel,
     "dup_clusters": q_dup_clusters,
+    "quality_filter": q_quality_filter,
+    "media_features": q_media_features,
     "welch_psd": q_welch_psd,
     "entropy_battery": q_entropy_battery,
     "chunk_layout": q_chunk_layout,
@@ -3505,6 +3574,7 @@ _EXTRA_ORACLES = {
     "lang_id_pred": SQL_LANG_ID_PRED,
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dup_clusters": SQL_DUP_CLUSTERS,
+    "quality_filter": SQL_QUALITY_FILTER,
     "carma_loglik": SQL_CARMA_LOGLIK,
     "matrix_profiles": SQL_MATRIX_PROFILES,
     "multiscale_entropy": SQL_MULTISCALE_ENTROPY,
