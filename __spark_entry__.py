@@ -1133,6 +1133,76 @@ FROM rates GROUP BY 1, 2
 """
 
 
+def q_retention_expiry(spark, sf_dir):
+    """North-rule retention made driver-visible: build the 1m/1h tiers
+    for a user subset in a temp warehouse, expire day partitions older
+    than min_day + 10 via RollupEngine.apply_retention (partition
+    deletes + expiry lineage rows), and report per-tier day-partition
+    counts before/dropped/after. Oracle-exact: the tier day set is the
+    union of per-user [first, last] event-day spans."""
+    from chronoxtract_spark.plans.rollup import RollupEngine
+    from chronoxtract_spark.sources.tableio import temp_warehouse
+
+    ev = _events(spark, sf_dir).filter(F.col("user_id") < 40).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("props").alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        "ts",
+    )
+    cutoff = str(
+        ev.agg(
+            F.date_format(
+                F.date_add(F.to_date(F.min("ts")), 10), "yyyy-MM-dd"
+            )
+        ).collect()[0][0]
+    )
+    eng = RollupEngine(
+        spark, temp_warehouse(spark), kernel_features=False, compress=False
+    )
+    eng.run(ev, source_snapshot="retention_demo", resume=False)
+    before = {
+        t: sorted(eng.io.list_partitions(t, "day"))
+        for t in ("rollup_1m", "rollup_1h", "rollup_1d")
+    }
+    dropped = eng.apply_retention(
+        {t: cutoff for t in ("rollup_1m", "rollup_1h", "rollup_1d")}
+    )
+    after = {
+        t: sorted(eng.io.list_partitions(t, "day"))
+        for t in ("rollup_1m", "rollup_1h", "rollup_1d")
+    }
+    rows = [
+        (t, len(before[t]), len(dropped[t]), len(after[t]))
+        for t in ("rollup_1m", "rollup_1h", "rollup_1d")
+    ]
+    return spark.createDataFrame(
+        rows, "tier string, n_days long, n_dropped long, n_survive long"
+    )
+
+
+SQL_RETENTION_EXPIRY = """
+WITH spans AS (
+  SELECT user_id, min(ts::DATE) AS d0, max(ts::DATE) AS d1
+  FROM events WHERE user_id < 40 GROUP BY 1
+), days AS (
+  SELECT DISTINCT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS d
+  FROM spans
+), cutoff AS (
+  SELECT min(ts::DATE) + INTERVAL 10 DAY AS c FROM events WHERE user_id < 40
+), counts AS (
+  SELECT count(*)::BIGINT AS n_days,
+         sum(CASE WHEN d < c THEN 1 ELSE 0 END)::BIGINT AS n_dropped,
+         sum(CASE WHEN d >= c THEN 1 ELSE 0 END)::BIGINT AS n_survive
+  FROM days, cutoff
+)
+SELECT t.tier, counts.n_days, counts.n_dropped, counts.n_survive
+FROM (SELECT unnest(['rollup_1m', 'rollup_1h', 'rollup_1d']) AS tier) t,
+     counts
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates, exact-verified (scale path) —
     oracle-exact end-to-end via the portable md5-prefix hash family
@@ -3544,6 +3614,7 @@ _EXTRA_QUERIES = {
     "dup_clusters": q_dup_clusters,
     "quality_filter": q_quality_filter,
     "media_features": q_media_features,
+    "retention_expiry": q_retention_expiry,
     "welch_psd": q_welch_psd,
     "entropy_battery": q_entropy_battery,
     "chunk_layout": q_chunk_layout,
@@ -3575,6 +3646,7 @@ _EXTRA_ORACLES = {
     "doc_fingerprint": SQL_DOC_FINGERPRINT,
     "dup_clusters": SQL_DUP_CLUSTERS,
     "quality_filter": SQL_QUALITY_FILTER,
+    "retention_expiry": SQL_RETENTION_EXPIRY,
     "carma_loglik": SQL_CARMA_LOGLIK,
     "matrix_profiles": SQL_MATRIX_PROFILES,
     "multiscale_entropy": SQL_MULTISCALE_ENTROPY,
