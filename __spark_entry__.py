@@ -972,7 +972,8 @@ def q_rollup_tiers(spark, sf_dir):
     1h tier (plans.rollup). The driver surface is the tier's mergeable
     moment state + derived moments (reference semantics:
     src/stats/mod.rs:25-79 distributed); the approx-quantile sketch
-    columns live in the rows-only sibling ``rollup_quantiles``.
+    columns are verified both here (exact window percentiles) and in
+    the sibling ``rollup_quantiles``.
     Skew/kurt are quantized with the epsilon-biased integer-unit trick
     (see q_hierarchical_moments) and gated on quantized variance > 0 so
     constant gap-fill spans can't amplify ulp noise."""
@@ -1682,7 +1683,11 @@ FROM sea
 
 def q_compression_stats(spark, sf_dir):
     """Gorilla chunk compression stats per user-day over the gap-filled
-    series (north_star compression stage)."""
+    series (north_star compression stage) — rows-only: enc_size and
+    checksum are products of the binary bit-packing (no SQL form); the
+    SQL-expressible layout columns (n, t0, raw_size) are oracle-checked
+    by the sibling ``chunk_layout`` query, and the codec itself is
+    bit-exact round-trip tested."""
     from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
     from chronoxtract_spark.plans.rollup import RollupEngine
     from chronoxtract_spark.sources.tableio import temp_warehouse
@@ -2139,7 +2144,9 @@ FROM daily
 
 def q_multiscale_entropy(spark, sf_dir):
     """Multiscale sample entropy per (event_type, day) window
-    (reference: src/entropy/mod.rs:305-339) — rows-only kernel check."""
+    (reference: src/entropy/mod.rs:305-339) — oracle-exact
+    (SQL_MULTISCALE_ENTROPY: coarse-grain means + SampEn pair joins for
+    scales 1-3)."""
     import pandas as pd
 
     from chronoxtract_spark.kernel import entropy as k_entropy
@@ -2468,7 +2475,9 @@ FROM grid g JOIN s ON s.event_type = g.event_type AND s.rn = g.i + g.j
 
 def q_carma_fit(spark, sf_dir):
     """Distributed CARMA(1,0) MLE per user series (reference:
-    src/carma/mle.rs:32-114) — rows-only (stochastic multistart)."""
+    src/carma/mle.rs:32-114) — rows-only: the multistart optimizer's
+    winner is seeded-deterministic but not SQL-computable; the Kalman
+    likelihood it maximizes IS oracle-checked (``carma_loglik``)."""
     from chronoxtract_spark.operators.carma import carma_mle_per_series
 
     ev = _events(spark, sf_dir).filter(F.col("user_id") < 20).select(
@@ -2643,7 +2652,10 @@ def q_carma_mcmc(spark, sf_dir):
 def q_zdcf(spark, sf_dir):
     """Alexander ZDCF between two event-type series: equal-population
     bins, Fisher-z errors, seeded MC (reference: src/correlation/zdcf.rs;
-    seed pinned per SURVEY.md trap #3) — rows-only."""
+    seed pinned per SURVEY.md trap #3) — rows-only: the alcbin
+    equal-population binning walks pairs greedily with a no-reused-point
+    rule, a sequential state machine with no window-SQL form, and the
+    reference's MC error term is RNG-driven."""
     import pandas as pd
 
     from chronoxtract_spark.kernel import zdcf as k_zdcf
@@ -2688,7 +2700,9 @@ def q_zdcf(spark, sf_dir):
 def q_carma_order(spark, sf_dir):
     """Distributed CARMA order selection: (series x p x q) AICc grid +
     per-series argmin (reference: src/carma/selection.rs:24-95) —
-    rows-only."""
+    rows-only: every grid cell is an optimizer run (see carma_fit);
+    the argmin itself is trivial SQL but has no SQL-computable
+    inputs."""
     from chronoxtract_spark.operators.carma import (
         best_order_per_series,
         carma_order_grid,
