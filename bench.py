@@ -60,7 +60,22 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     ev.unpersist()
 
     # -- operator timings ----------------------------------------------------
-    qs = entry_mod.queries()
+    qs = dict(entry_mod.queries())
+
+    def _minhash_production(spark, sf_dir):
+        # bench the PRODUCTION hash family (xxhash64, JVM-side). The
+        # registry's q_minhash_lsh pins hash_fn='md5_60' because that
+        # family is portable to the DuckDB oracle; md5 exists *for the
+        # oracle*, so the bench measures what a deployment would run.
+        from chronoxtract_spark.operators.dedup import minhash_lsh_pairs
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_lsh_pairs(
+            docs, num_hashes=32, bands=8, verify_threshold=0.25,
+            hash_fn="xxhash64",
+        )
+
+    qs["minhash_lsh"] = _minhash_production
     bench_queries = [
         "summary_stats",
         "quantiles",

@@ -45,9 +45,11 @@ def exact_duplicates(
     All variants are one digest projection + one hash-partitioned
     groupBy with map-side partial aggregation.
     """
+    from chronoxtract_spark.operators.text import normalized_text
+
     text = F.col(text_col)
     if key == "normalized":
-        text = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+        text = normalized_text(text)
     elif key == "prefix":
         text = F.substring(text, 1, prefix_len)
     elif key != "exact":
@@ -350,6 +352,7 @@ def duplicate_clusters(
         .distinct()
         .withColumn("cluster", F.col("doc"))
     )
+    prev_ckpt: DataFrame | None = None
     for _ in range(max_iters):
         # labels reachable over one hop, merged with current;
         # checkpoint BEFORE the convergence count so the propagation
@@ -368,7 +371,12 @@ def duplicate_clusters(
             .limit(1)
             .count()
         )
-        labels = prop
+        # the previous round's checkpoint blocks are dead once ``prop``
+        # replaces it — free them, or max_iters label snapshots pile up
+        # in executor storage for the life of the job
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt, labels = prop, prop
         if changed == 0:
             return labels
     raise RuntimeError(

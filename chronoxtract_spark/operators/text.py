@@ -84,9 +84,19 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def normalized_text(col) -> F.Column:
+    """THE canonical text normalization for identity surfaces
+    (fingerprinting, normalized dedup keys): trim, lowercase, collapse
+    whitespace runs to one space. One shared definition so
+    exact_duplicates(key='normalized') and the fingerprint queries can
+    never disagree on leading/trailing-whitespace docs. SQL mirror:
+    ``regexp_replace(lower(trim(x)), '\\s+', ' ', 'g')``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Deterministic 64-bit content fingerprint: xxhash64 of the
-    whitespace-normalized lowercased text (rolling-hash equivalent for
+    canonically normalized text (rolling-hash equivalent for
     whole-document identity)."""
-    norm = F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")
-    return df.withColumn("fingerprint", F.xxhash64(norm))
+    return df.withColumn("fingerprint", F.xxhash64(normalized_text(text_col)))
