@@ -860,23 +860,66 @@ FROM scored GROUP BY lang
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal binary-column plumbing exposed to the driver: the
-    deterministic synthetic media table (image/audio/video mimes,
-    binary payloads) through the mapInPandas image-feature extractor —
-    rows-only (payload decode is the honest fake; the Spark-side
-    schema/batching is the real thing under test)."""
+    """Multimodal image pipeline end-to-end on REAL bytes, oracle-exact:
+    the synthetic media table's image rows are genuine PNGs
+    (multimodal.encode_png, pure numpy+zlib from the public spec) whose
+    pixels follow the analytic pattern (id·31 + r·17 + c·7) mod 251;
+    the Spark side must recover mean/std/edge-density THROUGH the
+    mapInPandas decode (multimodal.decode_png reads IHDR + unfilters
+    scanlines), while the oracle integrates the generating formula
+    directly in SQL — any decode defect shows up as a value mismatch.
+    Order-insensitive: pixel sums are integer-exact in double, and the
+    float moments are epsilon-bias quantized to 1e-4 units."""
     from chronoxtract_spark.operators.multimodal import image_features, synth_media
 
     media = synth_media(spark, 48)
     out = image_features(media)
+
+    def e4(c):
+        return F.floor(F.col(c) * 1e4 + 0.5 + 1e-6).cast("long")
+
     return out.select(
         "media_id",
         "mime",
-        "n_bytes",
-        F.round("mean_pixel", 6).alias("mean_pixel"),
-        F.round("std_pixel", 6).alias("std_pixel"),
-        F.round("edge_density", 6).alias("edge_density"),
+        "img_w",
+        "img_h",
+        e4("mean_pixel").alias("mean_pixel_e4"),
+        e4("std_pixel").alias("std_pixel_e4"),
+        e4("edge_density").alias("edge_density_e4"),
     )
+
+
+SQL_MEDIA_FEATURES = """
+WITH imgs AS (
+  SELECT i.i AS media_id, 'image/png' AS mime,
+         (i.i % 16 + 8)::INT AS w, (i.i % 8 + 8)::INT AS h
+  FROM (SELECT unnest(generate_series(0, 47)) AS i) i
+  WHERE i.i % 3 = 0
+), rows_ AS (
+  SELECT media_id, mime, w, h,
+         unnest(generate_series(0, h - 1)) AS r
+  FROM imgs
+), px AS (
+  SELECT media_id, mime, w, h, r,
+         unnest(generate_series(0, w - 1)) AS c
+  FROM rows_
+), vals AS (
+  SELECT media_id, mime, w, h, r, c,
+         (media_id * 31 + r * 17 + c * 7) % 251 AS v,
+         CASE WHEN c < w - 1
+              THEN (abs((media_id * 31 + r * 17 + (c + 1) * 7) % 251
+                        - (media_id * 31 + r * 17 + c * 7) % 251) > 32)::INT
+         END AS edge
+  FROM px
+)
+SELECT media_id, mime,
+       any_value(w) AS img_w, any_value(h) AS img_h,
+       floor(avg(v) * 1e4 + 0.5 + 1e-6)::BIGINT AS mean_pixel_e4,
+       floor(sqrt(avg(v*v) - avg(v)*avg(v)) * 1e4 + 0.5 + 1e-6)::BIGINT
+         AS std_pixel_e4,
+       floor(avg(edge) * 1e4 + 0.5 + 1e-6)::BIGINT AS edge_density_e4
+FROM vals GROUP BY 1, 2
+"""
 
 
 def q_lang_counts(spark, sf_dir):
@@ -2595,6 +2638,204 @@ FROM terms GROUP BY series_id
 """
 
 
+def q_carma_aicc(spark, sf_dir):
+    """The AICc model-selection machinery of carma_choose_order
+    (reference: src/carma/selection.rs:24-95) made oracle-exact: per
+    user series, the CARMA(1,0) Kalman loglikelihood is evaluated at a
+    FIXED candidate grid a ∈ {0.3, 0.5, 0.8} (closed-form OU — innov
+    variance (1−e^{−2aΔt})/(4a²), same collapse as carma_loglik),
+    AICc = 2k − 2ll + 2k(k+1)/(n−k−1) with k = p+q+1 = 2
+    (kernel.carma.information_criteria), and the per-series winner is
+    the lexicographic min of (rounded aicc, a). This greens the
+    selection formula + argmin that the optimizer-driven ``carma_order``
+    uses; carma_order itself stays rows-only because its grid cells are
+    seeded random-search OPTIMA (no closed form at an optimum)."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import carma as k_carma
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 40)
+        .groupBy(
+            F.col("user_id").cast("long").alias("series_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    CANDS = (0.3, 0.5, 0.8)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("t", kind="mergesort")
+        t = pdf["t"].to_numpy(np.float64)
+        v = pdf["v"].to_numpy(np.float64)
+        e = np.full(t.size, 1e-9)
+        rows = []
+        for a in CANDS:
+            params = k_carma.CarmaParams(
+                p=1, q=0, ar_coeffs=np.array([a]),
+                ma_coeffs=np.array([1.0]), sigma=1.0,
+            )
+            try:
+                ll = k_carma.kalman_loglikelihood(params, t, v, e)
+            except k_carma.CarmaError:
+                ll = float("nan")
+            _aic, aicc, _bic = k_carma.information_criteria(ll, 2, t.size)
+            rows.append(
+                {
+                    "series_id": int(pdf["series_id"].iloc[0]),
+                    "a": a,
+                    "n_obs": int(t.size),
+                    "loglik": ll,
+                    "aicc": aicc,
+                }
+            )
+        return pd.DataFrame(rows)
+
+    raw = ev.groupBy("series_id").applyInPandas(
+        fn,
+        schema=(
+            "series_id long, a double, n_obs long, loglik double, "
+            "aicc double"
+        ),
+    )
+    # rounding + argmin happen JVM-side (F.round is half-away like
+    # DuckDB's round; python round is banker's — never on an oracle
+    # surface); winner = lexicographic min of (rounded aicc, a)
+    w = W.partitionBy("series_id")
+    rounded = raw.select(
+        "series_id",
+        "a",
+        "n_obs",
+        F.round("loglik", 4).alias("loglik"),
+        F.round("aicc", 4).alias("aicc"),
+    )
+    key = F.struct(F.col("aicc"), F.col("a"))
+    return rounded.withColumn("is_best", key == F.min(key).over(w))
+
+
+SQL_CARMA_AICC = """
+WITH s AS (
+  SELECT user_id AS series_id,
+         epoch_us(ts)::BIGINT / 1000000.0 / 3600.0 AS t,
+         avg(value) AS v
+  FROM events WHERE user_id < 40 GROUP BY 1, 2
+), lagged AS (
+  SELECT series_id, t, v,
+         lag(t) OVER w AS pt, lag(v) OVER w AS pv
+  FROM s WINDOW w AS (PARTITION BY series_id ORDER BY t)
+), terms AS (
+  SELECT series_id, c.a AS a,
+         CASE WHEN pt IS NULL THEN v
+              ELSE v - pv * exp(-c.a * (t - pt)) END AS innov,
+         CASE WHEN pt IS NULL THEN 1.0 / (4 * c.a * c.a)
+              ELSE (1 - exp(-2 * c.a * (t - pt))) / (4 * c.a * c.a) END
+           + 1e-18 AS ivar
+  FROM lagged, (SELECT unnest([0.3, 0.5, 0.8]) AS a) c
+), ll AS (
+  SELECT series_id, a, count(*)::BIGINT AS n_obs,
+         round(sum(-0.5 * (innov*innov/ivar + ln(ivar) + 2*ln(pi()))), 4)
+           AS loglik,
+         round(2*2 - 2*sum(-0.5 * (innov*innov/ivar + ln(ivar)
+                                   + 2*ln(pi())))
+               + (2*2*3.0) / (count(*) - 3), 4) AS aicc
+  FROM terms GROUP BY 1, 2
+), best AS (
+  SELECT series_id, min({'aicc': aicc, 'a': a}) AS b FROM ll GROUP BY 1
+)
+SELECT ll.series_id, ll.a, ll.n_obs, ll.loglik, ll.aicc,
+       (ll.aicc = b.b.aicc AND ll.a = b.b.a) AS is_best
+FROM ll JOIN best b USING (series_id)
+"""
+
+
+def q_lzc(spark, sf_dir):
+    """Lempel–Ziv (LZ76) complexity of the binarized per-event-type
+    hourly count series, via the real kernel
+    (kernel.entropy.lempel_ziv_complexity, reference:
+    src/entropy/mod.rs:258-303) — oracle-exact despite the parse being
+    sequential: the jump table L(i) = longest prefix of s[i:] occurring
+    in s[:i] depends only on the bit string, so the oracle precomputes
+    it as a non-recursive (i, j) cross join and a recursive CTE merely
+    WALKS the jumps (pos → pos + L(pos) + 1, one phrase per step).
+    Binarization threshold is the reference's index median
+    sorted[n//2]; integer hourly counts make thresholding exact."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel.entropy import lempel_ziv_complexity
+
+    s = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("h", kind="mergesort")
+        x = pdf["v"].to_numpy(np.float64)
+        return pd.DataFrame(
+            [
+                {
+                    "event_type": pdf["event_type"].iloc[0],
+                    "n": int(x.size),
+                    "lzc": lempel_ziv_complexity(x),
+                }
+            ]
+        )
+
+    return s.groupBy("event_type").applyInPandas(
+        fn, schema="event_type string, n long, lzc double"
+    )
+
+
+SQL_LZC = """
+WITH s AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::DOUBLE AS v
+  FROM events GROUP BY 1, 2
+), thr AS (
+  SELECT event_type, v AS t FROM (
+    SELECT event_type, v,
+           row_number() OVER (PARTITION BY event_type ORDER BY v) AS rk,
+           count(*) OVER (PARTITION BY event_type) AS n
+    FROM s)
+  WHERE rk = n // 2 + 1
+), bits AS (
+  SELECT s.event_type,
+         string_agg(CASE WHEN s.v >= thr.t THEN '1' ELSE '0' END, ''
+                    ORDER BY s.h) AS b,
+         count(*) AS n
+  FROM s JOIN thr USING (event_type) GROUP BY s.event_type
+), pos AS (
+  SELECT event_type, b, n, unnest(generate_series(0, n - 1)) AS i FROM bits
+), pairs AS (
+  SELECT event_type, b, i, unnest(generate_series(1, n - i)) AS j FROM pos
+), L AS (
+  SELECT event_type, i,
+         coalesce(max(CASE WHEN contains(substr(b, 1, i::INT),
+                                          substr(b, (i + 1)::INT, j::INT))
+                           THEN j END), 0) AS l
+  FROM pairs GROUP BY 1, 2
+), walk AS (
+  WITH RECURSIVE w(event_type, pos, c) AS (
+    SELECT event_type, 0::BIGINT, 0::BIGINT FROM bits
+    UNION ALL
+    SELECT w.event_type, w.pos + greatest(l.l + 1, 1), w.c + 1
+    FROM w
+    JOIN L l ON l.event_type = w.event_type AND l.i = w.pos
+    JOIN bits b ON b.event_type = w.event_type
+    WHERE w.pos < b.n
+  )
+  SELECT event_type, max(c) AS lzc FROM w GROUP BY 1
+)
+SELECT b.event_type, b.n::BIGINT AS n, p.lzc::DOUBLE AS lzc
+FROM bits b JOIN walk p USING (event_type)
+"""
+
+
 def q_carma_mcmc(spark, sf_dir):
     """Seeded parallel-tempering CARMA(1,0) MCMC per user series
     (reference: src/carma/mcmc.rs:387-501) — rows-only; emits posterior
@@ -2877,6 +3118,76 @@ SELECT event_type, count(*)::BIGINT AS n_peaks,
        round(max(value), 6) AS max_peak,
        round(avg(gap), 6) AS mean_spacing
 FROM p GROUP BY event_type
+"""
+
+
+def q_find_peaks(spark, sf_dir):
+    """The reference ``find_peaks`` scan itself (plateau-midpoint
+    candidates + height filter, src/peaks/peak_func.rs:1-40) run through
+    the REAL kernel per event-type minute-count series — integer counts
+    so plateaus actually occur — and oracle-checked against an
+    island-run SQL: a run of equal values is a peak iff the previous
+    run is lower, the next run is lower, and the run touches neither
+    array end; its position is the plateau midpoint ⌊(start+end)/2⌋.
+    ``height=2.0`` exercises the height filter; ``distance=None`` here
+    because greedy min-distance suppression is inherently sequential
+    (each acceptance shifts the next cutoff) — that branch is
+    fixture-tested bit-for-bit in tests/test_kernel_shape_peaks.py."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel.peaks import find_peaks
+
+    s = (
+        _events(spark, sf_dir)
+        .groupBy("event_type", F.date_trunc("minute", "ts").alias("m"))
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("m", kind="mergesort")
+        x = pdf["v"].to_numpy(np.float64)
+        idx = find_peaks(x, height=2.0)
+        return pd.DataFrame(
+            {
+                "event_type": pdf["event_type"].iloc[0],
+                "pos": idx.astype(np.int64),
+                "val": x[idx],
+            }
+        )
+
+    return s.groupBy("event_type").applyInPandas(
+        fn, schema="event_type string, pos long, val double"
+    )
+
+
+SQL_FIND_PEAKS = """
+WITH s AS (
+  SELECT event_type, date_trunc('minute', ts) AS m, count(*)::DOUBLE AS v
+  FROM events GROUP BY 1, 2
+), d AS (
+  SELECT event_type, v,
+         row_number() OVER w - 1 AS i,
+         CASE WHEN v = lag(v) OVER w THEN 0 ELSE 1 END AS new_run
+  FROM s WINDOW w AS (PARTITION BY event_type ORDER BY m)
+), r AS (
+  SELECT event_type, v, i,
+         sum(new_run) OVER (PARTITION BY event_type ORDER BY i) AS run_id
+  FROM d
+), runs AS (
+  SELECT event_type, run_id, min(i) AS s, max(i) AS e, any_value(v) AS v
+  FROM r GROUP BY 1, 2
+), flank AS (
+  SELECT event_type, s, e, v,
+         lag(v)  OVER w2 AS pv,
+         lead(v) OVER w2 AS nv
+  FROM runs WINDOW w2 AS (PARTITION BY event_type ORDER BY s)
+)
+SELECT event_type, ((s + e) // 2)::BIGINT AS pos, v AS val
+FROM flank
+WHERE pv IS NOT NULL AND nv IS NOT NULL AND v > pv AND v > nv
+  AND v >= 2.0
 """
 
 
@@ -3614,7 +3925,117 @@ GROUP BY et.event_type
 """
 
 
+def q_rollup_1d(spark, sf_dir):
+    """The COARSEST retention tier with FULL statistical parity — the
+    16-column day tier (mergeable moments + exact interpolated window
+    quantiles) exactly as the production kernel path writes it
+    (plans.rollup.build_rollup_tiers_kernel): both window tiers are cut
+    from one in-kernel dense regeneration, so the 1d tier's median and
+    q05..q95 are first-class, not a casualty of hierarchical state
+    summing (reference computes the same statistics at every tier,
+    src/stats/mod.rs:81-114). Order-sensitive float sums and the
+    interpolated quantiles are epsilon-bias quantized to integer 1e-4
+    units (see q_hierarchical_moments)."""
+    from chronoxtract_spark.plans.rollup import RollupEngine
+    from chronoxtract_spark.sources.tableio import temp_warehouse
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"), "ts"
+    )
+    eng = RollupEngine(spark, temp_warehouse(spark))
+    observed = eng.build_observed(ev)
+    tier = eng.build_rollup_tiers_kernel(observed).filter(
+        F.col("bucket_seconds") == 86400
+    )
+
+    def e4(c):
+        return F.floor(F.col(c) * 1e4 + 0.5 + 1e-6).cast("long")
+
+    var_q = e4("variance")
+    return tier.select(
+        F.col("conv_id").cast("long").alias("user_id"),
+        F.col("bucket_epoch").cast("long").alias("day_epoch"),
+        F.col("n").cast("long").alias("n"),
+        e4("mean").alias("mean_e4"),
+        var_q.alias("variance_e4"),
+        F.when(var_q > 0, e4("skewness")).alias("skewness_e4"),
+        F.when(var_q > 0, e4("kurtosis")).alias("kurtosis_e4"),
+        F.round(F.col("min"), 6).alias("min_rate"),
+        F.round(F.col("max"), 6).alias("max_rate"),
+        e4("sum").alias("sum_e4"),
+        e4("absolute_energy").alias("energy_e4"),
+        e4("q05").alias("q05_e4"),
+        e4("q25").alias("q25_e4"),
+        e4("median").alias("median_e4"),
+        e4("q75").alias("q75_e4"),
+        e4("q95").alias("q95_e4"),
+    )
+
+
+SQL_ROLLUP_1D = """
+WITH m AS (
+  SELECT user_id, date_trunc('minute', ts) AS minute_ts, count(*) AS turns
+  FROM events GROUP BY 1, 2
+), seg AS (
+  SELECT user_id, minute_ts, turns::DOUBLE AS pv,
+         lead(minute_ts) OVER w AS next_ts,
+         lead(turns::DOUBLE) OVER w AS nv
+  FROM m WINDOW w AS (PARTITION BY user_id ORDER BY minute_ts)
+), dense AS (
+  SELECT user_id, pv, nv,
+         epoch(minute_ts)::BIGINT AS t0,
+         epoch(coalesce(next_ts, minute_ts))::BIGINT AS t1,
+         unnest(generate_series(
+           epoch(minute_ts)::BIGINT,
+           epoch(coalesce(next_ts - INTERVAL 1 MINUTE, minute_ts))::BIGINT,
+           60)) AS tsec
+  FROM seg
+), rates AS (
+  SELECT user_id, tsec,
+         CASE WHEN tsec = t0 THEN pv
+              ELSE pv + (nv - pv) * ((tsec - t0)::DOUBLE / (t1 - t0)) END AS rate
+  FROM dense
+), daily AS (
+  SELECT user_id, (tsec // 86400) * 86400 AS day_epoch,
+         count(*) AS n, sum(rate) AS s1, sum(rate*rate) AS s2,
+         sum(rate*rate*rate) AS s3, sum(rate*rate*rate*rate) AS s4,
+         min(rate) AS mn, max(rate) AS mx,
+         quantile_cont(rate, 0.05) AS q05, quantile_cont(rate, 0.25) AS q25,
+         quantile_cont(rate, 0.5) AS q50, quantile_cont(rate, 0.75) AS q75,
+         quantile_cont(rate, 0.95) AS q95
+  FROM rates GROUP BY 1, 2
+)
+SELECT user_id, day_epoch::BIGINT AS day_epoch, n::BIGINT AS n,
+       floor((s1 / n) * 1e4 + 0.5 + 1e-6)::BIGINT AS mean_e4,
+       floor((s2/n - (s1/n)*(s1/n)) * 1e4 + 0.5 + 1e-6)::BIGINT AS variance_e4,
+       CASE WHEN floor((s2/n - (s1/n)*(s1/n)) * 1e4 + 0.5 + 1e-6) > 0 THEN
+         floor(((s3/n - 3*(s1/n)*(s2/n) + 2*pow(s1/n, 3))
+                / pow(s2/n - (s1/n)*(s1/n), 1.5)) * 1e4 + 0.5 + 1e-6)::BIGINT
+       END AS skewness_e4,
+       CASE WHEN floor((s2/n - (s1/n)*(s1/n)) * 1e4 + 0.5 + 1e-6) > 0 THEN
+         floor(((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+                 - 3*pow(s1/n, 4))
+                / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0)
+               * 1e4 + 0.5 + 1e-6)::BIGINT
+       END AS kurtosis_e4,
+       round(mn, 6) AS min_rate,
+       round(mx, 6) AS max_rate,
+       floor(s1 * 1e4 + 0.5 + 1e-6)::BIGINT AS sum_e4,
+       floor(s2 * 1e4 + 0.5 + 1e-6)::BIGINT AS energy_e4,
+       floor(q05 * 1e4 + 0.5 + 1e-6)::BIGINT AS q05_e4,
+       floor(q25 * 1e4 + 0.5 + 1e-6)::BIGINT AS q25_e4,
+       floor(q50 * 1e4 + 0.5 + 1e-6)::BIGINT AS median_e4,
+       floor(q75 * 1e4 + 0.5 + 1e-6)::BIGINT AS q75_e4,
+       floor(q95 * 1e4 + 0.5 + 1e-6)::BIGINT AS q95_e4
+FROM daily
+"""
+
+
 _EXTRA_QUERIES = {
+    "rollup_1d": q_rollup_1d,
+    "carma_aicc": q_carma_aicc,
+    "find_peaks": q_find_peaks,
+    "lzc": q_lzc,
     "higher_moments": q_higher_moments,
     "variability_features": q_variability_features,
     "energy_distribution": q_energy_distribution,
@@ -3652,6 +4073,11 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "rollup_1d": SQL_ROLLUP_1D,
+    "carma_aicc": SQL_CARMA_AICC,
+    "find_peaks": SQL_FIND_PEAKS,
+    "lzc": SQL_LZC,
+    "media_features": SQL_MEDIA_FEATURES,
     "higher_moments": SQL_HIGHER_MOMENTS,
     "variability_features": SQL_VARIABILITY_FEATURES,
     "energy_distribution": SQL_ENERGY_DISTRIBUTION,

@@ -369,7 +369,7 @@ def window_state_batch(X: np.ndarray) -> dict[str, np.ndarray]:
 
 def kernel_features_epoch_bucketed(
     df: DataFrame,
-    bucket_seconds: int,
+    bucket_seconds: int | tuple[int, ...],
     conv_col: str = "conv_id",
     t_col: str = "t",
     value_col: str = "rate",
@@ -386,19 +386,63 @@ def kernel_features_epoch_bucketed(
     dense gap-filled series is rebuilt in-kernel
     (kernel.gapfill.dense_from_observed) so the shuffle never carries
     the ~1000x dense fan-out.
+
+    ``bucket_seconds`` may be a tuple of tier widths (e.g. ``(3600,
+    86400)``): every tier's windows are computed from the SAME in-kernel
+    dense series in ONE grouped-map pass — the marginal cost of a
+    coarser tier is just its window math, not a second shuffle + dense
+    regeneration. Multi-tier output carries an extra ``bucket_seconds``
+    (long) column identifying each row's tier.
     """
     from chronoxtract_spark.kernel import gapfill as k_gapfill
 
+    tiers = (
+        tuple(int(b) for b in bucket_seconds)
+        if isinstance(bucket_seconds, (tuple, list))
+        else (int(bucket_seconds),)
+    )
+    multi = len(tiers) > 1
     fields = CORE_FEATURE_FIELDS if mode == "core" else KERNEL_FEATURE_FIELDS
     if with_state:
         if mode != "core":
             raise ValueError("with_state requires mode='core'")
         fields = WINDOW_STATE_FIELDS + CORE_FEATURE_FIELDS
     m = dict(df.dtypes)
+    tier_col = "bucket_seconds long, " if multi else ""
     schema = (
-        f"{conv_col} {m[conv_col]}, bucket_epoch long, "
+        f"{conv_col} {m[conv_col]}, {tier_col}bucket_epoch long, "
         + ", ".join(f"{c} {t}" for c, t in fields)
     )
+
+    def windows_for(x: np.ndarray, t: np.ndarray, width: int) -> pd.DataFrame:
+        bucket = (t // width) * width
+        change = np.flatnonzero(bucket[1:] != bucket[:-1]) + 1
+        starts = np.concatenate(([0], change))
+        ends = np.concatenate((change, [len(x)]))
+        if mode == "full":
+            rows = []
+            for s, e in zip(starts, ends):
+                feats = compute_kernel_features(x[s:e])
+                feats["bucket_epoch"] = int(bucket[s])
+                rows.append(feats)
+            return pd.DataFrame(rows)
+        lengths = ends - starts
+        n_win = len(starts)
+        cols = {
+            c: np.empty(n_win, dtype=np.int64 if ft == "long" else np.float64)
+            for c, ft in fields
+        }
+        for length in np.unique(lengths):
+            sel = np.flatnonzero(lengths == length)
+            mat = np.stack([x[starts[i] : ends[i]] for i in sel])
+            feats = core_features_batch(mat)
+            if with_state:
+                feats.update(window_state_batch(mat))
+            for c, _ in fields:
+                cols[c][sel] = feats[c]
+        out = pd.DataFrame(cols)
+        out.insert(0, "bucket_epoch", bucket[starts])
+        return out
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         gval = pdf[conv_col].iloc[0]
@@ -408,35 +452,15 @@ def kernel_features_epoch_bucketed(
         t, x = t[order], x[order]
         if regenerate_dense:
             t, x, _turns, _obs = k_gapfill.dense_from_observed(t, x)
-        bucket = (t // bucket_seconds) * bucket_seconds
-        change = np.flatnonzero(bucket[1:] != bucket[:-1]) + 1
-        starts = np.concatenate(([0], change))
-        ends = np.concatenate((change, [len(x)]))
-        if mode == "full":
-            rows = []
-            for s, e in zip(starts, ends):
-                feats = compute_kernel_features(x[s:e])
-                feats[conv_col] = gval
-                feats["bucket_epoch"] = int(bucket[s])
-                rows.append(feats)
-            return pd.DataFrame(rows)
-        lengths = ends - starts
-        n_win = len(starts)
-        out_fields = fields
-        cols = {
-            c: np.empty(n_win, dtype=np.int64 if t == "long" else np.float64)
-            for c, t in out_fields
-        }
-        for length in np.unique(lengths):
-            sel = np.flatnonzero(lengths == length)
-            mat = np.stack([x[starts[i] : ends[i]] for i in sel])
-            feats = core_features_batch(mat)
-            if with_state:
-                feats.update(window_state_batch(mat))
-            for c, _ in out_fields:
-                cols[c][sel] = feats[c]
-        out = pd.DataFrame(cols)
-        out.insert(0, "bucket_epoch", bucket[starts])
+        frames = []
+        for width in tiers:
+            f = windows_for(x, t, width)
+            if multi:
+                f.insert(0, "bucket_seconds", np.int64(width))
+            frames.append(f)
+        out = frames[0] if len(frames) == 1 else pd.concat(
+            frames, ignore_index=True
+        )
         out.insert(0, conv_col, gval)
         return out
 

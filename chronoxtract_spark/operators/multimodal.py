@@ -2,10 +2,18 @@
 
 Media payloads are opaque ``binary`` columns with a typed metadata
 struct; decode / feature-extract / resize / frame-sample run as Arrow
-batches through ``mapInPandas``. The decode step itself is STUBBED
-(this container ships no image/audio codecs — see ``DecodeUnavailable``
-and the deterministic fake), but everything Spark-side is real and
-tested: schema, partition sizing, UDF signature, batch shape.
+batches through ``mapInPandas``.
+
+The PNG decode path is REAL: a from-the-public-spec pure numpy + zlib
+(stdlib) codec — 8-bit grayscale, all five scanline filters — so the
+image pipeline is exercised end-to-end on genuine bytes
+(``encode_png`` / ``decode_png``; round-trip bit-exactness and
+per-filter decodes are pytest-verified, and the ``media_features``
+driver query is checked against an independent analytic oracle).
+Formats that genuinely need external codecs (JPEG, audio, video
+frames) raise ``DecodeUnavailable`` unless the payload is recognized;
+production swaps ``_decode_image`` for a Pillow/ffmpeg call with the
+identical signature.
 
 At 100 TB: binary payloads dominate partition bytes, so
 ``spark.sql.files.maxPartitionBytes`` sizing and the
@@ -17,6 +25,8 @@ blob.
 
 from __future__ import annotations
 
+import struct
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -36,34 +46,143 @@ MEDIA_SCHEMA = T.StructType(
     ]
 )
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised by the real decode path: no codec libraries in this
-    container. Production swaps ``_decode_image`` for a Pillow/ffmpeg
-    call with the identical signature."""
+    """Raised when a payload needs a codec this container does not ship
+    (JPEG, audio, video). PNG is decoded for real (``decode_png``).
+    Production swaps ``_decode_image`` for Pillow/ffmpeg with the
+    identical signature."""
+
+
+def _png_chunk(typ: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + typ
+        + data
+        + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Real minimal PNG encoder (public spec): 8-bit grayscale,
+    filter 0 scanlines, one zlib IDAT. Pure numpy + stdlib zlib."""
+    img = np.asarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError("encode_png expects a 2-D grayscale array")
+    h, w = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+    raw = np.zeros((h, w + 1), dtype=np.uint8)
+    raw[:, 1:] = img  # filter byte 0 per scanline
+    return (
+        PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw.tobytes()))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """Real minimal PNG decoder (public spec): 8-bit grayscale,
+    non-interlaced, all five scanline filters (None/Sub/Up/Average/
+    Paeth). Filter-0 and Up rows unfilter vectorized; Sub/Average/Paeth
+    need the running left pixel and walk the row in python (only ever
+    hit on foreign encoders — ours writes filter 0)."""
+    if payload[:8] != PNG_SIG:
+        raise DecodeUnavailable("not a PNG payload")
+    pos, idat, w, h = 8, [], None, None
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        typ = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if typ == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if depth != 8 or ctype != 0 or inter != 0:
+                raise DecodeUnavailable(
+                    "decoder covers 8-bit grayscale non-interlaced PNGs"
+                )
+        elif typ == b"IDAT":
+            idat.append(data)
+        elif typ == b"IEND":
+            break
+    if w is None:
+        raise DecodeUnavailable("missing IHDR")
+    raw = zlib.decompress(b"".join(idat))
+    stride = w + 1
+    if len(raw) != h * stride:
+        raise DecodeUnavailable("scanline payload size mismatch")
+    out = np.empty((h, w), dtype=np.uint8)
+    prev = np.zeros(w, dtype=np.int32)
+    for r in range(h):
+        ft = raw[r * stride]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=w, offset=r * stride + 1
+        ).astype(np.int32)
+        if ft == 0:
+            cur = line
+        elif ft == 2:  # Up
+            cur = (line + prev) & 255
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth
+            cur = np.empty(w, dtype=np.int32)
+            left = 0
+            for c in range(w):
+                up = int(prev[c])
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prev[c - 1]) if c else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = (
+                        left
+                        if pa <= pb and pa <= pc
+                        else (up if pb <= pc else ul)
+                    )
+                cur[c] = (int(line[c]) + pred) & 255
+                left = int(cur[c])
+        else:
+            raise DecodeUnavailable(f"unknown scanline filter {ft}")
+        out[r] = cur.astype(np.uint8)
+        prev = cur
+    return out
 
 
 def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
-    """STUB — real implementation: ``PIL.Image.open(BytesIO(payload))``.
-
-    The deterministic fake derives pixel statistics from the payload
-    bytes so tests exercise the full Spark plumbing with stable values.
-    """
-    if payload is None:
+    """Decode a media payload to a grayscale pixel array. PNG payloads
+    decode for real (decode_png); anything else needs a codec this
+    container does not ship."""
+    if payload is None or len(payload) == 0:
         raise DecodeUnavailable("no payload")
-    arr = np.frombuffer(payload, dtype=np.uint8)
-    if arr.size == 0:
-        raise DecodeUnavailable("empty payload")
-    # deterministic fake: tile payload bytes into the declared shape
-    n = max(int(width) * int(height), 1)
-    reps = -(-n // arr.size)
-    return np.tile(arr, reps)[:n].reshape(max(height, 1), max(width, 1))
+    if bytes(payload[:8]) == PNG_SIG:
+        return decode_png(bytes(payload))
+    raise DecodeUnavailable("no codec for this payload format")
+
+
+#: analytic pixel pattern for the synthetic media table: a closed form
+#: an independent SQL oracle can integrate exactly (driver query
+#: media_features), while the Spark side must arrive at the same
+#: numbers THROUGH real PNG bytes (encode_png at synth time →
+#: decode_png inside the extractor)
+def synth_pixels(media_id: int, width: int, height: int) -> np.ndarray:
+    rr = np.arange(int(height), dtype=np.int64)[:, None] * 17
+    cc = np.arange(int(width), dtype=np.int64)[None, :] * 7
+    return ((int(media_id) * 31 + rr + cc) % 251).astype(np.uint8)
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table exercising the binary-column path."""
-    payload = F.sha2(F.concat(F.lit(str(seed)), F.col("id").cast("string")), 256)
-    return spark.range(0, n, 1, 4).select(
+    """Deterministic media table exercising the binary-column path.
+    Image rows carry REAL PNG payloads of the analytic ``synth_pixels``
+    pattern; audio/video rows carry deterministic opaque bytes (their
+    decode is codec-gated)."""
+    import hashlib
+
+    base = spark.range(0, n, 1, 4).select(
         F.col("id").alias("media_id"),
         F.when(F.col("id") % 3 == 0, "image/png")
         .when(F.col("id") % 3 == 1, "audio/wav")
@@ -72,13 +191,36 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
         (F.col("id") % 16 + 8).cast("int").alias("width"),
         (F.col("id") % 8 + 8).cast("int").alias("height"),
         (F.col("id") * 100).cast("long").alias("duration_ms"),
-        F.encode(payload, "utf-8").cast("binary").alias("payload"),
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for r in pdf.itertuples(index=False):
+                if r.mime.startswith("image/"):
+                    payloads.append(
+                        encode_png(synth_pixels(r.media_id, r.width, r.height))
+                    )
+                else:
+                    payloads.append(
+                        hashlib.sha256(
+                            f"{seed}{r.media_id}".encode()
+                        ).hexdigest().encode()
+                    )
+            yield pdf.assign(payload=payloads)
+
+    return base.mapInPandas(
+        gen,
+        schema=(
+            "media_id long, mime string, width int, height int, "
+            "duration_ms long, payload binary"
+        ),
     )
 
 
 IMAGE_FEATURE_SCHEMA = (
-    "media_id long, mime string, n_bytes long, mean_pixel double, "
-    "std_pixel double, edge_density double"
+    "media_id long, mime string, n_bytes long, img_w int, img_h int, "
+    "mean_pixel double, std_pixel double, edge_density double"
 )
 
 
@@ -87,8 +229,9 @@ def image_features(df: DataFrame) -> DataFrame:
 
     Batch contract: each Arrow batch holds whole rows (payload included);
     the UDF is columnar over the batch, one numpy decode per row, no
-    Python per-pixel work.
-    """
+    Python per-pixel work on the feature math. ``img_w``/``img_h`` come
+    from the DECODED array (IHDR), not the metadata columns — a
+    mismatch would surface as a wrong value, not silently pass."""
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -102,6 +245,8 @@ def image_features(df: DataFrame) -> DataFrame:
                             "media_id": r.media_id,
                             "mime": r.mime,
                             "n_bytes": len(r.payload),
+                            "img_w": int(img.shape[1]),
+                            "img_h": int(img.shape[0]),
                             "mean_pixel": float(img.mean()),
                             "std_pixel": float(img.std()),
                             "edge_density": float((grad > 32).mean()),
@@ -113,6 +258,8 @@ def image_features(df: DataFrame) -> DataFrame:
                             "media_id": r.media_id,
                             "mime": r.mime,
                             "n_bytes": 0,
+                            "img_w": None,
+                            "img_h": None,
                             "mean_pixel": float("nan"),
                             "std_pixel": float("nan"),
                             "edge_density": float("nan"),

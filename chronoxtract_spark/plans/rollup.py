@@ -44,6 +44,22 @@ TIERS = ("rollup_1m", "rollup_1h", "rollup_1d")
 LINEAGE_TABLE = "lineage"
 CHUNK_TABLE = "chunks_1m"
 
+#: per-day lineage metrics ride the write action itself (df.observe)
+#: up to this many day partitions per commit; beyond it the engine
+#: falls back to a post-write read-back aggregation. The cutover is a
+#: measured cost model, not a safety valve: CollectMetrics evaluates
+#: its aggregate expressions per input row (~5 ns per expr per row
+#: measured on this host), so a D-day commit costs ~2·D·5 ns/row —
+#: at D=350 that quadrupled the dense-tier write, while one read-back
+#: scan of the just-written (page-cache-warm) files costs a flat
+#: ~0.14 µs/row. Breakeven ≈ 14 days of metrics exprs. Incremental
+#: daily loads — the regime a 100 TB deployment actually commits in —
+#: always ride the observe path; bulk backfills pay one re-scan.
+#: SMALL tiers (1h/1d/chunks: a few rows per conv-day) pass a higher
+#: cap because rows, not days, dominate their metric cost.
+MAX_OBSERVE_DAYS = 16
+MAX_OBSERVE_DAYS_SMALL = 366
+
 CHUNK_SCHEMA = (
     "conv_id string, day string, chunk_id string, t0 long, n long, "
     "ts_bytes binary, val_bytes binary, checksum long, raw_size long, "
@@ -61,6 +77,7 @@ class RollupEngine:
         compress: bool = True,
         feature_mode: str = "core",
         quantiles: str = "exact",
+        verify_readback: bool = False,
     ):
         self.spark = spark
         self.io = io
@@ -74,6 +91,12 @@ class RollupEngine:
         # bounded, oracle-checkable); 'approx' = mergeable t-digest-style
         # sketch for deployments that re-merge window quantiles
         self.quantiles = quantiles
+        # opt-in audit: after each tier write, re-read the written files
+        # and check their per-day checksums against the in-flight
+        # (observe) metrics — full write verification at the cost of one
+        # extra scan per tier (OFF by default: at 100 TB a dense-tier
+        # read-back doubles the biggest table's IO)
+        self.verify_readback = verify_readback
 
     # -- lineage ------------------------------------------------------------
 
@@ -99,8 +122,16 @@ class RollupEngine:
         content checksum (bit_xor of per-row xxhash64 — overflow-free
         under ANSI mode and commutative, so shuffle order can't change it).
         Returns the total row count across the committed partitions (the
-        lineage aggregation already computes it — no extra pass)."""
-        cols = ", ".join(df.columns)
+        lineage aggregation already computes it — no extra pass).
+
+        ``day`` is hashed as its canonical string form — a read-back of
+        the written files re-infers the partition column as DATE, and
+        the checksum must not depend on which side of the write it was
+        computed from."""
+        df = df.withColumn("day", F.col("day").cast("string"))
+        # name-sorted hash order: a read-back re-appends the partition
+        # column last, so positional order is not canonical
+        cols = ", ".join(sorted(df.columns))
         rows = (
             df.groupBy("day")
             .agg(
@@ -113,7 +144,7 @@ class RollupEngine:
         if rows:
             lineage = self.spark.createDataFrame(
                 [
-                    (tier, r["day"], source_snapshot, r["row_count"],
+                    (tier, str(r["day"]), source_snapshot, r["row_count"],
                      r["checksum"], now)
                     for r in rows
                 ],
@@ -122,6 +153,106 @@ class RollupEngine:
             )
             self.io.append(lineage, LINEAGE_TABLE)
         return sum(r["row_count"] for r in rows)
+
+    def _write_with_lineage(
+        self,
+        df: DataFrame,
+        table: str,
+        days: list[str],
+        source_snapshot: str,
+        day_repartition: bool = False,
+        observe_day_cap: int | None = None,
+    ) -> int:
+        """Partitioned dynamic-overwrite write whose per-day lineage
+        metrics (row count + bit_xor(xxhash64) content checksum, same
+        expressions as ``_write_lineage``) are collected by the write
+        action itself via ``df.observe`` — ONE scan produces both the
+        tier files and the lineage commit; the written table is never
+        re-read. The day partitions are known up front (the gap-fill
+        span union), so per-day metrics are fixed conditional aggregates
+        keyed on an integer epoch-day — no grouping needed.
+
+        Falls back to write-then-read-back when ``days`` exceeds
+        ``observe_day_cap`` (default MAX_OBSERVE_DAYS — see the cost
+        model there). ``verify_readback=True`` additionally re-reads
+        the written files and asserts their checksums equal the
+        in-flight ones (opt-in write audit).
+
+        Returns the total committed row count."""
+        if observe_day_cap is None:
+            observe_day_cap = MAX_OBSERVE_DAYS
+        if day_repartition:
+            # collapse tasks-x-days small files into one file per day;
+            # only for the SMALL tiers — on the dense 1m tier the
+            # day-keyed shuffle would cost more than the files
+            df = df.repartition(F.col("day"))
+        if not days:
+            return 0
+        if len(days) > observe_day_cap:
+            self.io.overwrite_partitions(df, table, ["day"])
+            written = self.io.read(table).filter(F.col("day").isin(days))
+            return self._write_lineage(written, table, source_snapshot)
+
+        from pyspark.sql import Observation
+
+        cols = sorted(df.columns)  # canonical hash order (see _write_lineage)
+        day_ints = {
+            d: int(np.datetime64(d, "D").astype(np.int64)) for d in days
+        }
+        hashed = df.withColumn("_h", F.expr(
+            f"xxhash64({', '.join(cols)})"
+        )).withColumn("_di", F.unix_date(F.to_date(F.col("day"))))
+        exprs = []
+        for d, di in day_ints.items():
+            m = F.col("_di") == F.lit(di)
+            exprs.append(
+                F.sum(F.when(m, 1).otherwise(0)).alias(f"c{di}")
+            )
+            exprs.append(F.bit_xor(F.when(m, F.col("_h"))).alias(f"x{di}"))
+        obs = Observation(f"lineage_{table}")
+        out = hashed.observe(obs, *exprs).drop("_h", "_di")
+        self.io.overwrite_partitions(out, table, ["day"])
+        vals = obs.get
+        now = int(time.time() * 1000)
+        rows = [
+            (table, d, source_snapshot, int(vals[f"c{di}"]),
+             int(vals[f"x{di}"]), now)
+            for d, di in day_ints.items()
+            if vals[f"c{di}"]
+        ]
+        if rows:
+            lineage = self.spark.createDataFrame(
+                rows,
+                "tier string, partition_key string, source_snapshot string, "
+                "row_count long, checksum long, committed_at long",
+            )
+            self.io.append(lineage, LINEAGE_TABLE)
+        if self.verify_readback:
+            written = (
+                self.io.read(table)
+                .filter(F.col("day").isin(days))
+                .withColumn("day", F.col("day").cast("string"))
+            )
+            back = {
+                str(r["day"]): (r["row_count"], r["checksum"])
+                for r in written.groupBy("day").agg(
+                    F.count("*").alias("row_count"),
+                    F.expr(
+                        f"bit_xor(xxhash64({', '.join(cols)}))"
+                    ).alias("checksum"),
+                ).collect()
+            }
+            expect = {
+                d: (int(vals[f"c{di}"]), int(vals[f"x{di}"]))
+                for d, di in day_ints.items()
+                if vals[f"c{di}"]
+            }
+            if back != expect:
+                raise RuntimeError(
+                    f"write verification failed for {table}: "
+                    f"readback={back} != observed={expect}"
+                )
+        return sum(r[3] for r in rows)
 
     # -- tier builders --------------------------------------------------------
 
@@ -284,6 +415,35 @@ class RollupEngine:
             tier = tier.withColumn(name, col)
         return tier.withColumn("day", F.date_format("hour_ts", "yyyy-MM-dd"))
 
+    def build_rollup_tiers_kernel(self, observed: DataFrame) -> DataFrame:
+        """BOTH window tiers (1h + 1d) — mergeable moment state, exact
+        window quantiles, north-star features — from ONE kernel pass
+        over the observed rows. The in-kernel dense regeneration happens
+        once and both tiers' windows are cut from the same array
+        (operators.features multi-tier mode), so the 1d tier's full
+        feature vector costs only its window math — no second shuffle,
+        no base re-scan, and no quantile columns silently vanishing at
+        the coarsest retention tier (the reference computes the same
+        statistics at every tier, src/stats/mod.rs:81-114).
+
+        Output: one row per (conv_id, bucket_seconds∈{3600,86400},
+        bucket_epoch) with state + derived moments + features + day."""
+        slim = self._observed_slim(observed).withColumnRenamed("v", "rate")
+        kf = ops_features.kernel_features_epoch_bucketed(
+            slim,
+            bucket_seconds=(3600, 86400),
+            mode="core",
+            regenerate_dense=True,
+            with_state=True,
+        )
+        tier = kf.withColumn(
+            "bucket_ts", F.timestamp_seconds(F.col("bucket_epoch"))
+        )
+        derived = cxf.moments_from_state()
+        for name, col in derived.items():
+            tier = tier.withColumn(name, col)
+        return tier.withColumn("day", F.date_format("bucket_ts", "yyyy-MM-dd"))
+
     def build_rollup_1h(
         self, base: DataFrame, observed: DataFrame | None = None
     ) -> DataFrame:
@@ -292,11 +452,15 @@ class RollupEngine:
     def build_rollup_1d_from_1h(self, tier_1h: DataFrame) -> DataFrame:
         """1d tier from 1h **state sums** — no base re-scan for the
         moment features (hierarchical re-aggregation, SURVEY.md §4.3).
-        Quantile sketches and kernel features are tier-local: quantiles
-        re-merge approximately via the per-hour sketches' union
-        (percentile_approx over hour medians is *not* used — we keep the
-        raw state and document kernel features as recomputed per tier
-        when exactness is needed)."""
+
+        This is the SQL-path fallback (and the mergeability
+        demonstration: summed state reproduces direct aggregation
+        bit-for-bit modulo summation order, test_moment_state_merge_exact).
+        It carries moments only; the DEFAULT kernel path instead builds
+        the 1d tier with full parity — exact window quantiles and the
+        north-star features — from the same single kernel pass that
+        produces the 1h tier (build_rollup_tiers_kernel), so no tier
+        loses columns at coarser retention."""
         keys = ["conv_id", "day"]
         agg = tier_1h.groupBy(*keys).agg(
             F.sum("n").alias("n"),
@@ -381,6 +545,15 @@ class RollupEngine:
         (tier, source_snapshot) are skipped; partition writes are
         dynamic-overwrite so a partially-written partition from a killed
         run is replaced, never duplicated.
+
+        Action economy (the thing the scaling rule actually measures):
+        each tier is ONE Spark action — the partitioned write — whose
+        per-day lineage metrics ride the same pass via ``df.observe``
+        (``_write_with_lineage``); nothing is counted, checksummed, or
+        read back in a separate job. Per run that is one action for the
+        dense 1m tier, one for the Gorilla chunks, one that also
+        materializes the shared two-tier kernel cache (1h), and one for
+        1d, plus the tiny planning collect.
         """
         timings: dict[str, float] = {}
 
@@ -391,91 +564,111 @@ class RollupEngine:
         t = time.time()
         observed = self.build_observed(transcripts)
         observed.cache()
-        filled = gap_fill_minutes(observed)
-        base = filled.withColumn("day", F.date_format("minute_ts", "yyyy-MM-dd"))
         counts: dict[str, int] = {}
+
+        skips = {
+            tier: (self.committed_days(tier, source_snapshot) if resume else set())
+            for tier in TIERS
+        }
+        all_days = self._candidate_days(observed)  # materializes the cache
+        new_1m = [d for d in all_days if d not in skips["rollup_1m"]]
+        new_1h = [d for d in all_days if d not in skips["rollup_1h"]]
+        new_1d = [d for d in all_days if d not in skips["rollup_1d"]]
+        t = mark("plan_and_skip", t)
 
         # -- 1m tier: stream the dense plan straight into the partitioned
         # write (never cached — the dense fan-out only exists in this one
-        # pass); counts and checksums come from the written files, which
-        # doubles as a write verification
-        skip_1m = (
-            self.committed_days("rollup_1m", source_snapshot) if resume else set()
-        )
-        day_col = F.date_format("minute_ts", "yyyy-MM-dd")
-        new_days = [
-            d for d in self._candidate_days(observed) if d not in skip_1m
-        ]
-        t = mark("plan_and_skip", t)
-        if new_days:
+        # pass); per-day counts + checksums come from the write action
+        if new_1m:
+            base = gap_fill_minutes(observed).withColumn(
+                "day", F.date_format("minute_ts", "yyyy-MM-dd")
+            )
             tier_1m = self.build_rollup_1m(base).filter(
-                ~F.col("day").isin(list(skip_1m)) if skip_1m else F.lit(True)
+                F.col("day").isin(new_1m)
             )
-            self.io.overwrite_partitions(tier_1m, "rollup_1m", ["day"])
-            t = mark("write_1m", t)
-            written = self.io.read("rollup_1m").filter(F.col("day").isin(new_days))
-            counts["rollup_1m"] = self._write_lineage(
-                written, "rollup_1m", source_snapshot
+            counts["rollup_1m"] = self._write_with_lineage(
+                tier_1m, "rollup_1m", new_1m, source_snapshot
             )
-            t = mark("lineage_1m", t)
         else:
             counts["rollup_1m"] = 0
+        t = mark("write_1m", t)
 
-        if new_days and self.compress:
-            # cache: the chunk build feeds both the write and the
-            # lineage checksum — without it the encode runs twice
+        if new_1m and self.compress:
             chunks = self.build_chunks(observed).filter(
-                ~F.col("day").isin(list(skip_1m)) if skip_1m else F.lit(True)
-            ).cache()
-            self.io.overwrite_partitions(chunks, CHUNK_TABLE, ["day"])
-            self._write_lineage(chunks, CHUNK_TABLE, source_snapshot)
-            chunks.unpersist()
+                F.col("day").isin(new_1m)
+            )
+            self._write_with_lineage(
+                chunks, CHUNK_TABLE, new_1m, source_snapshot,
+                observe_day_cap=MAX_OBSERVE_DAYS_SMALL,
+            )
             t = mark("chunks", t)
 
-        # -- 1h tier: kernel fast path when the core feature mode is on,
-        # else the SQL state aggregation over the dense plan
-        skip_1h = (
-            self.committed_days("rollup_1h", source_snapshot) if resume else set()
-        )
-        if self.kernel_features and self.feature_mode == "core":
-            tier_1h_all = self.build_rollup_1h_kernel(observed)
+        # -- 1h + 1d tiers: one shared kernel pass (core mode) computes
+        # both tiers' windows from the same in-kernel dense series; the
+        # SQL path aggregates the dense plan for 1h and re-sums 1h state
+        # for 1d (hierarchical, moments-only — full 1d quantiles/features
+        # are the kernel path's job)
+        need = sorted(set(new_1h) | set(new_1d))
+        cached = None
+        if need and self.kernel_features and self.feature_mode == "core":
+            combined = (
+                self.build_rollup_tiers_kernel(observed)
+                .filter(F.col("day").isin(need))
+                .cache()
+            )
+            cached = combined
+            tier_1h = (
+                combined.filter(F.col("bucket_seconds") == 3600)
+                .drop("bucket_seconds", "bucket_epoch")
+                .withColumnRenamed("bucket_ts", "hour_ts")
+                .filter(F.col("day").isin(new_1h) if new_1h else F.lit(False))
+            )
+            tier_1d = (
+                combined.filter(F.col("bucket_seconds") == 86400)
+                .drop("bucket_seconds", "bucket_epoch")
+                .withColumnRenamed("bucket_ts", "day_ts")
+                .filter(F.col("day").isin(new_1d) if new_1d else F.lit(False))
+            )
+        elif need:
+            base = gap_fill_minutes(observed).withColumn(
+                "day", F.date_format("minute_ts", "yyyy-MM-dd")
+            )
+            tier_1h_all = self.build_rollup_1h(
+                base, observed=observed if self.kernel_features else None
+            ).filter(F.col("day").isin(need)).cache()
+            cached = tier_1h_all
+            tier_1h = tier_1h_all.filter(
+                F.col("day").isin(new_1h) if new_1h else F.lit(False)
+            )
+            tier_1d = self.build_rollup_1d_from_1h(tier_1h_all).filter(
+                F.col("day").isin(new_1d) if new_1d else F.lit(False)
+            )
         else:
-            tier_1h_all = self.build_rollup_1h(base, observed=observed)
-        tier_1h_all = tier_1h_all.filter(
-            ~F.col("day").isin(list(skip_1h)) if skip_1h else F.lit(True)
-        )
-        tier_1h_all.cache()
-        n_1h = tier_1h_all.count()
-        t = mark("tier_1h_compute", t)
-        if n_1h:
-            # day-keyed repartition before the partitioned write: the 1h
-            # tier is small (1 row per conv-hour), so the shuffle is
-            # cheap and collapses tasks-x-days small files into one file
-            # per day. The 1m tier deliberately does NOT do this — there
-            # the dense-row shuffle would cost more than the files.
-            self.io.overwrite_partitions(
-                tier_1h_all.repartition(F.col("day")), "rollup_1h", ["day"]
-            )
-            self._write_lineage(tier_1h_all, "rollup_1h", source_snapshot)
-            t = mark("write_1h", t)
-        counts["rollup_1h"] = n_1h
+            tier_1h = tier_1d = None
 
-        skip_1d = (
-            self.committed_days("rollup_1d", source_snapshot) if resume else set()
-        )
-        tier_1d = self.build_rollup_1d_from_1h(tier_1h_all).filter(
-            ~F.col("day").isin(list(skip_1d)) if skip_1d else F.lit(True)
-        )
-        n_1d = tier_1d.count()
-        if n_1d:
-            self.io.overwrite_partitions(
-                tier_1d.repartition(F.col("day")), "rollup_1d", ["day"]
+        counts["rollup_1h"] = (
+            self._write_with_lineage(
+                tier_1h, "rollup_1h", new_1h, source_snapshot,
+                day_repartition=True,
+                observe_day_cap=MAX_OBSERVE_DAYS_SMALL,
             )
-            self._write_lineage(tier_1d, "rollup_1d", source_snapshot)
-        t = mark("tier_1d", t)
-        counts["rollup_1d"] = n_1d
+            if tier_1h is not None and new_1h
+            else 0
+        )
+        t = mark("write_1h", t)
+        counts["rollup_1d"] = (
+            self._write_with_lineage(
+                tier_1d, "rollup_1d", new_1d, source_snapshot,
+                day_repartition=True,
+                observe_day_cap=MAX_OBSERVE_DAYS_SMALL,
+            )
+            if tier_1d is not None and new_1d
+            else 0
+        )
+        t = mark("write_1d", t)
 
-        tier_1h_all.unpersist()
+        if cached is not None:
+            cached.unpersist()
         observed.unpersist()
         self.last_timings = timings
         return counts

@@ -174,13 +174,27 @@ class IcebergBackend:
 
 def get_tableio(spark: SparkSession, root: str | None = None):
     """Pick the Iceberg backend when a catalog is configured and the jar
-    loads; otherwise the parquet-directory backend."""
+    loads; otherwise the parquet-directory backend.
+
+    VALIDATION STATUS: the Iceberg backend is a complete implementation
+    of this API (writeTo/overwritePartitions/DELETE/snapshots) but this
+    sandbox ships no Iceberg runtime jar, so only the Parquet backend is
+    runtime-validated here; the Iceberg path has a jar-gated test
+    (tests/test_operators_extra.py::TestIcebergBackend) that executes
+    wherever ``spark.cx.iceberg.catalog`` actually resolves."""
+    import sys
+
     catalog = spark.conf.get("spark.cx.iceberg.catalog", None)
     if catalog:
         try:
             return IcebergBackend(spark, catalog)
-        except Exception:
-            pass
+        except Exception as e:
+            print(
+                f"[tableio] Iceberg catalog '{catalog}' configured but "
+                f"unusable ({type(e).__name__}: {e}); falling back to the "
+                "Parquet backend",
+                file=sys.stderr,
+            )
     if root is None:
         root = os.environ.get(
             "CX_WAREHOUSE", os.path.join(os.getcwd(), "warehouse")

@@ -420,3 +420,110 @@ class TestPortableHash:
                 params=[r["s"], a, b],
             ).fetchone()
             assert h == r["h"] and d == r["d"], r["s"]
+
+
+class TestIcebergBackend:
+    """Runtime validation of the Iceberg TableIO backend. This sandbox
+    ships no Iceberg jar, so the test SKIPS here and executes in any
+    environment where an Iceberg catalog actually resolves (set
+    spark.cx.iceberg.catalog on the session, e.g. via spark-submit
+    --packages org.apache.iceberg:iceberg-spark-runtime-*). Until then
+    the Parquet backend is the only runtime-validated path — stated in
+    README.md and sources/tableio.py."""
+
+    def test_iceberg_roundtrip_when_jar_present(self, spark):
+        from chronoxtract_spark.sources.tableio import IcebergBackend
+
+        catalog = spark.conf.get("spark.cx.iceberg.catalog", None)
+        if not catalog:
+            pytest.skip("no Iceberg catalog configured (jar absent in sandbox)")
+        io = IcebergBackend(spark, catalog, namespace="cx_test")
+        df = spark.createDataFrame(
+            [("a", "2026-01-01", 1.0), ("b", "2026-01-02", 2.0)],
+            "conv_id string, day string, rate double",
+        )
+        io.overwrite_partitions(df, "t_rt", ["day"])
+        assert io.read("t_rt").count() == 2
+        assert io.list_partitions("t_rt", "day") == ["2026-01-01", "2026-01-02"]
+        snap1 = io.snapshot_id("t_rt")
+        io.delete_partitions("t_rt", "day", ["2026-01-01"])
+        assert io.list_partitions("t_rt", "day") == ["2026-01-02"]
+        assert io.snapshot_id("t_rt") != snap1
+        io.drop("t_rt")
+
+
+class TestPngCodec:
+    """The real pure-numpy+zlib PNG codec behind the multimodal path
+    (public-spec implementation, operators/multimodal.py)."""
+
+    def test_roundtrip_bit_exact(self):
+        from chronoxtract_spark.operators.multimodal import (
+            decode_png,
+            encode_png,
+            synth_pixels,
+        )
+
+        rng = np.random.default_rng(7)
+        for h, w in ((1, 1), (3, 5), (16, 23), (64, 64)):
+            img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+            np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+        np.testing.assert_array_equal(
+            decode_png(encode_png(synth_pixels(9, 17, 11))),
+            synth_pixels(9, 17, 11),
+        )
+
+    def test_decodes_all_five_scanline_filters(self):
+        """Foreign encoders may use any per-row filter; craft an IDAT
+        with every filter type and check the unfiltering against a
+        straight-line reference implementation."""
+        import struct
+        import zlib
+
+        from chronoxtract_spark.operators.multimodal import (
+            PNG_SIG,
+            _png_chunk,
+            decode_png,
+        )
+
+        rng = np.random.default_rng(3)
+        img = rng.integers(0, 256, (5, 7)).astype(np.int64)
+        h, w = img.shape
+
+        def paeth(a, b, c):
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+        # forward-filter row r with filter type ft (PNG spec §6)
+        raw = b""
+        filters = [0, 1, 2, 3, 4]
+        for r, ft in enumerate(filters):
+            line = bytearray([ft])
+            for c in range(w):
+                x = int(img[r, c])
+                left = int(img[r, c - 1]) if c else 0
+                up = int(img[r - 1, c]) if r else 0
+                ul = int(img[r - 1, c - 1]) if r and c else 0
+                pred = {0: 0, 1: left, 2: up, 3: (left + up) // 2,
+                        4: paeth(left, up, ul)}[ft]
+                line.append((x - pred) & 255)
+            raw += bytes(line)
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)
+        payload = (
+            PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b"")
+        )
+        np.testing.assert_array_equal(decode_png(payload), img.astype(np.uint8))
+
+    def test_non_png_payload_raises(self):
+        from chronoxtract_spark.operators.multimodal import (
+            DecodeUnavailable,
+            _decode_image,
+        )
+
+        with pytest.raises(DecodeUnavailable):
+            _decode_image(b"not a png at all", 4, 4)
+        with pytest.raises(DecodeUnavailable):
+            _decode_image(b"", 4, 4)

@@ -202,6 +202,97 @@ class TestRollupPipeline:
         tiers = {r.tier for r in lineage.select("tier").distinct().collect()}
         assert {"rollup_1m", "rollup_1h", "rollup_1d", "chunks_1m"} <= tiers
 
+    def test_1d_tier_full_parity(self, spark, engine_run):
+        """The coarsest retention tier must carry the SAME statistics as
+        the finer tiers (quantiles + north-star features) — and its exact
+        day quantiles must equal a direct percentile over the 1m rows."""
+        io, _eng, _counts = engine_run
+        t1d = io.read("rollup_1d")
+        for c in (
+            "median", "q05", "q25", "q75", "q95",
+            "shannon_entropy", "spectral_power_total", "spectral_entropy",
+            "mean", "variance", "skewness", "kurtosis",
+        ):
+            assert c in t1d.columns, c
+        t1m = io.read("rollup_1m")
+        direct = t1m.groupBy("conv_id", "day").agg(
+            F.percentile("rate", F.lit(0.5)).alias("dmed"),
+            F.percentile("rate", F.lit(0.95)).alias("dq95"),
+        )
+        joined = t1d.join(direct, ["conv_id", "day"]).select(
+            "median", "dmed", "q95", "dq95"
+        ).collect()
+        assert joined
+        for r in joined:
+            assert r.median == pytest.approx(r.dmed, rel=1e-12)
+            assert r.q95 == pytest.approx(r.dq95, rel=1e-12)
+
+    def test_lineage_observe_matches_readback(self, spark):
+        """The in-flight (df.observe) lineage metrics must equal a
+        read-back recomputation — verify_readback=True raises otherwise,
+        so a clean run IS the assertion. Also checks the fallback path
+        agrees by forcing MAX_OBSERVE_DAYS below the day count."""
+        import shutil
+
+        from chronoxtract_spark.plans import rollup as rollup_mod
+
+        tr = synth_transcripts(spark, n_conversations=8, seed=13)
+        io = temp_warehouse(spark)
+        eng = RollupEngine(spark, io, verify_readback=True)
+        counts = eng.run(tr, source_snapshot="audit")
+        assert counts["rollup_1m"] > 0
+        observe_lineage = {
+            (r.tier, r.partition_key): (r.row_count, r.checksum)
+            for r in io.read("lineage").collect()
+        }
+        # read-back fallback on a fresh warehouse: same lineage values
+        io2 = temp_warehouse(spark)
+        eng2 = RollupEngine(spark, io2)
+        old = rollup_mod.MAX_OBSERVE_DAYS, rollup_mod.MAX_OBSERVE_DAYS_SMALL
+        rollup_mod.MAX_OBSERVE_DAYS = rollup_mod.MAX_OBSERVE_DAYS_SMALL = 0
+        try:
+            eng2.run(tr, source_snapshot="audit")
+        finally:
+            rollup_mod.MAX_OBSERVE_DAYS, rollup_mod.MAX_OBSERVE_DAYS_SMALL = old
+        fallback_lineage = {
+            (r.tier, r.partition_key): (r.row_count, r.checksum)
+            for r in io2.read("lineage").collect()
+        }
+        assert observe_lineage == fallback_lineage
+        shutil.rmtree(io.root, ignore_errors=True)
+        shutil.rmtree(io2.root, ignore_errors=True)
+
+    def test_two_tier_kernel_equals_single_tier(self, spark, transcripts):
+        """Multi-tier kernel output filtered to 3600s must match the
+        single-tier 1h kernel builder row-for-row (same windows, same
+        values) — the shared-pass optimization cannot change results."""
+        io = temp_warehouse(spark)
+        eng = RollupEngine(spark, io)
+        observed = eng.build_observed(transcripts)
+        combined = (
+            eng.build_rollup_tiers_kernel(observed)
+            .filter(F.col("bucket_seconds") == 3600)
+            .drop("bucket_seconds")
+            .withColumnRenamed("bucket_ts", "hour_ts")
+        )
+        single = eng.build_rollup_1h_kernel(observed).withColumn(
+            "bucket_epoch", F.unix_timestamp("hour_ts")
+        )
+        cols = [c for c in single.columns if c != "bucket_epoch"]
+        a = combined.select(cols).orderBy("conv_id", "hour_ts").collect()
+        b = single.select(cols).orderBy("conv_id", "hour_ts").collect()
+        assert len(a) == len(b) > 0
+        for ra, rb in zip(a, b):
+            for c in cols:
+                va, vb = ra[c], rb[c]
+                if isinstance(va, float) and np.isnan(va):
+                    assert isinstance(vb, float) and np.isnan(vb), c
+                else:
+                    assert va == vb, c
+        import shutil
+
+        shutil.rmtree(io.root, ignore_errors=True)
+
     def test_resume_skips_committed(self, spark, transcripts, engine_run):
         io, eng, counts = engine_run
         counts2 = eng.run(transcripts, source_snapshot="s1")
