@@ -1022,9 +1022,12 @@ def q_rollup_tiers(spark, sf_dir):
     src/stats/mod.rs:25-79 distributed); the approx-quantile sketch
     columns are verified both here (exact window percentiles) and in
     the sibling ``rollup_quantiles``.
-    Skew/kurt are quantized with the epsilon-biased integer-unit trick
-    (see q_hierarchical_moments) and gated on quantized variance > 0 so
-    constant gap-fill spans can't amplify ulp noise."""
+    Every order-sensitive float sum (mean, variance, skew/kurt, sum,
+    energy) is quantized with the epsilon-biased integer-unit trick
+    (see q_hierarchical_moments); skew/kurt are additionally gated on
+    quantized variance > 0 so constant gap-fill spans can't amplify
+    ulp noise. Order statistics (min/max/quantiles) are deterministic
+    and stay rounded doubles."""
     tier = _rollup_1h_tier(spark, sf_dir)
     var_q = F.floor(F.col("variance") * 1e4 + 0.5 + 1e-6).cast("long")
     return tier.select(

@@ -172,11 +172,18 @@ class RollupEngine:
         span union), so per-day metrics are fixed conditional aggregates
         keyed on an integer epoch-day — no grouping needed.
 
-        Falls back to write-then-read-back when ``days`` exceeds
+        Every written tier carries a ``row_hash`` column —
+        ``xxhash64`` over the name-sorted data columns (day as string)
+        — so content digests are a COLUMN of the table, not a
+        recomputation: the bulk-backfill fallback past
         ``observe_day_cap`` (default MAX_OBSERVE_DAYS — see the cost
-        model there). ``verify_readback=True`` additionally re-reads
-        the written files and asserts their checksums equal the
-        in-flight ones (opt-in write audit).
+        model there) re-reads only ``(day, row_hash)`` (a thin
+        column-pruned scan, ~8 bytes/row, instead of decoding and
+        re-hashing every column of the dense tier), and any later audit
+        can checksum a partition without touching the wide columns.
+        ``verify_readback=True`` additionally re-reads the written
+        files, RECOMPUTES the hash from the data columns, and asserts
+        equality with the committed checksums (opt-in write audit).
 
         Returns the total committed row count."""
         if observe_day_cap is None:
@@ -188,38 +195,68 @@ class RollupEngine:
             df = df.repartition(F.col("day"))
         if not days:
             return 0
-        if len(days) > observe_day_cap:
-            self.io.overwrite_partitions(df, table, ["day"])
-            written = self.io.read(table).filter(F.col("day").isin(days))
-            return self._write_lineage(written, table, source_snapshot)
-
-        from pyspark.sql import Observation
-
         cols = sorted(df.columns)  # canonical hash order (see _write_lineage)
-        day_ints = {
-            d: int(np.datetime64(d, "D").astype(np.int64)) for d in days
-        }
-        hashed = df.withColumn("_h", F.expr(
-            f"xxhash64({', '.join(cols)})"
-        )).withColumn("_di", F.unix_date(F.to_date(F.col("day"))))
-        exprs = []
-        for d, di in day_ints.items():
-            m = F.col("_di") == F.lit(di)
-            exprs.append(
-                F.sum(F.when(m, 1).otherwise(0)).alias(f"c{di}")
+        hashed = df.withColumn(
+            "row_hash",
+            F.expr(
+                "xxhash64({})".format(
+                    ", ".join(
+                        f"cast(day as string)" if c == "day" else c
+                        for c in cols
+                    )
+                )
+            ),
+        )
+
+        if len(days) > observe_day_cap:
+            # bulk backfill: per-day metrics from a thin (day, row_hash)
+            # read-back of the files just written (page-cache warm)
+            self.io.overwrite_partitions(hashed, table, ["day"])
+            back = (
+                self.io.read(table)
+                .filter(F.col("day").isin(days))
+                .groupBy(F.col("day").cast("string").alias("day"))
+                .agg(
+                    F.count("*").alias("row_count"),
+                    F.bit_xor("row_hash").alias("checksum"),
+                )
+                .collect()
             )
-            exprs.append(F.bit_xor(F.when(m, F.col("_h"))).alias(f"x{di}"))
-        obs = Observation(f"lineage_{table}")
-        out = hashed.observe(obs, *exprs).drop("_h", "_di")
-        self.io.overwrite_partitions(out, table, ["day"])
-        vals = obs.get
-        now = int(time.time() * 1000)
-        rows = [
-            (table, d, source_snapshot, int(vals[f"c{di}"]),
-             int(vals[f"x{di}"]), now)
-            for d, di in day_ints.items()
-            if vals[f"c{di}"]
-        ]
+            now = int(time.time() * 1000)
+            rows = [
+                (table, str(r["day"]), source_snapshot, r["row_count"],
+                 r["checksum"], now)
+                for r in back
+            ]
+        else:
+            from pyspark.sql import Observation
+
+            day_ints = {
+                d: int(np.datetime64(d, "D").astype(np.int64)) for d in days
+            }
+            hashed = hashed.withColumn(
+                "_di", F.unix_date(F.to_date(F.col("day")))
+            )
+            exprs = []
+            for d, di in day_ints.items():
+                m = F.col("_di") == F.lit(di)
+                exprs.append(
+                    F.sum(F.when(m, 1).otherwise(0)).alias(f"c{di}")
+                )
+                exprs.append(
+                    F.bit_xor(F.when(m, F.col("row_hash"))).alias(f"x{di}")
+                )
+            obs = Observation(f"lineage_{table}")
+            out = hashed.observe(obs, *exprs).drop("_di")
+            self.io.overwrite_partitions(out, table, ["day"])
+            vals = obs.get
+            now = int(time.time() * 1000)
+            rows = [
+                (table, d, source_snapshot, int(vals[f"c{di}"]),
+                 int(vals[f"x{di}"]), now)
+                for d, di in day_ints.items()
+                if vals[f"c{di}"]
+            ]
         if rows:
             lineage = self.spark.createDataFrame(
                 rows,
@@ -233,7 +270,7 @@ class RollupEngine:
                 .filter(F.col("day").isin(days))
                 .withColumn("day", F.col("day").cast("string"))
             )
-            back = {
+            back_chk = {
                 str(r["day"]): (r["row_count"], r["checksum"])
                 for r in written.groupBy("day").agg(
                     F.count("*").alias("row_count"),
@@ -242,15 +279,11 @@ class RollupEngine:
                     ).alias("checksum"),
                 ).collect()
             }
-            expect = {
-                d: (int(vals[f"c{di}"]), int(vals[f"x{di}"]))
-                for d, di in day_ints.items()
-                if vals[f"c{di}"]
-            }
-            if back != expect:
+            expect = {r[1]: (r[3], r[4]) for r in rows}
+            if back_chk != expect:
                 raise RuntimeError(
                     f"write verification failed for {table}: "
-                    f"readback={back} != observed={expect}"
+                    f"readback={back_chk} != committed={expect}"
                 )
         return sum(r[3] for r in rows)
 
