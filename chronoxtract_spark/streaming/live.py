@@ -193,3 +193,110 @@ def run_collect(
     )
     q.awaitTermination()
     return rows
+
+
+MOMENT_STATE_SCHEMA = (
+    "n long, s1 double, s2 double, s3 double, s4 double, "
+    "mn double, mx double"
+)
+MOMENT_OUT_SCHEMA = (
+    "conv_id string, n long, s1 double, s2 double, s3 double, s4 double, "
+    "min double, max double, mean double, variance double"
+)
+
+
+def stateful_moment_state(
+    minute_counts: DataFrame,
+    conv_col: str = "conv_id",
+    value_col: str = "turns",
+) -> DataFrame:
+    """Per-conversation RUNNING mergeable moment state via
+    ``transformWithStateInPandas`` — Spark 4's arbitrary-state v2
+    (StatefulProcessor + ValueState), the successor API to
+    ``applyInPandasWithState`` used by ``stateful_ema``.
+
+    The state tuple IS the engine-wide currency
+    (functions.moment_state_exprs: n, s1..s4, min, max — the
+    reference's fused accumulator, src/stats/mod.rs:25-43), so the
+    streaming running state merges with batch tier state by plain
+    addition, and a restart from checkpoint resumes with identical
+    values (tested in tests/test_streaming_live.py).
+
+    REQUIRES (a) the RocksDB state store (transformWithState is a
+    state-v2-only operator):
+    ``spark.sql.streaming.stateStore.providerClass =
+    org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider``
+    — set here if unset (existing checkpoints pin their own provider);
+    and (b) ``google.protobuf`` on the python path (Spark's state-v2
+    python protocol is protobuf-based). This sandbox ships no protobuf,
+    so the test is import-gated and ``stateful_ema``
+    (applyInPandasWithState) is the runtime-validated stateful path
+    here — same fencing discipline as the Iceberg backend."""
+    import numpy as np
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class MomentProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("moments", MOMENT_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s1, s2, s3, s4 = 0, 0.0, 0.0, 0.0, 0.0
+            mn, mx = float("inf"), float("-inf")
+            if self._state.exists():
+                got = self._state.get()
+                if got is not None:
+                    n, s1, s2, s3, s4, mn, mx = got
+            batch_rows = 0
+            for pdf in rows:
+                v = pdf[value_col].to_numpy(np.float64)
+                if v.size == 0:
+                    continue
+                batch_rows += int(v.size)
+                n += int(v.size)
+                v2 = v * v
+                s1 += float(v.sum())
+                s2 += float(v2.sum())
+                s3 += float((v2 * v).sum())
+                s4 += float((v2 * v2).sum())
+                mn = min(mn, float(v.min()))
+                mx = max(mx, float(v.max()))
+            self._state.update((n, s1, s2, s3, s4, mn, mx))
+            mean = s1 / n if n else float("nan")
+            var = s2 / n - mean * mean if n else float("nan")
+            yield pd.DataFrame(
+                [
+                    {
+                        "conv_id": key[0],
+                        "n": n,
+                        "s1": s1,
+                        "s2": s2,
+                        "s3": s3,
+                        "s4": s4,
+                        "min": mn if n else float("nan"),
+                        "max": mx if n else float("nan"),
+                        "mean": mean,
+                        "variance": var,
+                    }
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark = minute_counts.sparkSession
+    provider_key = "spark.sql.streaming.stateStore.providerClass"
+    if "RocksDB" not in (spark.conf.get(provider_key, "") or ""):
+        spark.conf.set(
+            provider_key,
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+    return minute_counts.groupBy(conv_col).transformWithStateInPandas(
+        statefulProcessor=MomentProcessor(),
+        outputStructType=MOMENT_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
