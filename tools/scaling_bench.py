@@ -99,6 +99,34 @@ spark.stop()
 """
 
 
+#: files whose bytes define the measured engine — docs/tests/query
+#: registry changes don't invalidate pooled legs, engine changes do
+ENGINE_FILES = (
+    "chronoxtract_spark/plans/rollup.py",
+    "chronoxtract_spark/operators/features.py",
+    "chronoxtract_spark/operators/gapfill.py",
+    "chronoxtract_spark/kernel/gapfill.py",
+    "chronoxtract_spark/functions/__init__.py",
+    "chronoxtract_spark/compression.py",
+    "chronoxtract_spark/synth.py",
+    "chronoxtract_spark/session.py",
+    "chronoxtract_spark/sources/tableio.py",
+)
+
+
+def engine_fingerprint() -> str:
+    """Content hash of the engine files the scaling legs execute —
+    the pooling key for best-per-leg across windows (a git rev moves
+    on doc/test commits that change nothing the legs run)."""
+    import hashlib
+
+    h = hashlib.sha256()
+    for rel in ENGINE_FILES:
+        with open(os.path.join(REPO, rel), "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
 def run(code: str, cpus: int | None = None) -> str:
     cmd = [sys.executable, "-u", "-c", code]
     if cpus:
@@ -127,10 +155,7 @@ def main():
         print(run(GEN.format(repo=REPO, n_convs=n_convs, min_turns=min_turns,
                              input_dir=INPUT_DIR)))
     reps = int(os.environ.get("CX_SCALE_REPS", "2"))
-    rev = subprocess.run(
-        ["git", "rev-parse", "--short", "HEAD"], capture_output=True,
-        text=True, cwd=REPO,
-    ).stdout.strip()
+    rev = engine_fingerprint()
     results = {}
     all_runs = []
     for cpus in (2, 8):
