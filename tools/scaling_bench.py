@@ -154,9 +154,11 @@ def main():
     if not os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
         print(run(GEN.format(repo=REPO, n_convs=n_convs, min_turns=min_turns,
                              input_dir=INPUT_DIR)))
+    # CX_SCALE_REPS=0 regenerates the report from the pooled sidecar
+    # without running fresh legs (e.g. after adding analysis fields)
     reps = int(os.environ.get("CX_SCALE_REPS", "2"))
     rev = engine_fingerprint()
-    results = {}
+    results = {2: None, 8: None}
     all_runs = []
     for cpus in (2, 8):
         # best-of-k per leg, same k for both: hypervisor steal is
@@ -186,13 +188,15 @@ def main():
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     sidecar = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
-    with open(sidecar, "a") as f:
-        for cpus in (2, 8):
-            rec = dict(results[cpus])
-            rec.update({"rev": rev, "when": stamp,
-                        "input": f"n={n_convs} min_turns={min_turns}"})
-            f.write(json.dumps(rec) + "\n")
+    if reps > 0:
+        with open(sidecar, "a") as f:
+            for cpus in (2, 8):
+                rec = dict(results[cpus])
+                rec.update({"rev": rev, "when": stamp,
+                            "input": f"n={n_convs} min_turns={min_turns}"})
+                f.write(json.dumps(rec) + "\n")
     pooled_note = []
+    same_rev = []
     with open(sidecar) as f:
         for line in f:
             rec = json.loads(line)
@@ -201,12 +205,48 @@ def main():
             ):
                 continue
             c = rec["cpus"]
+            same_rev.append(rec)
             pooled_note.append(
                 f"| {rec['when']} | local[{c}] | {rec['sec']:.2f} |"
             )
-            if rec["sec"] < results[c]["sec"]:
+            if results[c] is None or rec["sec"] < results[c]["sec"]:
                 results[c] = rec
+    # same-window pairs: CONSECUTIVE legs of opposite core counts
+    # measured back-to-back (≤15 min apart) share one host-load window,
+    # so their ratio is immune to the "min over different windows"
+    # objection. ALL such pairs are reported with their median — no
+    # per-pair selection (a degraded 2c leg next to a clean 8c leg
+    # would otherwise fake efficiency > 1).
+    ts = lambda r: time.mktime(time.strptime(r["when"], "%Y-%m-%d %H:%M:%S"))
+    ordered = sorted(same_rev, key=ts)
+    adj_pairs = []
+    for a, b in zip(ordered, ordered[1:]):
+        if {a["cpus"], b["cpus"]} == {2, 8} and ts(b) - ts(a) <= 900:
+            two = a if a["cpus"] == 2 else b
+            eight = b if a["cpus"] == 2 else a
+            adj_pairs.append({
+                "local2_sec": round(two["sec"], 2),
+                "local8_sec": round(eight["sec"], 2),
+                "when": f"{two['when']} / {eight['when']}",
+                "efficiency": round((two["sec"] / eight["sec"]) / 4, 3),
+            })
     rn, r4n = results[2], results[8]
+    if rn is None or r4n is None:
+        raise SystemExit(
+            "no measured legs for this engine revision/input — run with "
+            "CX_SCALE_REPS>=1 first"
+        )
+    if adj_pairs:
+        effs = sorted(p["efficiency"] for p in adj_pairs)
+        m = len(effs) // 2
+        adj_eff = round(
+            effs[m] if len(effs) % 2 else (effs[m - 1] + effs[m]) / 2, 3
+        )
+        adj_detail = "pairs: " + ", ".join(
+            str(p["efficiency"]) for p in adj_pairs
+        )
+    else:
+        adj_eff, adj_detail = "n/a", "no back-to-back pair recorded"
     speedup = r4n["points_per_sec"] / rn["points_per_sec"]
     efficiency = speedup / (8 / 2)
     report = {
@@ -216,6 +256,8 @@ def main():
         "speedup_N_to_4N": round(speedup, 3),
         "scaling_efficiency": round(efficiency, 3),
         "all_runs": all_runs,
+        "same_window_pairs": adj_pairs,
+        "same_window_median_efficiency": adj_eff,
         "engine_rev": rev,
         "pooled_from": "BENCH/scaling_runs.jsonl (best-per-leg across all "
         "disclosed runs of this engine revision + input; hypervisor load "
@@ -249,6 +291,9 @@ driver/commit cost — the regime a multi-executor deployment runs in.
 
 - speedup N→4N cores (4× resources): **{speedup:.2f}×**
 - scaling efficiency (speedup / 4): **{efficiency:.3f}** (north-rule bar: ≥ 0.8)
+- same-window check (median over ALL consecutive 2c/8c pairs run
+  ≤15 min apart — no cross-window pooling, no per-pair selection):
+  **{adj_eff}** ({adj_detail})
 
 Per-phase wall seconds (RollupEngine.last_timings):
 
