@@ -90,6 +90,53 @@ class CarmaParams:
         return bool(np.all(self.ar_roots().real < 0))
 
 
+@dataclass
+class McmcParams:
+    """MCMC parameterization of a CARMA model (src/carma/types.rs:150-224):
+    ysigma replaces sigma for scaling, measerr_scale multiplies the
+    measurement errors, mu is the series mean, ar_params holds the
+    quadratic-factor AR parameterization. Field defaults, the
+    p==0/q>=p validation, and the to_carma_params mapping (ar_params
+    copied positionally into ar_coeffs, ma_coeffs[0] pinned to 1.0,
+    ma_params shifted up one slot) mirror types.rs:185-218 exactly —
+    including that the quadratic→polynomial conversion is the
+    reference's own simple positional mapping, not a root expansion."""
+
+    p: int
+    q: int
+    ysigma: float = 1.0
+    measerr_scale: float = 1.0
+    mu: float = 0.0
+    ar_params: np.ndarray = field(default=None)
+    ma_params: np.ndarray = field(default=None)
+
+    def __post_init__(self):
+        if self.p <= 0 or self.q >= self.p:
+            raise CarmaError(f"Invalid model order: p={self.p}, q={self.q}")
+        if self.ar_params is None:
+            self.ar_params = np.zeros(self.p)
+        if self.ma_params is None:
+            self.ma_params = np.zeros(self.q)
+        self.ar_params = np.asarray(self.ar_params, dtype=np.float64)
+        self.ma_params = np.asarray(self.ma_params, dtype=np.float64)
+
+    def to_carma_params(self) -> "CarmaParams":
+        carma = CarmaParams(self.p, self.q)
+        carma.sigma = self.ysigma
+        n_ar = min(self.p, len(self.ar_params))
+        carma.ar_coeffs[:n_ar] = self.ar_params[:n_ar]
+        carma.ma_coeffs[0] = 1.0
+        n_ma = min(self.q, len(self.ma_params))
+        carma.ma_coeffs[1:n_ma + 1] = self.ma_params[:n_ma]
+        return carma
+
+    def __repr__(self) -> str:
+        return (
+            f"McmcParams(p={self.p}, q={self.q}, "
+            f"ysigma={self.ysigma:.4f}, mu={self.mu:.4f})"
+        )
+
+
 def compute_ar_roots(ar_coeffs: np.ndarray) -> np.ndarray:
     """Companion-matrix eigenvalues of s^p + a1 s^(p-1) + ... + ap
     (src/carma/math.rs:22-64)."""

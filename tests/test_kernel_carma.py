@@ -166,3 +166,22 @@ class TestMcmc:
         assert r1["samples"].shape == (100, 3)
         assert np.isfinite(r1["log_posteriors"]).all()
         assert (r1["ess"] > 0).all()
+
+    def test_mcmc_params_surface(self):
+        # mirrors src/carma/types.rs:185-224: defaults, order validation,
+        # positional to_carma_params mapping with ma_coeffs[0] pinned to 1
+        with pytest.raises(K.CarmaError):
+            K.McmcParams(0, 0)
+        with pytest.raises(K.CarmaError):
+            K.McmcParams(2, 2)
+        mp = K.McmcParams(3, 1)
+        assert mp.ysigma == 1.0 and mp.measerr_scale == 1.0 and mp.mu == 0.0
+        assert len(mp.ar_params) == 3 and len(mp.ma_params) == 1
+        mp.ysigma = 2.5
+        mp.ar_params = np.array([0.4, 0.3, 0.2])
+        mp.ma_params = np.array([0.7])
+        carma = mp.to_carma_params()
+        assert carma.sigma == 2.5
+        np.testing.assert_array_equal(carma.ar_coeffs, [0.4, 0.3, 0.2])
+        np.testing.assert_array_equal(carma.ma_coeffs, [1.0, 0.7])
+        assert repr(mp) == "McmcParams(p=3, q=1, ysigma=2.5000, mu=0.0000)"
