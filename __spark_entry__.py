@@ -4034,6 +4034,109 @@ FROM daily
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Inactivity-gap sessionization (operators.sessions): split each
+    user's event stream into sessions at >12 h gaps and report
+    per-session turn count, start/end epoch seconds, duration. Pure
+    gaps-and-islands window SQL — one shuffle on conv_id, no UDF —
+    oracle-exact (integer epochs and counts only)."""
+    from chronoxtract_spark.operators.sessions import session_stats
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+    )
+    return session_stats(ev, gap_s=43200)
+
+
+SQL_SESSIONIZE = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), m AS (
+  SELECT conv_id, turn_idx, ts_s,
+         CASE WHEN lag(ts_s) OVER w IS NULL
+                OR ts_s - lag(ts_s) OVER w > 43200
+              THEN 1 ELSE 0 END AS is_new
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts_s, turn_idx)
+), s AS (
+  SELECT conv_id, ts_s,
+         SUM(is_new) OVER (PARTITION BY conv_id ORDER BY ts_s, turn_idx
+                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+  FROM m
+)
+SELECT conv_id, session_idx, COUNT(*)::BIGINT AS n_turns,
+       MIN(ts_s) AS start_s, MAX(ts_s) AS end_s,
+       MAX(ts_s) - MIN(ts_s) AS duration_s
+FROM s
+GROUP BY conv_id, session_idx
+"""
+
+
+def q_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (operators.sampling):
+    each doc_id hashes to a split via integer thresholds on the
+    portable md5-60 hash — map-only, rerun- and scale-stable, no RNG.
+    Reports per-(lang, split) counts; oracle-exact (the DuckDB CASE
+    uses the same integer threshold literals)."""
+    from chronoxtract_spark.operators.sampling import with_split
+
+    d = with_split(
+        _documents(spark, sf_dir), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return d.groupBy("lang", "split").agg(F.count("*").cast("long").alias("n"))
+
+
+def _sql_hash_split() -> str:
+    from chronoxtract_spark.operators.sampling import rate_threshold, sql_u60
+
+    u = sql_u60("doc_id", "split")
+    t_train, t_val = rate_threshold(0.8), rate_threshold(0.9)
+    return f"""
+SELECT lang,
+       CASE WHEN {u} < {t_train} THEN 'train'
+            WHEN {u} < {t_val} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*)::BIGINT AS n
+FROM documents
+GROUP BY 1, 2
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Per-language hash sampling (corpus rebalancing: downsample the
+    dominant language, keep the rest): keep-rate CASE over lang,
+    membership decided by integer threshold on the md5-60 doc_id hash.
+    Map-only — no shuffle, no join; returns the surviving (doc_id,
+    lang) rows, oracle-exact."""
+    from chronoxtract_spark.operators.sampling import stratified_sample
+
+    d = stratified_sample(
+        _documents(spark, sf_dir), "doc_id", "lang",
+        {"en": 0.3, "de": 0.8, "fr": 0.5}, default_rate=1.0,
+    )
+    return d.select("doc_id", "lang")
+
+
+def _sql_stratified_sample() -> str:
+    from chronoxtract_spark.operators.sampling import rate_threshold, sql_u60
+
+    u = sql_u60("doc_id", "strata")
+    return f"""
+SELECT doc_id, lang
+FROM documents
+WHERE {u} < CASE lang WHEN 'en' THEN {rate_threshold(0.3)}
+                      WHEN 'de' THEN {rate_threshold(0.8)}
+                      WHEN 'fr' THEN {rate_threshold(0.5)}
+                      ELSE {rate_threshold(1.0)} END
+"""
+
+
 _EXTRA_QUERIES = {
     "rollup_1d": q_rollup_1d,
     "carma_aicc": q_carma_aicc,
@@ -4073,6 +4176,9 @@ _EXTRA_QUERIES = {
     "variability_statistics": q_variability_statistics,
     "peak_prominence": q_peak_prominence,
     "peak_to_peak": q_peak_to_peak,
+    "sessionize": q_sessionize,
+    "hash_split": q_hash_split,
+    "stratified_sample": q_stratified_sample,
 }
 
 _EXTRA_ORACLES = {
@@ -4113,6 +4219,9 @@ _EXTRA_ORACLES = {
     "dfa": SQL_DFA,
     "peak_prominence": SQL_PEAK_PROMINENCE,
     "peak_to_peak": SQL_PEAK_TO_PEAK,
+    "sessionize": SQL_SESSIONIZE,
+    "hash_split": _sql_hash_split(),
+    "stratified_sample": _sql_stratified_sample(),
 }
 
 _BASE_QUERIES = queries

@@ -527,3 +527,127 @@ class TestPngCodec:
             _decode_image(b"not a png at all", 4, 4)
         with pytest.raises(DecodeUnavailable):
             _decode_image(b"", 4, 4)
+
+
+class TestSampling:
+    def _docs(self, spark, n=400):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.element_at(
+                F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+                (F.col("id") % 3 + 1).cast("int"),
+            ).alias("lang"),
+        )
+
+    def test_hash_sample_rate_and_determinism(self, spark):
+        from chronoxtract_spark.operators.sampling import hash_sample
+
+        d = self._docs(spark)
+        kept1 = sorted(r.doc_id for r in hash_sample(d, "doc_id", 0.5).collect())
+        kept2 = sorted(r.doc_id for r in hash_sample(d, "doc_id", 0.5).collect())
+        assert kept1 == kept2
+        assert 0.35 < len(kept1) / 400 < 0.65
+        # rate monotonicity: a higher-rate sample contains the lower one
+        kept8 = set(r.doc_id for r in hash_sample(d, "doc_id", 0.8).collect())
+        assert set(kept1) <= kept8
+        # different salts decorrelate
+        other = set(
+            r.doc_id
+            for r in hash_sample(d, "doc_id", 0.5, salt="other").collect()
+        )
+        assert set(kept1) != other
+
+    def test_hash_sample_xxhash64_variant(self, spark):
+        from chronoxtract_spark.operators.sampling import hash_sample
+
+        d = self._docs(spark)
+        kept = hash_sample(d, "doc_id", 0.5, hash_fn="xxhash64").count()
+        assert 0.35 < kept / 400 < 0.65
+
+    def test_split_stable_under_row_removal(self, spark):
+        from chronoxtract_spark.operators.sampling import with_split
+
+        d = self._docs(spark)
+        w = {"train": 0.8, "val": 0.1, "test": 0.1}
+        full = {r.doc_id: r.split for r in with_split(d, "doc_id", w).collect()}
+        assert set(full.values()) == {"train", "val", "test"}
+        # drop half the rows: every surviving doc keeps its split (the
+        # no-leakage property rand()-based splitting does not have)
+        half = with_split(d.where(F.col("doc_id") % 2 == 0), "doc_id", w)
+        for r in half.collect():
+            assert full[r.doc_id] == r.split
+        with pytest.raises(ValueError):
+            with_split(d, "doc_id", {"a": 0.5, "b": 0.4})
+
+    def test_stratified_rates(self, spark):
+        from chronoxtract_spark.operators.sampling import stratified_sample
+
+        d = self._docs(spark, n=600)
+        out = stratified_sample(
+            d, "doc_id", "lang", {"en": 0.2, "de": 1.0}, default_rate=0.0
+        )
+        by_lang = {
+            r.lang: r.n
+            for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()
+        }
+        assert by_lang.get("de") == 200          # keep-all stratum intact
+        assert "fr" not in by_lang               # default 0 drops the rest
+        assert 10 < by_lang.get("en", 0) < 90    # ~40 of 200
+
+    def test_rate_threshold_exact(self):
+        from chronoxtract_spark.operators.sampling import U60, rate_threshold
+
+        assert rate_threshold(0.0) == 0
+        assert rate_threshold(1.0) == U60
+        assert rate_threshold(0.5) == U60 // 2
+        with pytest.raises(ValueError):
+            rate_threshold(1.5)
+
+
+class TestSessionize:
+    def _frame(self, spark):
+        # conv a: turns at 0s, 60s, 7260s (gap 7200 > 3600), 7320s
+        # conv b: single turn
+        rows = [
+            ("a", 0, 0), ("a", 1, 60), ("a", 2, 7260), ("a", 3, 7320),
+            ("b", 0, 5),
+        ]
+        return spark.createDataFrame(
+            [(c, i, float(t)) for c, i, t in rows],
+            "conv_id string, turn_idx int, sec double",
+        ).select("conv_id", "turn_idx", F.timestamp_seconds("sec").alias("ts"))
+
+    def test_sessionize_boundaries(self, spark):
+        from chronoxtract_spark.operators.sessions import sessionize
+
+        out = sessionize(self._frame(spark), gap_s=3600)
+        got = {
+            (r.conv_id, r.turn_idx): (r.session_idx, r.session_id)
+            for r in out.collect()
+        }
+        assert got[("a", 0)] == (0, "a/0")
+        assert got[("a", 1)] == (0, "a/0")
+        assert got[("a", 2)] == (1, "a/1")
+        assert got[("a", 3)] == (1, "a/1")
+        assert got[("b", 0)] == (0, "b/0")
+
+    def test_session_stats(self, spark):
+        from chronoxtract_spark.operators.sessions import session_stats
+
+        out = session_stats(self._frame(spark), gap_s=3600)
+        got = {(r.conv_id, r.session_idx): r for r in out.collect()}
+        a0 = got[("a", 0)]
+        assert (a0.n_turns, a0.start_s, a0.end_s, a0.duration_s) == (2, 0, 60, 60)
+        a1 = got[("a", 1)]
+        assert (a1.n_turns, a1.duration_s) == (2, 60)
+        assert got[("b", 0)].n_turns == 1
+
+    def test_gap_exactly_at_threshold_stays(self, spark):
+        from chronoxtract_spark.operators.sessions import session_stats
+
+        df = spark.createDataFrame(
+            [("c", 0, 0.0), ("c", 1, 3600.0)],
+            "conv_id string, turn_idx int, sec double",
+        ).select("conv_id", "turn_idx", F.timestamp_seconds("sec").alias("ts"))
+        # gap == gap_s is NOT a split (strictly greater splits)
+        assert session_stats(df, gap_s=3600).count() == 1

@@ -135,3 +135,22 @@ class TestKillResume:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastNestedLoopJoin" not in plan
+
+    def test_hash_sampling_is_map_only(self, spark):
+        """Hash sampling / splitting must plan without any Exchange —
+        a pure predicate/projection over the scan, so at 10^12 rows it
+        costs one pass and zero shuffle."""
+        from chronoxtract_spark.operators.sampling import (
+            hash_sample,
+            stratified_sample,
+            with_split,
+        )
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        for df in (
+            hash_sample(docs, "doc_id", 0.5),
+            with_split(docs, "doc_id", {"train": 0.9, "test": 0.1}),
+            stratified_sample(docs, "doc_id", "lang", {"en": 0.5}, 1.0),
+        ):
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan
