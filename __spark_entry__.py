@@ -4077,6 +4077,47 @@ GROUP BY conv_id, session_idx
 """
 
 
+def q_turn_latency(spark, sf_dir):
+    """Role-transition latency stats (operators.sessions.turn_latency):
+    seconds between consecutive events per user, grouped by the
+    (prev_event_type -> event_type) transition — count, exact-int-sum
+    mean, interpolated p50/p95. One window pass + one partial-agg
+    shuffle; oracle-exact."""
+    from chronoxtract_spark.operators.sessions import turn_latency
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        "ts",
+    )
+    return turn_latency(ev)
+
+
+SQL_TURN_LATENCY = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         event_type AS role,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), l AS (
+  SELECT role,
+         lag(role) OVER w AS prev_role,
+         ts_s - lag(ts_s) OVER w AS gap_s
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY ts_s, turn_idx)
+)
+SELECT prev_role, role, COUNT(*)::BIGINT AS n,
+       round(SUM(gap_s)::DOUBLE / COUNT(*)::DOUBLE, 6) AS mean_s,
+       round(quantile_cont(gap_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(gap_s, 0.95), 6) AS p95_s
+FROM l
+WHERE prev_role IS NOT NULL
+GROUP BY prev_role, role
+"""
+
+
 def q_hash_split(spark, sf_dir):
     """Deterministic train/val/test assignment (operators.sampling):
     each doc_id hashes to a split via integer thresholds on the
@@ -4177,6 +4218,7 @@ _EXTRA_QUERIES = {
     "peak_prominence": q_peak_prominence,
     "peak_to_peak": q_peak_to_peak,
     "sessionize": q_sessionize,
+    "turn_latency": q_turn_latency,
     "hash_split": q_hash_split,
     "stratified_sample": q_stratified_sample,
 }
@@ -4220,6 +4262,7 @@ _EXTRA_ORACLES = {
     "peak_prominence": SQL_PEAK_PROMINENCE,
     "peak_to_peak": SQL_PEAK_TO_PEAK,
     "sessionize": SQL_SESSIONIZE,
+    "turn_latency": SQL_TURN_LATENCY,
     "hash_split": _sql_hash_split(),
     "stratified_sample": _sql_stratified_sample(),
 }

@@ -68,3 +68,49 @@ def session_stats(
         (F.max(F.unix_timestamp(F.col(ts_col))) - F.min(F.unix_timestamp(F.col(ts_col))))
         .alias("duration_s"),
     )
+
+
+def turn_latency(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    role_col: str = "role",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+) -> DataFrame:
+    """Latency between consecutive turns, grouped by the role
+    transition (prev_role -> role): count, mean, p50, p95 in seconds.
+
+    The dialog-analytics staple ("how long until the assistant answers
+    a user turn"), generalized over whatever the role column holds.
+    Same single conv_id window pass as sessionize; the mean is the
+    division of an exact int64 second-sum by the count (no float
+    accumulation order to diverge between engines or partitionings).
+
+    Ordering is by the SAME whole-second value the gaps are measured
+    in (plus the unique tiebreakers), not the raw sub-second
+    timestamp — so which transition a same-second tie pairs with is
+    decided by the tiebreaker alone, identically in any engine that
+    only has the floored seconds. ``ts_col`` may be a timestamp or an
+    already-floored numeric epoch column.
+    """
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[ts_col].dataType, NumericType):
+        sec = F.col(ts_col).cast("long")
+    else:
+        sec = F.unix_timestamp(F.col(ts_col))
+    d = df.withColumn("_ts_s", sec)
+    w = Window.partitionBy(conv_col).orderBy("_ts_s", *order_cols)
+    lat = d.select(
+        F.col(role_col).alias("role"),
+        F.lag(F.col(role_col)).over(w).alias("prev_role"),
+        (F.col("_ts_s") - F.lag(F.col("_ts_s")).over(w)).alias("gap_s"),
+    ).where(F.col("prev_role").isNotNull())
+    return lat.groupBy("prev_role", "role").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(
+            F.sum("gap_s").cast("double") / F.count("*").cast("double"), 6
+        ).alias("mean_s"),
+        F.round(F.percentile(F.col("gap_s"), F.lit(0.5)), 6).alias("p50_s"),
+        F.round(F.percentile(F.col("gap_s"), F.lit(0.95)), 6).alias("p95_s"),
+    )

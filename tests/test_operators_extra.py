@@ -651,3 +651,44 @@ class TestSessionize:
         ).select("conv_id", "turn_idx", F.timestamp_seconds("sec").alias("ts"))
         # gap == gap_s is NOT a split (strictly greater splits)
         assert session_stats(df, gap_s=3600).count() == 1
+
+    def test_turn_latency_transitions(self, spark):
+        from chronoxtract_spark.operators.sessions import turn_latency
+
+        rows = [
+            ("a", 0, 0.0, "user"), ("a", 1, 10.0, "assistant"),
+            ("a", 2, 40.0, "user"), ("a", 3, 50.0, "assistant"),
+            ("b", 0, 0.0, "user"), ("b", 1, 70.0, "assistant"),
+        ]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, sec double, role string"
+        ).select(
+            "conv_id", "turn_idx", "role",
+            F.timestamp_seconds("sec").alias("ts"),
+        )
+        got = {
+            (r.prev_role, r.role): r for r in turn_latency(df).collect()
+        }
+        ua = got[("user", "assistant")]
+        assert ua.n == 3
+        assert ua.mean_s == pytest.approx(30.0)  # (10 + 10 + 70) / 3
+        assert ua.p50_s == pytest.approx(10.0)
+        au = got[("assistant", "user")]
+        assert (au.n, au.mean_s) == (1, 30.0)
+
+    def test_turn_latency_same_second_tiebreak(self, spark):
+        from chronoxtract_spark.operators.sessions import turn_latency
+
+        # two turns inside the same wall-clock second but with raw
+        # sub-second order OPPOSITE to the tiebreaker: the transition
+        # must follow the tiebreaker (turn_idx), matching any engine
+        # that only sees floored seconds
+        rows = [("c", 0, 5.9, "x"), ("c", 1, 5.2, "y"), ("c", 2, 9.0, "z")]
+        df = spark.createDataFrame(
+            rows, "conv_id string, turn_idx int, sec double, role string"
+        ).select(
+            "conv_id", "turn_idx", "role",
+            F.timestamp_seconds("sec").alias("ts"),
+        )
+        got = {(r.prev_role, r.role): r.n for r in turn_latency(df).collect()}
+        assert got == {("x", "y"): 1, ("y", "z"): 1}
