@@ -14,6 +14,9 @@ semantics (SURVEY.md §2.10):
   (conv, hour window) n/s1..s4/min/max in one watermarked agg. A batch
   job derives the moment features from the state exactly like
   plans.rollup does — state columns are engine-wide currency.
+- ``watermarked_session_stats`` — streaming sessionization via the
+  native ``session_window`` (merging session state in the agg), the
+  streaming face of operators.sessions.session_stats.
 - ``stateful_ema`` — custom stateful operator via
   ``applyInPandasWithState``: per-conversation EMA of per-batch turn
   counts carried in GroupState across micro-batches (the reference's
@@ -97,6 +100,54 @@ def watermarked_hour_state(
             "s4",
             "min",
             "max",
+        )
+    )
+
+
+def watermarked_session_stats(
+    events: DataFrame,
+    conv_col: str = "conv_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming counterpart of operators.sessions.session_stats:
+    per-(conversation, session) turn count, start/end epoch seconds,
+    duration — using Spark's native ``session_window`` (dynamic-gap
+    merging session state inside the streaming agg) instead of the
+    batch gaps-and-islands window pass. A session emits once the
+    watermark passes ``gap`` beyond its last event (the window closes),
+    so append mode streams final per-session rows.
+
+    Session extent note: ``session_window`` spans [first_event,
+    last_event + gap); the batch operator reports observed turn
+    extent, so ``end_s`` here subtracts the gap back out to agree
+    with ``session_stats`` on closed sessions. Boundary divergence:
+    a gap of EXACTLY ``gap`` stays in-session in the batch operator
+    (strict ``>`` splits) but starts a new session here (adjacent
+    half-open windows don't overlap) — documented, matters only for
+    whole-second-exact gaps.
+    """
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(conv_col),
+            F.session_window(F.col(ts_col), gap).alias("w"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_turns"),
+            F.min(F.unix_timestamp(F.col(ts_col))).alias("start_s"),
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("end_s"),
+        )
+        .select(
+            conv_col,
+            F.col("w.start").alias("session_start"),
+            (F.col("w.end") - gap_expr).alias("session_end"),
+            "n_turns",
+            "start_s",
+            "end_s",
+            (F.col("end_s") - F.col("start_s")).alias("duration_s"),
         )
     )
 

@@ -194,3 +194,39 @@ class TestTransformWithState:
         assert second["a"]["variance"] == pytest.approx(
             ((16 + 4 + 36) / 3) - 16.0
         )
+
+
+class TestSessionWindow:
+    def test_matches_batch_session_stats(self, spark, dirs):
+        src, ckpt = dirs
+        rows = [
+            ("a", 0, "2026-01-01T00:00:00"),
+            ("a", 1, "2026-01-01T00:10:00"),
+            ("a", 2, "2026-01-01T02:00:00"),   # > 30 min gap: new session
+            ("a", 3, "2026-01-01T02:05:00"),
+            ("b", 0, "2026-01-01T00:03:00"),
+            # sentinel closes every real session's window
+            ("z", 1, "2026-01-01T12:00:00"),
+        ]
+        _rows(spark, rows).write.mode("append").parquet(src)
+        out = live.watermarked_session_stats(
+            _read_stream(spark, src), gap="30 minutes"
+        )
+        name = live.run_to_memory(out, "wm_sessions", ckpt)
+        got = {
+            (r.conv_id, r.start_s): (r.n_turns, r.end_s, r.duration_s)
+            for r in spark.table(name).collect()
+        }
+
+        from chronoxtract_spark.operators.sessions import session_stats
+
+        batch = {
+            (r.conv_id, r.start_s): (r.n_turns, r.end_s, r.duration_s)
+            for r in session_stats(_rows(spark, rows), gap_s=1800)
+            .filter(F.col("conv_id") != "z")
+            .collect()
+        }
+        assert batch == got  # closed sessions agree with the batch op
+        assert len(got) == 3
+        a0 = got[("a", 1767225600)]  # 2026-01-01T00:00:00Z
+        assert a0 == (2, 1767226200, 600)
