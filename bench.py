@@ -20,6 +20,22 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def noise_canary() -> float:
+    """Fixed single-threaded numpy workload (~0.7 s on this VM when
+    quiet). Hypervisor load on this host varies ±30% between windows
+    and has previously made an unchanged engine look 2x slower
+    (BENCH/BASELINE.md methodology note); the canary pins the window's
+    quality inside the bench artifact itself, so a degraded run is
+    distinguishable from a regression without re-running."""
+    import numpy as np
+
+    x = np.random.RandomState(0).standard_normal(1 << 21)
+    t0 = time.time()
+    for _ in range(12):
+        np.fft.rfft(x)
+    return round(time.time() - t0, 3)
+
+
 def run_bench(sf_dir: str, cpus: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -28,6 +44,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from chronoxtract_spark.session import get_spark
     from chronoxtract_spark.sources.tableio import temp_warehouse
 
+    canary_pre = noise_canary()
     spark = get_spark(
         app_name="cx_bench",
         master=f"local[{cpus}]",
@@ -120,6 +137,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "rollup_points_per_sec": round(total_points / rollup_sec, 1),
         "input_events": n_events,
         "cpus": cpus,
+        "host_noise_canary_sec": {"pre": canary_pre, "post": noise_canary()},
     }
     spark.stop()
     return result
