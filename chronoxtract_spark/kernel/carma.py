@@ -64,7 +64,10 @@ class CarmaParams:
     sigma: float = 1.0
 
     def __post_init__(self):
-        if self.p <= 0 or self.q >= self.p:
+        # q is usize in the reference (can't be negative); the Python
+        # surface must reject it explicitly or np.zeros(q) fails later
+        # with a raw ValueError instead of the CarmaError contract
+        if self.p <= 0 or self.q < 0 or self.q >= self.p:
             raise CarmaError(f"Invalid model order: p={self.p}, q={self.q}")
         if self.ar_coeffs is None:
             self.ar_coeffs = np.zeros(self.p)
@@ -111,7 +114,7 @@ class McmcParams:
     ma_params: np.ndarray = field(default=None)
 
     def __post_init__(self):
-        if self.p <= 0 or self.q >= self.p:
+        if self.p <= 0 or self.q < 0 or self.q >= self.p:
             raise CarmaError(f"Invalid model order: p={self.p}, q={self.q}")
         if self.ar_params is None:
             self.ar_params = np.zeros(self.p)

@@ -79,6 +79,8 @@ def with_split(
     Deterministic in the key alone — adding or removing *other* rows
     never moves a document between splits (critical for avoiding
     train/test leakage across dataset versions)."""
+    from fractions import Fraction
+
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"split weights must sum to 1, got {total}")
@@ -86,10 +88,14 @@ def with_split(
         raise ValueError("need at least two splits")
     u = hash_u60(key_col, salt, hash_fn)
     names = list(weights)
-    cum = 0.0
+    # cumulative boundaries in exact arithmetic: 0.9 + 0.05 in binary
+    # floats is 0.9500000000000001, whose threshold is 115 hash values
+    # off the literal 0.95 an oracle would use — Fractions keep every
+    # boundary identical to rate_threshold(<written literal>)
+    cum = Fraction(0)
     expr = None
     for name in names[:-1]:
-        cum += weights[name]
+        cum += Fraction(str(weights[name]))
         cond = u < F.lit(rate_threshold(cum))
         expr = F.when(cond, name) if expr is None else expr.when(cond, name)
     expr = expr.otherwise(names[-1])

@@ -123,10 +123,14 @@ def watermarked_session_stats(
     last_event + gap); the batch operator reports observed turn
     extent, so ``end_s`` here subtracts the gap back out to agree
     with ``session_stats`` on closed sessions. Boundary divergence:
-    a gap of EXACTLY ``gap`` stays in-session in the batch operator
-    (strict ``>`` splits) but starts a new session here (adjacent
-    half-open windows don't overlap) — documented, matters only for
-    whole-second-exact gaps.
+    the batch operator compares FLOORED whole-second gaps with a
+    strict ``>``, while ``session_window`` merges on full-precision
+    event time with half-open windows — so the two can disagree
+    whenever a real gap lands within ~1 s of the threshold (an exact
+    whole-second gap of ``gap`` stays in-session in batch but splits
+    here, and sub-second timestamp parts can tip either way). Treat
+    rows whose gap is that close to the threshold as
+    implementation-defined, as with any floating boundary.
     """
     gap_expr = F.expr(f"INTERVAL {gap}")
     return (

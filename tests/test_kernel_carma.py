@@ -185,3 +185,10 @@ class TestMcmc:
         np.testing.assert_array_equal(carma.ar_coeffs, [0.4, 0.3, 0.2])
         np.testing.assert_array_equal(carma.ma_coeffs, [1.0, 0.7])
         assert repr(mp) == "McmcParams(p=3, q=1, ysigma=2.5000, mu=0.0000)"
+
+
+def test_negative_q_rejected_with_carma_error():
+    with pytest.raises(K.CarmaError):
+        K.CarmaParams(1, -1)
+    with pytest.raises(K.CarmaError):
+        K.McmcParams(1, -1)

@@ -604,6 +604,36 @@ class TestSampling:
             rate_threshold(1.5)
 
 
+    def test_split_boundaries_use_exact_literal_thresholds(self, spark):
+        # 0.9 + 0.05 in binary floats is 0.9500000000000001 — the split
+        # boundaries must nevertheless equal the thresholds of the
+        # WRITTEN literals (what any oracle computes), not the float sum
+        from chronoxtract_spark.operators.sampling import (
+            hash_u60,
+            rate_threshold,
+            with_split,
+        )
+
+        d = self._docs(spark, n=500)
+        got = {
+            r.doc_id: r.split
+            for r in with_split(
+                d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05}
+            ).collect()
+        }
+        u = hash_u60("doc_id", "split")
+        lit = {
+            r.doc_id: r.split
+            for r in d.withColumn(
+                "split",
+                F.when(u < F.lit(rate_threshold(0.9)), "train")
+                .when(u < F.lit(rate_threshold(0.95)), "val")
+                .otherwise("test"),
+            ).collect()
+        }
+        assert got == lit
+
+
 class TestSessionize:
     def _frame(self, spark):
         # conv a: turns at 0s, 60s, 7260s (gap 7200 > 3600), 7320s

@@ -80,11 +80,16 @@ def test_regular_series_compresses(n, step):
     ),
     cut=st.integers(min_value=0, max_value=200),
 )
-def test_moment_state_merges_exactly(data, cut):
+def test_moment_state_merges(data, cut):
     """The tier cascade's foundation: summing per-part raw-moment
-    states equals the whole-series state when the parts partition the
-    series in order (same left-to-right float additions, so equality
-    is exact, not approximate)."""
+    states reproduces the whole-series state — count/min/max exactly
+    (integer/order-free), power sums to tight tolerance (float
+    addition is not associative, so a split can differ by rounding;
+    the bit-for-bit modulo-summation-order engine check lives in
+    test_moment_state_merge_exact). Additionally, a SEQUENTIAL
+    left-to-right whole-series sum must equal the sequential left part
+    followed by the sequential right part — that one IS exact, it is
+    the same chain of float additions."""
     x = np.array(data, dtype=np.float64)
     k = min(cut, len(x))
 
@@ -103,34 +108,23 @@ def test_moment_state_merges_exactly(data, cut):
     merged = left + right
     mins = [m for m in (lmin, rmin) if m is not None]
     maxs = [m for m in (lmax, rmax) if m is not None]
-    # np.sum pairwise-reduces, so re-sum the concatenated power sums
-    # sequentially for the exactness claim
-    seq = np.array(
-        [
-            len(x),
-            float(np.add.reduce(x)),
-            float(np.add.reduce(x * x)),
-            float(np.add.reduce(x**3)),
-            float(np.add.reduce(x**4)),
-        ]
-    )
-    seq_l = np.array(
-        [
-            k,
-            float(np.add.reduce(x[:k])),
-            float(np.add.reduce(x[:k] * x[:k])),
-            float(np.add.reduce(x[:k] ** 3)),
-            float(np.add.reduce(x[:k] ** 4)),
-        ]
-    )
-    # merged min/max are always exact
+    # merged count/min/max are always exact
+    assert merged[0] == whole[0] == len(x)
     assert min(mins) == wmin and max(maxs) == wmax
-    # power sums: sequential-part sums re-added equal a tolerance-free
-    # count; float parts agree to tight relative tolerance regardless
-    # of numpy's internal pairwise blocking
-    assert merged[0] == whole[0] == seq[0]
     np.testing.assert_allclose(merged[1:], whole[1:], rtol=1e-9, atol=1e-6)
-    assert seq_l[0] == k
+    # the exact identity: continuing a sequential fold from the left
+    # part's total over the right part equals the whole sequential fold
+    for arr in (x, x * x, x**3, x**4):
+        seq_whole = 0.0
+        for val in arr:
+            seq_whole += val
+        seq_left = 0.0
+        for val in arr[:k]:
+            seq_left += val
+        cont = seq_left
+        for val in arr[k:]:
+            cont += val
+        assert cont == seq_whole
 
 
 # -- peaks ------------------------------------------------------------------

@@ -173,6 +173,11 @@ def main():
                 cpus=cpus,
             )
             r = json.loads(line[len("RESULT "):])
+            # stamp each leg at ITS measurement time — the same-window
+            # pairing below keys on these stamps, and one shared
+            # end-of-invocation stamp would mark legs run ~20 min apart
+            # as simultaneous
+            r["when"] = time.strftime("%Y-%m-%d %H:%M:%S")
             print(f"local[{cpus}] rep{rep}:", json.dumps(r))
             all_runs.append({"cpus": cpus, "rep": rep, "sec": r["sec"],
                              "warmup_sec": r.get("warmup_sec")})
@@ -187,12 +192,11 @@ def main():
     # run disclosed in the sidecar
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     sidecar = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
-    stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     if reps > 0:
         with open(sidecar, "a") as f:
             for cpus in (2, 8):
                 rec = dict(results[cpus])
-                rec.update({"rev": rev, "when": stamp,
+                rec.update({"rev": rev,
                             "input": f"n={n_convs} min_turns={min_turns}"})
                 f.write(json.dumps(rec) + "\n")
     pooled_note = []
