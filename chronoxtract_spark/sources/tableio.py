@@ -51,13 +51,56 @@ class ParquetBackend:
         return os.path.isdir(self._path(table))
 
     def read(self, table: str) -> DataFrame:
-        return self.spark.read.parquet(self._path(table))
+        from pyspark.errors import AnalysisException
+
+        try:
+            return self.spark.read.parquet(self._path(table))
+        except AnalysisException:
+            # a table whose every partition was retention-expired is an
+            # empty directory — parquet can't infer a schema from zero
+            # files, but an Iceberg table in the same state still
+            # answers with its catalog schema and zero rows. The schema
+            # sidecar (written at first write, from an actual read so
+            # partition-column types match populated reads exactly)
+            # restores that behavior.
+            schema = self._load_schema(table)
+            if schema is None:
+                raise
+            return self.spark.createDataFrame([], schema)
+
+    def _schema_path(self, table: str) -> str:
+        return os.path.join(self._path(table), "_cx_schema.json")
+
+    def _save_schema(self, table: str):
+        sp = self._schema_path(table)
+        if os.path.exists(sp):
+            return
+        # schema OF A READ, not of the written df: a string partition
+        # column comes back as DATE from the directory layout, and the
+        # empty-table fallback must match populated reads type-for-type
+        schema_json = self.spark.read.parquet(self._path(table)).schema.json()
+        tmp = sp + f".tmp.{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(schema_json)
+        os.replace(tmp, sp)
+
+    def _load_schema(self, table: str):
+        from pyspark.sql.types import StructType
+
+        sp = self._schema_path(table)
+        if not os.path.exists(sp):
+            return None
+        import json
+
+        with open(sp) as f:
+            return StructType.fromJson(json.load(f))
 
     def append(self, df: DataFrame, table: str, partition_by: list[str] | None = None):
         w = df.write.mode("append")
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self._path(table))
+        self._save_schema(table)
 
     def overwrite_partitions(
         self, df: DataFrame, table: str, partition_by: list[str]
@@ -70,6 +113,7 @@ class ParquetBackend:
             .partitionBy(*partition_by)
             .parquet(self._path(table))
         )
+        self._save_schema(table)
 
     def delete_partitions(self, table: str, part_col: str, values: list[str]):
         """Partition-level delete = directory drop (retention expiry)."""

@@ -317,3 +317,16 @@ class TestRollupPipeline:
             .count()
         )
         assert exp >= 1
+
+    def test_fully_expired_table_reads_empty_with_schema(self, spark, engine_run):
+        """Expiring EVERY partition must leave a readable empty table
+        with the populated-read schema (Iceberg behavior; the parquet
+        backend restores it via the schema sidecar) — not an
+        UNABLE_TO_INFER_SCHEMA error."""
+        io, eng, _counts = engine_run
+        populated_schema = io.read("rollup_1d").schema
+        days = io.list_partitions("rollup_1d", "day")
+        io.delete_partitions("rollup_1d", "day", days)
+        got = io.read("rollup_1d")
+        assert got.count() == 0
+        assert got.schema == populated_schema
