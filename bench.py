@@ -36,6 +36,36 @@ def noise_canary() -> float:
     return round(time.time() - t0, 3)
 
 
+def read_cpu_stat() -> dict | None:
+    """Aggregate jiffies from /proc/stat — steal time is the direct
+    measurement of the hypervisor taking CPU away from this VM, which
+    the single-thread canary cannot see (steal on this host only kicks
+    in above ~16 busy threads, exactly where the 32-thread bench
+    runs)."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(v) for v in parts[1:9]]
+        user, nice, system, idle, iowait, irq, softirq, steal = vals
+        return {"busy": user + nice + system + irq + softirq,
+                "system": system, "idle": idle + iowait, "steal": steal}
+    except Exception:  # non-Linux or restricted /proc
+        return None
+
+
+def cpu_pressure(before: dict | None, after: dict | None) -> dict | None:
+    """steal%% and system%% of total jiffies over the bench interval."""
+    if not before or not after:
+        return None
+    tot = sum(after.values()) - sum(before.values())
+    if tot <= 0:
+        return None
+    return {
+        "steal_pct": round(100 * (after["steal"] - before["steal"]) / tot, 1),
+        "system_pct": round(100 * (after["system"] - before["system"]) / tot, 1),
+    }
+
+
 def run_bench(sf_dir: str, cpus: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -45,6 +75,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from chronoxtract_spark.sources.tableio import temp_warehouse
 
     canary_pre = noise_canary()
+    stat_pre = read_cpu_stat()
     spark = get_spark(
         app_name="cx_bench",
         master=f"local[{cpus}]",
@@ -138,6 +169,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "input_events": n_events,
         "cpus": cpus,
         "host_noise_canary_sec": {"pre": canary_pre, "post": noise_canary()},
+        "host_cpu_pressure": cpu_pressure(stat_pre, read_cpu_stat()),
     }
     spark.stop()
     return result
