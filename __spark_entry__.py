@@ -4034,6 +4034,60 @@ FROM daily
 """
 
 
+def q_audio_features(spark, sf_dir):
+    """Multimodal audio pipeline end-to-end on REAL bytes, oracle-exact:
+    the synthetic media table's audio rows are genuine PCM16 mono WAVs
+    (multimodal.encode_wav, pure stdlib per the public RIFF spec) of
+    the analytic integer waveform ((id·31 + i·17) mod 4001) − 2000; the
+    Spark side must recover RMS / peak / zero-crossing rate THROUGH the
+    mapInPandas decode (decode_wav walks RIFF chunks), while the oracle
+    integrates the generating formula directly in SQL. Sums are exact
+    int64; the float ratios are epsilon-bias quantized to 1e-4 units."""
+    from chronoxtract_spark.operators.multimodal import audio_features, synth_media
+
+    out = audio_features(synth_media(spark, 48))
+
+    def e4(c):
+        return F.floor(F.col(c) * 1e4 + 0.5 + 1e-6).cast("long")
+
+    return out.select(
+        "media_id",
+        "sample_rate",
+        "n_samples",
+        e4("rms").alias("rms_e4"),
+        "peak",
+        e4("zcr").alias("zcr_e4"),
+    )
+
+
+SQL_AUDIO_FEATURES = """
+WITH auds AS (
+  SELECT i.i AS media_id, (i.i * 800)::BIGINT AS n
+  FROM (SELECT unnest(generate_series(0, 47)) AS i) i
+  WHERE i.i % 3 = 1
+), samp AS (
+  SELECT media_id, n, unnest(generate_series(0, n - 1)) AS i
+  FROM auds
+), v AS (
+  SELECT media_id, n, i,
+         (media_id * 31 + i * 17) % 4001 - 2000 AS s,
+         CASE WHEN i < n - 1
+              THEN (media_id * 31 + (i + 1) * 17) % 4001 - 2000
+         END AS s_next
+  FROM samp
+)
+SELECT media_id,
+       8000 AS sample_rate,
+       any_value(n) AS n_samples,
+       floor(sqrt(sum(s * s)::DOUBLE / any_value(n)) * 1e4 + 0.5 + 1e-6)::BIGINT
+         AS rms_e4,
+       max(abs(s))::INT AS peak,
+       floor((sum((s * s_next < 0)::INT)::DOUBLE / (any_value(n) - 1))
+             * 1e4 + 0.5 + 1e-6)::BIGINT AS zcr_e4
+FROM v GROUP BY media_id
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Inactivity-gap sessionization (operators.sessions): split each
     user's event stream into sessions at >12 h gaps and report
@@ -4217,6 +4271,7 @@ _EXTRA_QUERIES = {
     "variability_statistics": q_variability_statistics,
     "peak_prominence": q_peak_prominence,
     "peak_to_peak": q_peak_to_peak,
+    "audio_features": q_audio_features,
     "sessionize": q_sessionize,
     "turn_latency": q_turn_latency,
     "hash_split": q_hash_split,
@@ -4261,6 +4316,7 @@ _EXTRA_ORACLES = {
     "dfa": SQL_DFA,
     "peak_prominence": SQL_PEAK_PROMINENCE,
     "peak_to_peak": SQL_PEAK_TO_PEAK,
+    "audio_features": SQL_AUDIO_FEATURES,
     "sessionize": SQL_SESSIONIZE,
     "turn_latency": SQL_TURN_LATENCY,
     "hash_split": _sql_hash_split(),

@@ -10,10 +10,14 @@ image pipeline is exercised end-to-end on genuine bytes
 (``encode_png`` / ``decode_png``; round-trip bit-exactness and
 per-filter decodes are pytest-verified, and the ``media_features``
 driver query is checked against an independent analytic oracle).
-Formats that genuinely need external codecs (JPEG, audio, video
-frames) raise ``DecodeUnavailable`` unless the payload is recognized;
-production swaps ``_decode_image`` for a Pillow/ffmpeg call with the
-identical signature.
+The WAV decode path is REAL too: a from-the-public-spec PCM16 mono
+RIFF codec (``encode_wav`` / ``decode_wav``), so the audio pipeline
+also runs on genuine bytes (``audio_features`` is oracle-checked
+against the analytic waveform). Formats that genuinely need external
+codecs (JPEG, compressed audio, video frames) raise
+``DecodeUnavailable`` unless the payload is recognized; production
+swaps ``_decode_image`` / ``decode_wav`` for Pillow/ffmpeg calls with
+the identical signatures.
 
 At 100 TB: binary payloads dominate partition bytes, so
 ``spark.sql.files.maxPartitionBytes`` sizing and the
@@ -51,9 +55,9 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 class DecodeUnavailable(NotImplementedError):
     """Raised when a payload needs a codec this container does not ship
-    (JPEG, audio, video). PNG is decoded for real (``decode_png``).
-    Production swaps ``_decode_image`` for Pillow/ffmpeg with the
-    identical signature."""
+    (JPEG, compressed audio, video). PNG and PCM16 WAV are decoded for
+    real (``decode_png`` / ``decode_wav``). Production swaps them for
+    Pillow/ffmpeg with the identical signatures."""
 
 
 def _png_chunk(typ: bytes, data: bytes) -> bytes:
@@ -169,6 +173,114 @@ def _decode_image(payload: bytes, width: int, height: int) -> np.ndarray:
 #: media_features), while the Spark side must arrive at the same
 #: numbers THROUGH real PNG bytes (encode_png at synth time →
 #: decode_png inside the extractor)
+# -- audio: PCM16 mono RIFF/WAVE codec (public WAVE spec, stdlib) -----------
+
+WAV_SAMPLE_RATE = 8000
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = WAV_SAMPLE_RATE) -> bytes:
+    """Minimal PCM16 mono WAV encoder: RIFF header + ``fmt `` chunk +
+    ``data`` chunk, little-endian per the spec."""
+    data = np.asarray(samples).astype("<i2").tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, 1, sample_rate, sample_rate * 2, 2, 16
+    )
+    return (
+        b"RIFF"
+        + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+        + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
+    """PCM16 mono WAV decoder (walks RIFF chunks, so foreign files with
+    extra chunks like LIST/INFO still parse). Returns
+    ``(sample_rate, int16 samples)``; anything that is not uncompressed
+    16-bit mono raises ``DecodeUnavailable`` — compressed audio needs a
+    codec this container does not ship."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise DecodeUnavailable("not a RIFF/WAVE payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise DecodeUnavailable("missing fmt/data chunk")
+    audio_format, channels, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
+    if audio_format != 1 or channels != 1 or bits != 16:
+        raise DecodeUnavailable(
+            f"unsupported WAV (format={audio_format}, ch={channels}, bits={bits})"
+        )
+    return sr, np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2")
+
+
+def synth_samples(media_id: int, n: int) -> np.ndarray:
+    """Analytic pseudo-noise waveform ``((id·31 + i·17) mod 4001) − 2000``
+    — pure integer arithmetic, so an oracle reproduces every sample
+    exactly in SQL (the audio analogue of ``synth_pixels``)."""
+    i = np.arange(n, dtype=np.int64)
+    return ((media_id * 31 + i * 17) % 4001 - 2000).astype(np.int16)
+
+
+AUDIO_FEATURE_SCHEMA = (
+    "media_id long, sample_rate int, n_samples long, rms double, "
+    "peak int, zcr double"
+)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """Per-clip audio statistics THROUGH the WAV decode: RMS, peak
+    amplitude, zero-crossing rate. Sums are exact int64 (samples are
+    int16), so rms/zcr are single float divisions of exact integers —
+    engine-independent for the oracle. Same Arrow batch contract as
+    ``image_features``."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    sr, s = decode_wav(r.payload)
+                    s64 = s.astype(np.int64)
+                    n = int(s64.size)
+                    sq = int((s64 * s64).sum())
+                    crossings = int(((s64[:-1] * s64[1:]) < 0).sum())
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "sample_rate": sr,
+                            "n_samples": n,
+                            "rms": float(np.sqrt(sq / n)) if n else float("nan"),
+                            "peak": int(np.abs(s64).max()) if n else 0,
+                            "zcr": crossings / (n - 1) if n > 1 else float("nan"),
+                        }
+                    )
+                except DecodeUnavailable:
+                    rows.append(
+                        {
+                            "media_id": r.media_id,
+                            "sample_rate": None,
+                            "n_samples": 0,
+                            "rms": float("nan"),
+                            "peak": 0,
+                            "zcr": float("nan"),
+                        }
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("mime").startswith("audio/")).mapInPandas(
+        extract, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
 def synth_pixels(media_id: int, width: int, height: int) -> np.ndarray:
     rr = np.arange(int(height), dtype=np.int64)[:, None] * 17
     cc = np.arange(int(width), dtype=np.int64)[None, :] * 7
@@ -178,8 +290,10 @@ def synth_pixels(media_id: int, width: int, height: int) -> np.ndarray:
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
     """Deterministic media table exercising the binary-column path.
     Image rows carry REAL PNG payloads of the analytic ``synth_pixels``
-    pattern; audio/video rows carry deterministic opaque bytes (their
-    decode is codec-gated)."""
+    pattern; audio rows carry REAL PCM16 WAV payloads of the analytic
+    ``synth_samples`` waveform (duration_ms × 8 kHz samples); video
+    rows carry deterministic opaque bytes (frame decode is
+    codec-gated)."""
     import hashlib
 
     base = spark.range(0, n, 1, 4).select(
@@ -200,6 +314,11 @@ def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 if r.mime.startswith("image/"):
                     payloads.append(
                         encode_png(synth_pixels(r.media_id, r.width, r.height))
+                    )
+                elif r.mime.startswith("audio/"):
+                    n_samp = r.duration_ms * WAV_SAMPLE_RATE // 1000
+                    payloads.append(
+                        encode_wav(synth_samples(r.media_id, n_samp))
                     )
                 else:
                     payloads.append(

@@ -722,3 +722,70 @@ class TestSessionize:
         )
         got = {(r.prev_role, r.role): r.n for r in turn_latency(df).collect()}
         assert got == {("x", "y"): 1, ("y", "z"): 1}
+
+
+class TestAudioWav:
+    def test_wav_roundtrip_bit_exact(self):
+        from chronoxtract_spark.operators.multimodal import (
+            decode_wav,
+            encode_wav,
+            synth_samples,
+        )
+
+        s = synth_samples(7, 1234)
+        sr, back = decode_wav(encode_wav(s, 8000))
+        assert sr == 8000
+        np.testing.assert_array_equal(back, s)
+        # edge amplitudes survive
+        extremes = np.array([-32768, 32767, 0, -1, 1], dtype=np.int16)
+        _, back2 = decode_wav(encode_wav(extremes))
+        np.testing.assert_array_equal(back2, extremes)
+
+    def test_foreign_wav_with_extra_chunks_parses(self):
+        import struct
+
+        from chronoxtract_spark.operators.multimodal import decode_wav, encode_wav
+
+        base = encode_wav(np.array([1, -2, 3], dtype=np.int16))
+        # splice a LIST/INFO chunk (odd-sized, exercising word alignment)
+        # between fmt and data, as real-world encoders emit
+        fmt_end = base.index(b"data")
+        info = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+        spliced = base[:fmt_end] + info + base[fmt_end:]
+        sr, s = decode_wav(spliced)
+        assert sr == 8000
+        np.testing.assert_array_equal(s, [1, -2, 3])
+
+    def test_non_pcm16_rejected(self):
+        import struct
+
+        from chronoxtract_spark.operators.multimodal import (
+            DecodeUnavailable,
+            decode_wav,
+            encode_wav,
+        )
+
+        with pytest.raises(DecodeUnavailable):
+            decode_wav(b"not audio")
+        # stereo (channels=2) must be refused, not silently mis-decoded
+        good = bytearray(encode_wav(np.array([1, 2], dtype=np.int16)))
+        fmt_at = bytes(good).index(b"fmt ") + 8
+        good[fmt_at + 2 : fmt_at + 4] = struct.pack("<H", 2)
+        with pytest.raises(DecodeUnavailable):
+            decode_wav(bytes(good))
+
+    def test_audio_features_values(self, spark):
+        from chronoxtract_spark.operators.multimodal import (
+            audio_features,
+            encode_wav,
+        )
+
+        s = np.array([3, -3, 3, -3], dtype=np.int16)
+        df = spark.createDataFrame(
+            [(1, "audio/wav", bytearray(encode_wav(s)))],
+            "media_id long, mime string, payload binary",
+        )
+        r = audio_features(df).collect()[0]
+        assert (r.sample_rate, r.n_samples, r.peak) == (8000, 4, 3)
+        assert r.rms == pytest.approx(3.0)
+        assert r.zcr == pytest.approx(1.0)  # every adjacent pair crosses
