@@ -17,6 +17,11 @@ semantics (SURVEY.md §2.10):
 - ``watermarked_session_stats`` — streaming sessionization via the
   native ``session_window`` (merging session state in the agg), the
   streaming face of operators.sessions.session_stats.
+- ``watermarked_dedup`` — streaming exact deduplication via
+  ``dropDuplicatesWithinWatermark``: state for a key is held only for
+  the lateness horizon, so the dedup state store is bounded by the
+  watermark instead of growing with the stream (the streaming face of
+  operators.dedup.exact_duplicates' key normalization).
 - ``stateful_ema`` — custom stateful operator via
   ``applyInPandasWithState``: per-conversation EMA of per-batch turn
   counts carried in GroupState across micro-batches (the reference's
@@ -154,6 +159,37 @@ def watermarked_session_stats(
             (F.col("end_s") - F.col("start_s")).alias("duration_s"),
         )
     )
+
+
+def watermarked_dedup(
+    events: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "30 minutes",
+    normalized_text_col: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: emit the first arrival of each key,
+    drop re-arrivals within the watermark horizon.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until
+    the watermark passes the key's event time + horizon — bounded
+    state, unlike a plain ``dropDuplicates`` whose store grows with
+    every key ever seen (the difference between a pipeline that runs
+    for a year and one that OOMs in a week). With
+    ``normalized_text_col``, the dedup key is the canonical text
+    normalization shared with the batch dedup family
+    (operators.text.normalized_text), so batch backfills and the
+    stream agree on what counts as a duplicate."""
+    df = events
+    keys = list(key_cols or [])
+    if normalized_text_col is not None:
+        from chronoxtract_spark.operators.text import normalized_text
+
+        df = df.withColumn("_dedup_key", normalized_text(normalized_text_col))
+        keys = keys + ["_dedup_key"]
+    if not keys:
+        raise ValueError("need key_cols and/or normalized_text_col")
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
 
 
 EMA_STATE_SCHEMA = "ema double, n long"

@@ -230,3 +230,34 @@ class TestSessionWindow:
         assert len(got) == 3
         a0 = got[("a", 1767225600)]  # 2026-01-01T00:00:00Z
         assert a0 == (2, 1767226200, 600)
+
+
+class TestStreamingDedup:
+    def test_first_arrival_wins_and_dupes_drop(self, spark, dirs):
+        src, ckpt = dirs
+        # conv a text duplicated with different whitespace (normalized
+        # key collapses them); sentinel advances the watermark
+        df = spark.createDataFrame(
+            [
+                ("a", 0, datetime.fromisoformat("2026-01-01T00:00:00"), "Hello  World"),
+                ("a", 1, datetime.fromisoformat("2026-01-01T00:01:00"), " hello world "),
+                ("b", 0, datetime.fromisoformat("2026-01-01T00:02:00"), "unique text"),
+                ("z", 0, datetime.fromisoformat("2026-01-01T12:00:00"), "sentinel"),
+            ],
+            "conv_id string, turn_idx int, ts timestamp, text string",
+        )
+        df.write.mode("append").parquet(src)
+        stream = spark.readStream.schema(
+            "conv_id string, turn_idx int, ts timestamp, text string"
+        ).parquet(src)
+        out = live.watermarked_dedup(
+            stream, ts_col="ts", watermark="10 minutes",
+            normalized_text_col="text",
+        )
+        name = live.run_to_memory(out.select("conv_id", "turn_idx"), "wm_dedup", ckpt)
+        got = {(r.conv_id, r.turn_idx) for r in spark.table(name).collect()}
+        # exactly ONE of the two normalized-duplicate rows survives
+        # (within a single micro-batch the survivor is arbitrary —
+        # the guarantee is uniqueness, not event-time order)
+        assert len({("a", 0), ("a", 1)} & got) == 1
+        assert ("b", 0) in got
