@@ -1,0 +1,178 @@
+"""ANN-at-scale benchmark with known cluster ground truth.
+
+The sf0.1 embeddings table (2k vectors) cannot say anything about the
+similarity-search family at scale, so this tool synthesizes a
+deterministic clustered corpus — ``n_clusters`` unit centers with
+gaussian points at ``noise`` radius, generated DISTRIBUTED (one seeded
+numpy stream per partition via mapInPandas, no driver materialize) —
+and measures the three ANN paths end-to-end on one pinned JVM:
+
+- ``brute_force_topk`` — the exact baseline (and the recall referee),
+- ``lsh_topk`` — random-hyperplane buckets, linear shuffle,
+- ``ivf_topk`` — k-means coarse quantizer + probe lists (FAISS shape).
+
+Recall@k is measured against the brute-force result, per query, then
+averaged. Output: BENCH/ANN_SCALE.md. Cluster structure makes the
+numbers interpretable: with noise well under the inter-center
+distance, a query's true neighbors are its cluster-mates, so recall
+failures are genuinely the index's miss rate, not metric ambiguity.
+
+Usage: python tools/ann_scale_bench.py [n_vectors] [dim] [n_queries]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def synth_vectors(spark, n: int, dim: int, n_clusters: int, noise: float,
+                  n_parts: int = 16):
+    """Clustered unit vectors, one deterministic numpy stream per
+    partition (partition id seeds the RNG, so the corpus is identical
+    at any parallelism)."""
+    import pandas as pd
+
+    per = n // n_parts
+
+    def gen(batches):
+        import numpy as np
+
+        for pdf in batches:
+            for pid in pdf["pid"]:
+                rng = np.random.RandomState(1000 + int(pid))
+                ids = np.arange(int(pid) * per, (int(pid) + 1) * per)
+                cluster = ids % n_clusters
+                c_rng = np.random.RandomState(7)
+                centers = c_rng.standard_normal((n_clusters, dim))
+                centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+                pts = centers[cluster] + (noise / np.sqrt(dim)) * rng.standard_normal(
+                    (len(ids), dim)
+                )
+                pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": ids,
+                        "cluster": cluster,
+                        "embedding": [r.astype("float32").tolist() for r in pts],
+                    }
+                )
+
+    return (
+        spark.range(n_parts)
+        .select("id")
+        .toDF("pid")
+        .repartition(n_parts, "pid")
+        .mapInPandas(
+            gen, schema="vec_id long, cluster long, embedding array<float>"
+        )
+    )
+
+
+def main():
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    dim = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    n_queries = int(sys.argv[3]) if len(sys.argv) > 3 else 1000
+    k, n_clusters = 10, 1000
+    from pyspark.sql import functions as F
+
+    from chronoxtract_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from chronoxtract_spark.session import get_spark
+
+    spark = get_spark(app_name="cx_ann_scale", master="local[16]",
+                      shuffle_partitions=32)
+    corpus = synth_vectors(spark, n, dim, n_clusters, noise=0.15).cache()
+    n_actual = corpus.count()
+    queries = corpus.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("qid"), F.col("embedding")
+    ).cache()
+    queries.count()
+
+    def run(name, fn):
+        t0 = time.time()
+        res = (
+            fn()
+            .select(F.col("query_id"), F.col("neighbor_id"))
+            .cache()
+        )
+        cnt = res.count()
+        return {"name": name, "wall_sec": round(time.time() - t0, 2),
+                "rows": cnt, "df": res}
+
+    brute = run("brute_force", lambda: brute_force_topk(
+        queries.withColumnRenamed("qid", "vec_id"), corpus, k=k))
+    lsh = run("lsh", lambda: lsh_topk(
+        queries.withColumnRenamed("qid", "vec_id"), corpus, k=k,
+        n_planes=10, n_tables=8, dim=dim))
+    ivf = run("ivf", lambda: ivf_topk(
+        queries.withColumnRenamed("qid", "vec_id"), corpus, k=k,
+        n_centroids=64, n_probe=8))
+
+    # brute keeps the query itself (cosine 1.0); the approx paths
+    # exclude self — referee on the self-free brute set
+    brute_noself = brute["df"].filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).cache()
+    n_ref = brute_noself.count()
+
+    def recall(approx):
+        hit = brute_noself.join(approx["df"], ["query_id", "neighbor_id"]).count()
+        return round(hit / n_ref, 4)
+
+    rows = []
+    for r in (brute, lsh, ivf):
+        rec = 1.0 if r is brute else recall(r)
+        rows.append({"path": r["name"], "wall_sec": r["wall_sec"],
+                     "result_rows": r["rows"], "recall_at_k": rec})
+        print(json.dumps(rows[-1]))
+    md = f"""# BENCH/ANN_SCALE — similarity search at corpus scale, known truth
+
+Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/ann_scale_bench.py.
+
+Corpus: {n_actual} float32[{dim}] vectors in {n_clusters} gaussian
+clusters (perturbation norm ~0.15 around unit centers), generated distributed with
+per-partition seeded streams. {n_queries} queries (cluster members),
+k={k}; recall measured against the exact brute-force result with
+self-matches removed (the approx paths exclude self).
+local[16], one JVM, each path timed after the corpus is cached.
+
+| path | wall sec | result rows | recall@{k} vs brute |
+| --- | --- | --- | --- |
+""" + "\n".join(
+        f"| {r['path']} | {r['wall_sec']} | {r['result_rows']} | "
+        f"{r['recall_at_k']} |"
+        for r in rows
+    ) + f"""
+
+- brute force is one corpus scan per query batch (broadcast queries) —
+  the exact referee, linear in corpus size.
+- LSH (10 planes x 8 tables) and IVF (64 centroids, probe 8) touch a
+  fraction of the corpus per query; their recall here is the real
+  index miss rate on well-separated clusters.
+- index speedup vs brute at this batch size: LSH
+  **{rows[0]['wall_sec']/rows[1]['wall_sec']:.1f}x**, IVF
+  **{rows[0]['wall_sec']/rows[2]['wall_sec']:.1f}x** — the gap widens
+  with corpus size and query count (brute is linear in both).
+
+```json
+{json.dumps(rows, indent=2)}
+```
+"""
+    out = os.path.join(REPO, "BENCH", "ANN_SCALE.md")
+    with open(out, "w") as f:
+        f.write(md)
+    print(f"wrote {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
