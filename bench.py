@@ -57,7 +57,11 @@ def cpu_pressure(before: dict | None, after: dict | None) -> dict | None:
     """steal%% and system%% of total jiffies over the bench interval."""
     if not before or not after:
         return None
-    tot = sum(after.values()) - sum(before.values())
+    # busy already contains system — total is busy + idle + steal, NOT
+    # sum(values()) which would count system twice and understate both
+    # percentages in exactly the high-system regime this detects
+    total_of = lambda d: d["busy"] + d["idle"] + d["steal"]
+    tot = total_of(after) - total_of(before)
     if tot <= 0:
         return None
     return {

@@ -200,7 +200,9 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     ``(sample_rate, int16 samples)``; anything that is not uncompressed
     16-bit mono raises ``DecodeUnavailable`` — compressed audio needs a
     codec this container does not ship."""
-    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or (
+        payload[8:12] != b"WAVE"
+    ):
         raise DecodeUnavailable("not a RIFF/WAVE payload")
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
@@ -214,6 +216,11 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise DecodeUnavailable("missing fmt/data chunk")
+    if len(fmt) < 16:
+        # truncated fmt must refuse like every other malformed input —
+        # a raw struct.error would kill the Spark task instead of
+        # yielding the null-feature row
+        raise DecodeUnavailable(f"fmt chunk too short ({len(fmt)} bytes)")
     audio_format, channels, sr, _br, _ba, bits = struct.unpack("<HHIIHH", fmt[:16])
     if audio_format != 1 or channels != 1 or bits != 16:
         raise DecodeUnavailable(

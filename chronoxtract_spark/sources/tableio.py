@@ -72,12 +72,14 @@ class ParquetBackend:
         return os.path.join(self._path(table), "_cx_schema.json")
 
     def _save_schema(self, table: str):
-        sp = self._schema_path(table)
-        if os.path.exists(sp):
-            return
-        # schema OF A READ, not of the written df: a string partition
+        # refreshed on EVERY write (not just the first): a later append
+        # that evolves the schema must update the sidecar, or the
+        # empty-table fallback would answer with the stale shape.
+        # Schema OF A READ, not of the written df: a string partition
         # column comes back as DATE from the directory layout, and the
-        # empty-table fallback must match populated reads type-for-type
+        # empty-table fallback must match populated reads type-for-type.
+        # Cost is one parquet-footer schema inference per write call.
+        sp = self._schema_path(table)
         schema_json = self.spark.read.parquet(self._path(table)).schema.json()
         tmp = sp + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:

@@ -182,14 +182,21 @@ def watermarked_dedup(
     stream agree on what counts as a duplicate."""
     df = events
     keys = list(key_cols or [])
+    helper = None
     if normalized_text_col is not None:
         from chronoxtract_spark.operators.text import normalized_text
 
-        df = df.withColumn("_dedup_key", normalized_text(normalized_text_col))
-        keys = keys + ["_dedup_key"]
+        helper = "_cx_dedup_key"
+        if helper in df.columns:
+            raise ValueError(f"input already has a {helper} column")
+        df = df.withColumn(helper, normalized_text(normalized_text_col))
+        keys = keys + [helper]
     if not keys:
         raise ValueError("need key_cols and/or normalized_text_col")
-    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    out = df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(keys)
+    # the helper key is an implementation detail (and carries the full
+    # normalized text) — never leak it into the caller's sink schema
+    return out.drop(helper) if helper else out
 
 
 EMA_STATE_SCHEMA = "ema double, n long"

@@ -773,6 +773,15 @@ class TestAudioWav:
         good[fmt_at + 2 : fmt_at + 4] = struct.pack("<H", 2)
         with pytest.raises(DecodeUnavailable):
             decode_wav(bytes(good))
+        # truncated fmt chunk and a null payload must also refuse via
+        # DecodeUnavailable, not crash the task with struct/Type errors
+        trunc = bytearray(encode_wav(np.array([1], dtype=np.int16)))
+        at = bytes(trunc).index(b"fmt ") + 4
+        trunc[at : at + 4] = struct.pack("<I", 8)
+        with pytest.raises(DecodeUnavailable):
+            decode_wav(bytes(trunc))
+        with pytest.raises(DecodeUnavailable):
+            decode_wav(None)
 
     def test_audio_features_values(self, spark):
         from chronoxtract_spark.operators.multimodal import (

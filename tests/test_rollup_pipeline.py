@@ -330,3 +330,31 @@ class TestRollupPipeline:
         got = io.read("rollup_1d")
         assert got.count() == 0
         assert got.schema == populated_schema
+
+    def test_schema_sidecar_tracks_evolution(self, spark):
+        """A later append that evolves the schema must refresh the
+        sidecar, so the fully-expired fallback answers with the LATEST
+        populated-read shape, not the first write's."""
+        import shutil
+        import tempfile
+
+        from chronoxtract_spark.sources.tableio import ParquetBackend
+
+        root = tempfile.mkdtemp(prefix="cx_sidecar_")
+        io2 = ParquetBackend(spark, root)
+        df1 = spark.createDataFrame([("2026-01-01", 1)], "day string, a int")
+        io2.overwrite_partitions(df1, "t", ["day"])
+        # full rewrite to the evolved shape (every footer is v2 — the
+        # case where a populated read actually changes schema)
+        df2 = spark.createDataFrame(
+            [("2026-01-01", 1, "x"), ("2026-01-02", 2, "y")],
+            "day string, a int, b string",
+        )
+        io2.overwrite_partitions(df2, "t", ["day"])
+        populated = io2.read("t").schema
+        io2.delete_partitions("t", "day", io2.list_partitions("t", "day"))
+        got = io2.read("t")
+        assert got.count() == 0
+        assert got.schema == populated
+        assert "b" in got.columns
+        shutil.rmtree(root, ignore_errors=True)

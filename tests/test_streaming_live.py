@@ -255,6 +255,9 @@ class TestStreamingDedup:
             normalized_text_col="text",
         )
         name = live.run_to_memory(out.select("conv_id", "turn_idx"), "wm_dedup", ckpt)
+        # the internal dedup-key helper column must not leak into the
+        # caller's sink schema
+        assert "_cx_dedup_key" not in out.columns
         got = {(r.conv_id, r.turn_idx) for r in spark.table(name).collect()}
         # exactly ONE of the two normalized-duplicate rows survives
         # (within a single micro-batch the survivor is arbitrary —

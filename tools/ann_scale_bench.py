@@ -46,7 +46,10 @@ def synth_vectors(spark, n: int, dim: int, n_clusters: int, noise: float,
         for pdf in batches:
             for pid in pdf["pid"]:
                 rng = np.random.RandomState(1000 + int(pid))
-                ids = np.arange(int(pid) * per, (int(pid) + 1) * per)
+                # last partition takes the remainder so exactly n
+                # vectors are generated for any n
+                hi = n if int(pid) == n_parts - 1 else (int(pid) + 1) * per
+                ids = np.arange(int(pid) * per, hi)
                 cluster = ids % n_clusters
                 c_rng = np.random.RandomState(7)
                 centers = c_rng.standard_normal((n_clusters, dim))
@@ -117,15 +120,12 @@ def main():
         queries.withColumnRenamed("qid", "vec_id"), corpus, k=k,
         n_centroids=64, n_probe=8))
 
-    # brute keeps the query itself (cosine 1.0); the approx paths
-    # exclude self — referee on the self-free brute set
-    brute_noself = brute["df"].filter(
-        F.col("query_id") != F.col("neighbor_id")
-    ).cache()
-    n_ref = brute_noself.count()
+    # all three paths exclude self-matches (brute_force_topk joins on
+    # query_id != neighbor_id, similarity.py) — plain k-vs-k recall
+    n_ref = brute["rows"]
 
     def recall(approx):
-        hit = brute_noself.join(approx["df"], ["query_id", "neighbor_id"]).count()
+        hit = brute["df"].join(approx["df"], ["query_id", "neighbor_id"]).count()
         return round(hit / n_ref, 4)
 
     rows = []
@@ -141,8 +141,8 @@ Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/ann_scale_bench.py.
 Corpus: {n_actual} float32[{dim}] vectors in {n_clusters} gaussian
 clusters (perturbation norm ~0.15 around unit centers), generated distributed with
 per-partition seeded streams. {n_queries} queries (cluster members),
-k={k}; recall measured against the exact brute-force result with
-self-matches removed (the approx paths exclude self).
+k={k}; recall measured against the exact brute-force top-k (all
+three paths exclude self-matches).
 local[16], one JVM, each path timed after the corpus is cached.
 
 | path | wall sec | result rows | recall@{k} vs brute |

@@ -85,7 +85,11 @@ joined = (
              .withColumnRenamed("family", "f2"), "d2")
 )
 tp = joined.filter("f1 = f2").count()
-truth = n // 10 * 45
+# ground truth counts every family's C(size,2), including a partial
+# final family when n is not a multiple of 10 — otherwise recall is
+# inflated (and can exceed 1.0 at small n)
+rem = n % 10
+truth = (n // 10) * 45 + rem * (rem - 1) // 2
 print("RESULT " + json.dumps({{
     "cpus": cpus, "n_docs": n, "wall_sec": round(wall, 2),
     "docs_per_sec": round(n / wall, 1), "n_pred": n_pred, "tp": tp,
@@ -120,7 +124,7 @@ Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/dedup_scale_bench.py.
 Corpus: {n_docs} docs = {n_docs // 10} template families x 10
 near-duplicate variants (80 tokens, ~2 mutated per variant, pairwise
 shingle Jaccard ~0.73; xxhash64-mixed tokens so families share nothing).
-Ground truth: all {n_docs // 10 * 45} same-family pairs.
+Ground truth: every family's C(size,2) same-family pairs.
 Pipeline: production xxhash64 MinHash (32 hashes, 8 bands) -> banded
 bucket equi-join -> exact shingle-Jaccard verify at 0.5. Timed region
 is the dedup pipeline only (corpus materialized before the timer);
