@@ -4034,6 +4034,52 @@ FROM daily
 """
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Training-sequence packing (operators.packing): documents shard
+    by the portable md5-60 id hash, then pack next-fit in doc-id order
+    into capacity-512 whitespace-token bins inside a per-shard Arrow
+    kernel. Oracle-exact: the DuckDB side reproduces the shards with
+    the same hash literals and WALKS the identical next-fit recurrence
+    with a recursive CTE — every (doc, shard, bin, fill) matches."""
+    from chronoxtract_spark.operators.packing import pack_sequences
+    from chronoxtract_spark.operators.text import with_token_counts
+
+    d = with_token_counts(_documents(spark, sf_dir)).select(
+        "doc_id", F.col("n_tokens_ws").alias("n_tokens")
+    )
+    return pack_sequences(d, capacity=512, n_groups=8)
+
+
+def _sql_pack_sequences() -> str:
+    from chronoxtract_spark.operators.sampling import sql_u60
+
+    u = sql_u60("doc_id", "pack")
+    return f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id,
+         ({u} %% 8)::INT AS grp,
+         array_length(string_split(text, ' '))::BIGINT AS n_tokens,
+         row_number() OVER (
+           PARTITION BY ({u} %% 8) ORDER BY doc_id
+         ) AS rn
+  FROM documents
+), walk AS (
+  SELECT grp, rn, doc_id, n_tokens,
+         0::BIGINT AS bin_idx, n_tokens AS fill_after
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.rn, d.doc_id, d.n_tokens,
+         CASE WHEN w.fill_after + d.n_tokens > 512
+              THEN w.bin_idx + 1 ELSE w.bin_idx END,
+         CASE WHEN w.fill_after + d.n_tokens > 512
+              THEN d.n_tokens ELSE w.fill_after + d.n_tokens END
+  FROM walk w
+  JOIN docs d ON d.grp = w.grp AND d.rn = w.rn + 1
+)
+SELECT doc_id, grp, bin_idx, n_tokens, fill_after FROM walk
+""".replace("%%", "%")
+
+
 def q_audio_features(spark, sf_dir):
     """Multimodal audio pipeline end-to-end on REAL bytes, oracle-exact:
     the synthetic media table's audio rows are genuine PCM16 mono WAVs
@@ -4272,6 +4318,7 @@ _EXTRA_QUERIES = {
     "peak_prominence": q_peak_prominence,
     "peak_to_peak": q_peak_to_peak,
     "audio_features": q_audio_features,
+    "pack_sequences": q_pack_sequences,
     "sessionize": q_sessionize,
     "turn_latency": q_turn_latency,
     "hash_split": q_hash_split,
@@ -4317,6 +4364,7 @@ _EXTRA_ORACLES = {
     "peak_prominence": SQL_PEAK_PROMINENCE,
     "peak_to_peak": SQL_PEAK_TO_PEAK,
     "audio_features": SQL_AUDIO_FEATURES,
+    "pack_sequences": _sql_pack_sequences(),
     "sessionize": SQL_SESSIONIZE,
     "turn_latency": SQL_TURN_LATENCY,
     "hash_split": _sql_hash_split(),

@@ -1,0 +1,102 @@
+"""Sequence packing: fill fixed-token-budget training sequences.
+
+Training pipelines batch short documents into fixed-capacity sequences
+(e.g. 2k/8k tokens) to avoid padding waste. The global problem is bin
+packing; at 10^12 documents nobody solves it globally — production
+packers shard the corpus and pack within shards, because a sequence
+only needs to be full, not optimally composed. This module is that
+design, Spark-first:
+
+- **grouping** is a deterministic hash of the doc id (portable md5-60
+  family, so an oracle reproduces the shards bit-for-bit) — one
+  shuffle, shards are independent and bounded;
+- **within a shard**, documents are packed next-fit in doc-id order —
+  a sequential recurrence, so it runs as a per-group Arrow kernel
+  (``applyInPandas``); O(shard size) per task, shards sized by
+  ``n_groups`` so a task stays ~100k docs;
+- a document larger than the capacity gets its own bin (the caller
+  decides whether to truncate or split upstream).
+
+Next-fit (not first-fit-decreasing) is the deliberate choice: it is
+single-pass, order-deterministic, and its waste bound (each closed bin
+is more than half full when docs are ≤ capacity) is acceptable for
+training batches — while FFD's bin search is a data-dependent loop
+that parallelizes poorly and makes oracle reproduction fragile.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from .sampling import hash_u60
+
+PACK_SCHEMA = (
+    "doc_id long, grp int, bin_idx long, n_tokens long, fill_after long"
+)
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    capacity: int = 2048,
+    n_groups: int = 64,
+    salt: str = "pack",
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Assign every document to a (group, bin) training sequence.
+
+    Returns one row per document: its shard ``grp``, the ``bin_idx``
+    next-fit assigned within the shard, the document's token count,
+    and the bin's running fill after placing it. Deterministic in the
+    ids alone — rerunning, repartitioning, or adding other shards
+    never moves a document."""
+    if capacity <= 0:
+        raise ValueError("capacity must be positive")
+    grp = (hash_u60(id_col, salt, hash_fn) % n_groups).cast("int")
+    slim = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        grp.alias("grp"),
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        bins, fills = [], []
+        bin_idx, fill = 0, 0
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            if fill > 0 and fill + tok > capacity:
+                bin_idx += 1
+                fill = 0
+            fill += tok
+            bins.append(bin_idx)
+            fills.append(fill)
+        return pdf.assign(bin_idx=bins, fill_after=fills)
+
+    out = slim.repartition(n_groups, "grp").groupBy("grp").applyInPandas(
+        pack, schema=PACK_SCHEMA
+    )
+    return out.select("doc_id", "grp", "bin_idx", "n_tokens", "fill_after")
+
+
+def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
+    """Per-group utilization: bins, docs, mean fill fraction of CLOSED
+    bins (the last, still-open bin of each group is excluded — it is
+    not padding waste, it is headroom)."""
+    per_bin = packed.groupBy("grp", "bin_idx").agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("fill"),
+    )
+    last = packed.groupBy("grp").agg(F.max("bin_idx").alias("last_bin"))
+    closed = per_bin.join(last, "grp").filter(
+        F.col("bin_idx") < F.col("last_bin")
+    )
+    return closed.groupBy("grp").agg(
+        F.count("*").cast("long").alias("closed_bins"),
+        F.sum("docs").cast("long").alias("docs"),
+        F.round(F.avg(F.col("fill") / F.lit(float(capacity))), 6).alias(
+            "mean_fill_frac"
+        ),
+    )

@@ -798,3 +798,64 @@ class TestAudioWav:
         assert (r.sample_rate, r.n_samples, r.peak) == (8000, 4, 3)
         assert r.rms == pytest.approx(3.0)
         assert r.zcr == pytest.approx(1.0)  # every adjacent pair crosses
+
+
+class TestPacking:
+    def _docs(self, spark, toks):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(toks)], "doc_id long, n_tokens long"
+        )
+
+    def test_next_fit_semantics_single_group(self, spark):
+        from chronoxtract_spark.operators.packing import pack_sequences
+
+        # one group so the in-group order is the full doc order
+        d = self._docs(spark, [300, 300, 100, 600, 50])
+        got = {
+            r.doc_id: (r.bin_idx, r.fill_after)
+            for r in pack_sequences(d, capacity=512, n_groups=1).collect()
+        }
+        assert got[0] == (0, 300)
+        assert got[1] == (1, 300)   # 300+300 > 512 -> new bin
+        assert got[2] == (1, 400)
+        assert got[3] == (2, 600)   # oversized doc: its own bin
+        assert got[4] == (3, 50)    # bin after an oversized doc is fresh
+    def test_exact_capacity_fill_stays(self, spark):
+        from chronoxtract_spark.operators.packing import pack_sequences
+
+        d = self._docs(spark, [256, 256, 10])
+        got = {
+            r.doc_id: (r.bin_idx, r.fill_after)
+            for r in pack_sequences(d, capacity=512, n_groups=1).collect()
+        }
+        assert got[1] == (0, 512)   # exact fill closes nothing early
+        assert got[2] == (1, 10)
+
+    def test_assignment_stable_under_repartition(self, spark):
+        from chronoxtract_spark.operators.packing import pack_sequences
+
+        d = self._docs(spark, list(range(40, 440, 4)))
+        a = {
+            r.doc_id: (r.grp, r.bin_idx)
+            for r in pack_sequences(d, capacity=512, n_groups=4).collect()
+        }
+        b = {
+            r.doc_id: (r.grp, r.bin_idx)
+            for r in pack_sequences(
+                d.repartition(13), capacity=512, n_groups=4
+            ).collect()
+        }
+        assert a == b
+
+    def test_packing_stats_excludes_open_bin(self, spark):
+        from chronoxtract_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+
+        d = self._docs(spark, [400, 400, 400, 10])
+        packed = pack_sequences(d, capacity=512, n_groups=1)
+        s = packing_stats(packed, capacity=512).collect()[0]
+        # bins: [400], [400], [400,10-open] -> closed = 2, frac 400/512
+        assert s.closed_bins == 2
+        assert s.mean_fill_frac == pytest.approx(400 / 512, abs=1e-6)
