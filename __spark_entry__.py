@@ -4057,10 +4057,10 @@ def _sql_pack_sequences() -> str:
     return f"""
 WITH RECURSIVE docs AS (
   SELECT doc_id,
-         ({u} %% 8)::INT AS grp,
+         ({u} % 8)::INT AS grp,
          array_length(string_split(text, ' '))::BIGINT AS n_tokens,
          row_number() OVER (
-           PARTITION BY ({u} %% 8) ORDER BY doc_id
+           PARTITION BY ({u} % 8) ORDER BY doc_id
          ) AS rn
   FROM documents
 ), walk AS (
@@ -4077,7 +4077,7 @@ WITH RECURSIVE docs AS (
   JOIN docs d ON d.grp = w.grp AND d.rn = w.rn + 1
 )
 SELECT doc_id, grp, bin_idx, n_tokens, fill_after FROM walk
-""".replace("%%", "%")
+"""
 
 
 def q_audio_features(spark, sf_dir):

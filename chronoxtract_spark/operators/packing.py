@@ -54,6 +54,8 @@ def pack_sequences(
     never moves a document."""
     if capacity <= 0:
         raise ValueError("capacity must be positive")
+    if n_groups < 1:
+        raise ValueError("n_groups must be >= 1")
     grp = (hash_u60(id_col, salt, hash_fn) % n_groups).cast("int")
     slim = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -62,41 +64,62 @@ def pack_sequences(
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        if pdf["n_tokens"].isna().any():
+            raise ValueError(
+                "pack_sequences: null token counts — filter or fill them "
+                "before packing (a null would silently become NaN here)"
+            )
         pdf = pdf.sort_values("doc_id").reset_index(drop=True)
         bins, fills = [], []
         bin_idx, fill = 0, 0
+        # anchor-style recurrence, identical to the oracle's recursive
+        # CTE in every case (including zero-token docs before an
+        # oversized one): first doc seeds (bin 0, fill=tok); after
+        # that, overflow opens a bin and resets fill to tok
+        first = True
         for tok in pdf["n_tokens"]:
             tok = int(tok)
-            if fill > 0 and fill + tok > capacity:
+            if first:
+                fill = tok
+                first = False
+            elif fill + tok > capacity:
                 bin_idx += 1
-                fill = 0
-            fill += tok
+                fill = tok
+            else:
+                fill += tok
             bins.append(bin_idx)
             fills.append(fill)
         return pdf.assign(bin_idx=bins, fill_after=fills)
 
-    out = slim.repartition(n_groups, "grp").groupBy("grp").applyInPandas(
+    return slim.repartition(n_groups, "grp").groupBy("grp").applyInPandas(
         pack, schema=PACK_SCHEMA
     )
-    return out.select("doc_id", "grp", "bin_idx", "n_tokens", "fill_after")
 
 
 def packing_stats(packed: DataFrame, capacity: int) -> DataFrame:
     """Per-group utilization: bins, docs, mean fill fraction of CLOSED
-    bins (the last, still-open bin of each group is excluded — it is
-    not padding waste, it is headroom)."""
+    bins. The last bin of a group counts as closed when it is at (or
+    past — one oversized doc) capacity; otherwise it is headroom, not
+    padding waste. Every group appears in the output — a group whose
+    only bin is still open reports closed_bins=0 with a null fill
+    fraction, rather than vanishing."""
     per_bin = packed.groupBy("grp", "bin_idx").agg(
         F.count("*").alias("docs"),
         F.sum("n_tokens").alias("fill"),
     )
     last = packed.groupBy("grp").agg(F.max("bin_idx").alias("last_bin"))
     closed = per_bin.join(last, "grp").filter(
-        F.col("bin_idx") < F.col("last_bin")
+        (F.col("bin_idx") < F.col("last_bin"))
+        | (F.col("fill") >= F.lit(int(capacity)))
     )
-    return closed.groupBy("grp").agg(
+    agg = closed.groupBy("grp").agg(
         F.count("*").cast("long").alias("closed_bins"),
         F.sum("docs").cast("long").alias("docs"),
         F.round(F.avg(F.col("fill") / F.lit(float(capacity))), 6).alias(
             "mean_fill_frac"
         ),
+    )
+    groups = packed.select("grp").distinct()
+    return groups.join(agg, "grp", "left").fillna(
+        {"closed_bins": 0, "docs": 0}
     )

@@ -859,3 +859,50 @@ class TestPacking:
         # bins: [400], [400], [400,10-open] -> closed = 2, frac 400/512
         assert s.closed_bins == 2
         assert s.mean_fill_frac == pytest.approx(400 / 512, abs=1e-6)
+
+    def test_null_tokens_raise_clear_error(self, spark):
+        from chronoxtract_spark.operators.packing import pack_sequences
+
+        d = spark.createDataFrame(
+            [(0, 10), (1, None)], "doc_id long, n_tokens long"
+        )
+        with pytest.raises(Exception, match="null token counts"):
+            pack_sequences(d, capacity=512, n_groups=1).collect()
+        with pytest.raises(ValueError):
+            pack_sequences(d.fillna(0), capacity=512, n_groups=0)
+
+    def test_zero_token_prefix_matches_oracle_recurrence(self, spark):
+        from chronoxtract_spark.operators.packing import pack_sequences
+
+        # zero-token docs before an oversized one: anchor semantics
+        # (first doc seeds fill even at 0; overflow then opens bin 1 —
+        # exactly what the recursive-CTE oracle computes)
+        d = self._docs(spark, [0, 600])
+        got = {
+            r.doc_id: (r.bin_idx, r.fill_after)
+            for r in pack_sequences(d, capacity=512, n_groups=1).collect()
+        }
+        assert got[0] == (0, 0)
+        assert got[1] == (1, 600)
+
+    def test_stats_keep_all_groups_and_exact_full_final_bin(self, spark):
+        from chronoxtract_spark.operators.packing import (
+            pack_sequences,
+            packing_stats,
+        )
+
+        # single group, all docs fit in one exactly-full bin: the bin
+        # is finished output (counted closed), and the group must not
+        # vanish even when nothing overflows
+        d = self._docs(spark, [256, 256])
+        s = packing_stats(
+            pack_sequences(d, capacity=512, n_groups=1), capacity=512
+        ).collect()[0]
+        assert (s.closed_bins, s.docs) == (1, 2)
+        assert s.mean_fill_frac == pytest.approx(1.0)
+        # under-full open-only group still appears with closed_bins=0
+        d2 = self._docs(spark, [100])
+        s2 = packing_stats(
+            pack_sequences(d2, capacity=512, n_groups=1), capacity=512
+        ).collect()[0]
+        assert s2.closed_bins == 0 and s2.mean_fill_frac is None
