@@ -4034,6 +4034,97 @@ FROM daily
 """
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark-contamination scan (operators.dedup.cross_contamination):
+    docs from source 'src0' play the eval set, the rest the train set;
+    flag train docs sharing any 5-word n-gram with an eval doc.
+    Inverted-index equi-join on the shingle — linear, never
+    |train|x|eval| — oracle-exact."""
+    from chronoxtract_spark.operators.dedup import cross_contamination
+
+    d = _documents(spark, sf_dir)
+    return cross_contamination(
+        d.filter(F.col("source") != "src0"),
+        d.filter(F.col("source") == "src0"),
+        n=5,
+    )
+
+
+SQL_CONTAMINATION = """
+WITH sh AS (
+  SELECT doc_id, source, UNNEST(list_distinct([
+           array_to_string(words[i : i + 4], ' ')
+           FOR i IN range(1, len(words) - 3)
+         ])) AS shingle
+  FROM (SELECT doc_id, source, string_split(text, ' ') AS words
+        FROM documents)
+  WHERE len(words) >= 5
+)
+SELECT t.doc_id AS train_id, e.doc_id AS eval_id,
+       COUNT(*)::BIGINT AS n_shared
+FROM sh t JOIN sh e USING (shingle)
+WHERE t.source != 'src0' AND e.source = 'src0'
+GROUP BY 1, 2
+"""
+
+
+def q_redactions(spark, sf_dir):
+    """PII-style scrubbing (operators.text.with_redactions) over text
+    deterministically salted with synthetic contact lines (the corpus
+    itself carries no emails/IPs — without the salt the oracle would
+    pass vacuously on all-zero counts): per-doc email/IPv4 redaction
+    counts plus a changed-flag, oracle-exact with the same regexes in
+    DuckDB's RE2 dialect."""
+    from chronoxtract_spark.operators.text import with_redactions
+
+    d = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"), F.lit(".1"),
+        ).alias("text"),
+    )
+    out = with_redactions(d)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ipv4",
+        (F.col("redacted_text") != F.col("text")).alias("changed"),
+        F.length("redacted_text").cast("long").alias("redacted_len"),
+    )
+
+
+SQL_REDACTIONS = """
+WITH salted AS (
+  SELECT doc_id,
+         text || ' contact user' || doc_id || '@example.com from 10.0.'
+              || (doc_id % 256) || '.1' AS text
+  FROM documents
+), red AS (
+  SELECT doc_id, text,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
+           AS n_email,
+         len(regexp_extract_all(text,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT
+           AS n_ipv4,
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+             '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b',
+           '<IPV4>', 'g') AS redacted_text
+  FROM salted
+)
+SELECT doc_id, n_email, n_ipv4,
+       redacted_text != text AS changed,
+       length(redacted_text)::BIGINT AS redacted_len
+FROM red
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Training-sequence packing (operators.packing): documents shard
     by the portable md5-60 id hash, then pack next-fit in doc-id order
@@ -4318,6 +4409,8 @@ _EXTRA_QUERIES = {
     "peak_prominence": q_peak_prominence,
     "peak_to_peak": q_peak_to_peak,
     "audio_features": q_audio_features,
+    "contamination": q_contamination,
+    "redactions": q_redactions,
     "pack_sequences": q_pack_sequences,
     "sessionize": q_sessionize,
     "turn_latency": q_turn_latency,
@@ -4364,6 +4457,8 @@ _EXTRA_ORACLES = {
     "peak_prominence": SQL_PEAK_PROMINENCE,
     "peak_to_peak": SQL_PEAK_TO_PEAK,
     "audio_features": SQL_AUDIO_FEATURES,
+    "contamination": SQL_CONTAMINATION,
+    "redactions": SQL_REDACTIONS,
     "pack_sequences": _sql_pack_sequences(),
     "sessionize": SQL_SESSIONIZE,
     "turn_latency": SQL_TURN_LATENCY,

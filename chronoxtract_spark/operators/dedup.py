@@ -484,3 +484,45 @@ def simhash_duplicates(
         .select("d1", "d2", "hamming")
     )
     return pairs
+
+
+def cross_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    min_shared: int = 1,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """Benchmark-contamination scan: flag (train_doc, eval_doc) pairs
+    sharing at least ``min_shared`` word n-grams.
+
+    The standard decontamination pass before training on scraped text:
+    any train document overlapping an evaluation document's n-grams
+    leaks the benchmark. Same inverted-index shape as ngram_jaccard —
+    shingle both sides, one equi-join on the shingle, count per pair —
+    so cost is linear in shingle volume, never |train| x |eval|. The
+    eval side is the small one; ``max_shingle_df`` (applied to the
+    TRAIN side) guards boilerplate shingles that would fan out.
+    """
+    sh_t = word_shingles(train, id_col, text_col, n).select(
+        F.col(id_col).alias("train_id"), "shingle"
+    )
+    if max_shingle_df is not None:
+        hot = (
+            sh_t.groupBy("shingle")
+            .count()
+            .filter(F.col("count") > max_shingle_df)
+            .select("shingle")
+        )
+        sh_t = sh_t.join(hot, "shingle", "left_anti")
+    sh_e = word_shingles(eval_df, id_col, text_col, n).select(
+        F.col(id_col).alias("eval_id"), "shingle"
+    )
+    return (
+        sh_t.join(sh_e, "shingle")
+        .groupBy("train_id", "eval_id")
+        .agg(F.count("*").cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )

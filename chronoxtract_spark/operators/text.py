@@ -100,3 +100,34 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     canonically normalized text (rolling-hash equivalent for
     whole-document identity)."""
     return df.withColumn("fingerprint", F.xxhash64(normalized_text(text_col)))
+
+
+#: redaction patterns — deliberately restricted to the regex subset
+#: Java (Spark) and RE2 (DuckDB/production scanners) agree on: no
+#: backreferences, no lookaround
+REDACTION_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def with_redactions(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """PII-style scrubbing pass: replace emails and IPv4 literals with
+    typed placeholders and count the redactions per type. Pure column
+    expressions (regexp_replace / regexp_extract_all) — map-only, no
+    UDF; production extends REDACTION_PATTERNS with its own scanner
+    set under the same dual-dialect constraint."""
+    t = F.col(text_col)
+    counts = {
+        name: F.size(
+            F.regexp_extract_all(t, F.lit(pat), F.lit(0))
+        ).cast("long")
+        for name, pat in REDACTION_PATTERNS.items()
+    }
+    red = t
+    for name, pat in REDACTION_PATTERNS.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    out = df
+    for name, c in counts.items():
+        out = out.withColumn(f"n_{name}", c)
+    return out.withColumn("redacted_text", red)

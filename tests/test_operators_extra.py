@@ -906,3 +906,58 @@ class TestPacking:
             pack_sequences(d2, capacity=512, n_groups=1), capacity=512
         ).collect()[0]
         assert s2.closed_bins == 0 and s2.mean_fill_frac is None
+
+
+class TestContaminationRedaction:
+    def test_cross_contamination_flags_overlap(self, spark):
+        from chronoxtract_spark.operators.dedup import cross_contamination
+
+        train = spark.createDataFrame(
+            [
+                (1, "alpha beta gamma delta epsilon zeta"),
+                (2, "totally different words here with no overlap at all"),
+            ],
+            "doc_id long, text string",
+        )
+        ev = spark.createDataFrame(
+            [(100, "x alpha beta gamma delta epsilon y")],
+            "doc_id long, text string",
+        )
+        got = {(r.train_id, r.eval_id): r.n_shared
+               for r in cross_contamination(train, ev, n=5).collect()}
+        # one shared 5-gram: "alpha beta gamma delta epsilon"
+        assert got == {(1, 100): 1}
+
+    def test_contamination_hot_shingle_guard(self, spark):
+        from chronoxtract_spark.operators.dedup import cross_contamination
+
+        boiler = "one two three four five"
+        train = spark.createDataFrame(
+            [(i, boiler) for i in range(10)], "doc_id long, text string"
+        )
+        ev = spark.createDataFrame(
+            [(99, boiler)], "doc_id long, text string"
+        )
+        assert cross_contamination(train, ev, n=5).count() == 10
+        # the df guard drops the boilerplate shingle entirely
+        assert cross_contamination(
+            train, ev, n=5, max_shingle_df=5
+        ).count() == 0
+
+    def test_redactions_values(self, spark):
+        from chronoxtract_spark.operators.text import with_redactions
+
+        df = spark.createDataFrame(
+            [
+                (1, "mail a.b%c@x-mail.co.uk and 192.168.0.1 twice 10.0.0.2"),
+                (2, "nothing sensitive here"),
+            ],
+            "doc_id long, text string",
+        )
+        got = {r.doc_id: r for r in with_redactions(df).collect()}
+        assert (got[1].n_email, got[1].n_ipv4) == (1, 2)
+        assert "<EMAIL>" in got[1].redacted_text
+        assert got[1].redacted_text.count("<IPV4>") == 2
+        assert "192.168" not in got[1].redacted_text
+        assert (got[2].n_email, got[2].n_ipv4) == (0, 0)
+        assert got[2].redacted_text == "nothing sensitive here"
