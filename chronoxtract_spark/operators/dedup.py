@@ -90,6 +90,17 @@ def word_shingles(
     )
 
 
+def _hashed_shingles(sh: DataFrame) -> DataFrame:
+    """Replace the string shingle with its xxhash64: downstream
+    joins/aggregations then shuffle 8-byte longs instead of multi-word
+    strings. Measured performance-neutral on local[16] (the stages are
+    CPU-bound there and Spark hashes join keys anyway); the point is
+    the ~3x smaller shuffle KEY bytes on a network-bound cluster
+    shuffle. A 64-bit collision merges two shingles with probability
+    ~n^2/2^65 — immaterial against the Jaccard thresholds."""
+    return sh.withColumn("shingle", F.xxhash64("shingle"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -104,7 +115,9 @@ def ngram_jaccard_pairs(
     documents before the self-join — the standard guard against
     quadratic blowup on boilerplate shingles at web scale.
     """
-    sh = word_shingles(df, id_col, text_col, n).withColumnRenamed(id_col, "d")
+    sh = _hashed_shingles(
+        word_shingles(df, id_col, text_col, n)
+    ).withColumnRenamed(id_col, "d")
     if max_shingle_df:
         keep = (
             sh.groupBy("shingle")
@@ -288,17 +301,19 @@ def minhash_lsh_pairs(
     # NOT the inverted-index self-join over the whole candidate-doc
     # subset, which degenerates toward full-Jaccard cost when candidates
     # are dense (e.g. a boilerplate-heavy corpus).
-    sh = word_shingles(
-        df.join(
-            candidates.select(F.col("d1").alias("doc"))
-            .union(candidates.select("d2"))
-            .distinct(),
-            df[id_col] == F.col("doc"),
-            "left_semi",
-        ),
-        id_col,
-        text_col,
-        n,
+    sh = _hashed_shingles(
+        word_shingles(
+            df.join(
+                candidates.select(F.col("d1").alias("doc"))
+                .union(candidates.select("d2"))
+                .distinct(),
+                df[id_col] == F.col("doc"),
+                "left_semi",
+            ),
+            id_col,
+            text_col,
+            n,
+        )
     ).withColumnRenamed(id_col, "d")
     sizes = sh.groupBy("d").agg(F.count("*").alias("n_sh"))
     s1 = sh.select(F.col("d").alias("d1"), "shingle")
@@ -506,7 +521,7 @@ def cross_contamination(
     eval side is the small one; ``max_shingle_df`` (applied to the
     TRAIN side) guards boilerplate shingles that would fan out.
     """
-    sh_t = word_shingles(train, id_col, text_col, n).select(
+    sh_t = _hashed_shingles(word_shingles(train, id_col, text_col, n)).select(
         F.col(id_col).alias("train_id"), "shingle"
     )
     if max_shingle_df is not None:
@@ -517,7 +532,7 @@ def cross_contamination(
             .select("shingle")
         )
         sh_t = sh_t.join(hot, "shingle", "left_anti")
-    sh_e = word_shingles(eval_df, id_col, text_col, n).select(
+    sh_e = _hashed_shingles(word_shingles(eval_df, id_col, text_col, n)).select(
         F.col(id_col).alias("eval_id"), "shingle"
     )
     return (
