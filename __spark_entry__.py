@@ -4034,6 +4034,109 @@ FROM daily
 """
 
 
+def q_curate_corpus(spark, sf_dir):
+    """The full corpus-curation pipeline in ONE DataFrame graph —
+    quality filter (score >= 0.6 AND >= 25 tokens; on this clean
+    synthetic corpus the score is uniformly 1.0, so the token floor is
+    the discriminating predicate — chosen so the stage actually drops
+    ~20%% of docs instead of passing vacuously) -> exact dedup on the
+    prefix-128 of the shared text normalization (the key that
+    genuinely collides here; keep the smallest doc_id) ->
+    deterministic train/val/test split -> training-sequence packing —
+    every stage individually oracle-proven elsewhere, composed here and
+    oracle-checked END-TO-END (the SQL chains the same formulas, the
+    same md5-60 thresholds, and the same recursive packing walk over
+    the surviving docs)."""
+    from pyspark.sql import Window
+
+    from chronoxtract_spark.operators.packing import pack_sequences
+    from chronoxtract_spark.operators.sampling import with_split
+    from chronoxtract_spark.operators.text import (
+        normalized_text,
+        with_quality_score,
+        with_token_counts,
+    )
+
+    d = with_token_counts(with_quality_score(_documents(spark, sf_dir)))
+    d = d.filter(
+        (F.col("quality_score") >= 0.6) & (F.col("n_tokens_ws") >= 25)
+    )
+    w = Window.partitionBy(
+        F.substring(normalized_text("text"), 1, 128)
+    ).orderBy("doc_id")
+    d = (
+        d.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+    d = with_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    slim = d.select(
+        "doc_id", "lang", "split", F.col("n_tokens_ws").alias("n_tokens")
+    )
+    packed = pack_sequences(slim, capacity=512, n_groups=4)
+    return packed.join(
+        slim.select("doc_id", "lang", "split"), "doc_id"
+    ).select(
+        "doc_id", "lang", "split", "grp", "bin_idx", "n_tokens", "fill_after"
+    )
+
+
+def _sql_curate_corpus() -> str:
+    from chronoxtract_spark.operators.sampling import rate_threshold, sql_u60
+
+    u_split = sql_u60("doc_id", "split")
+    u_pack = sql_u60("doc_id", "pack")
+    t_train, t_val = rate_threshold(0.9), rate_threshold(0.95)
+    return f"""
+WITH RECURSIVE q AS (
+  SELECT doc_id, lang, text,
+         array_length(string_split(text, ' '))::BIGINT AS n_tokens,
+         round((1.0
+                - least(((length(text)
+                   - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))::DOUBLE
+                   / length(text)) * 2, 0.5)
+                - least(((length(text)
+                   - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE
+                   / length(text)) * 2, 0.3))
+               * (CASE WHEN ((length(text)
+                    - (array_length(string_split(text, ' ')) - 1))::DOUBLE
+                    / array_length(string_split(text, ' '))) BETWEEN 2 AND 12
+                  THEN 1.0 ELSE 0.5 END), 6) AS score
+  FROM documents
+), kept AS (
+  SELECT doc_id, lang, n_tokens,
+         row_number() OVER (
+           PARTITION BY substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 128)
+           ORDER BY doc_id
+         ) AS rk
+  FROM q WHERE score >= 0.6 AND n_tokens >= 25
+), surv AS (
+  SELECT doc_id, lang, n_tokens,
+         CASE WHEN {u_split} < {t_train} THEN 'train'
+              WHEN {u_split} < {t_val} THEN 'val'
+              ELSE 'test' END AS split,
+         ({u_pack} % 4)::INT AS grp
+  FROM kept WHERE rk = 1
+), docs AS (
+  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  FROM surv
+), walk AS (
+  SELECT grp, rn, doc_id, lang, split, n_tokens,
+         0::BIGINT AS bin_idx, n_tokens AS fill_after
+  FROM docs WHERE rn = 1
+  UNION ALL
+  SELECT d.grp, d.rn, d.doc_id, d.lang, d.split, d.n_tokens,
+         CASE WHEN w.fill_after + d.n_tokens > 512
+              THEN w.bin_idx + 1 ELSE w.bin_idx END,
+         CASE WHEN w.fill_after + d.n_tokens > 512
+              THEN d.n_tokens ELSE w.fill_after + d.n_tokens END
+  FROM walk w
+  JOIN docs d ON d.grp = w.grp AND d.rn = w.rn + 1
+)
+SELECT doc_id, lang, split, grp, bin_idx, n_tokens, fill_after FROM walk
+"""
+
+
 def q_contamination(spark, sf_dir):
     """Benchmark-contamination scan (operators.dedup.cross_contamination):
     docs from source 'src0' play the eval set, the rest the train set;
@@ -4410,6 +4513,7 @@ _EXTRA_QUERIES = {
     "peak_to_peak": q_peak_to_peak,
     "audio_features": q_audio_features,
     "contamination": q_contamination,
+    "curate_corpus": q_curate_corpus,
     "redactions": q_redactions,
     "pack_sequences": q_pack_sequences,
     "sessionize": q_sessionize,
@@ -4458,6 +4562,7 @@ _EXTRA_ORACLES = {
     "peak_to_peak": SQL_PEAK_TO_PEAK,
     "audio_features": SQL_AUDIO_FEATURES,
     "contamination": SQL_CONTAMINATION,
+    "curate_corpus": _sql_curate_corpus(),
     "redactions": SQL_REDACTIONS,
     "pack_sequences": _sql_pack_sequences(),
     "sessionize": SQL_SESSIONIZE,
