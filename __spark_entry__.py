@@ -4039,7 +4039,7 @@ def q_curate_corpus(spark, sf_dir):
     quality filter (score >= 0.6 AND >= 25 tokens; on this clean
     synthetic corpus the score is uniformly 1.0, so the token floor is
     the discriminating predicate — chosen so the stage actually drops
-    ~20%% of docs instead of passing vacuously) -> exact dedup on the
+    ~20% of docs instead of passing vacuously) -> exact dedup on the
     prefix-128 of the shared text normalization (the key that
     genuinely collides here; keep the smallest doc_id) ->
     deterministic train/val/test split -> training-sequence packing —
@@ -4062,7 +4062,7 @@ def q_curate_corpus(spark, sf_dir):
         (F.col("quality_score") >= 0.6) & (F.col("n_tokens_ws") >= 25)
     )
     w = Window.partitionBy(
-        F.substring(normalized_text("text"), 1, 128)
+        F.md5(F.substring(normalized_text("text"), 1, 128))
     ).orderBy("doc_id")
     d = (
         d.withColumn("_rk", F.row_number().over(w))
@@ -4070,13 +4070,21 @@ def q_curate_corpus(spark, sf_dir):
         .drop("_rk")
     )
     d = with_split(d, "doc_id", {"train": 0.9, "val": 0.05, "test": 0.05})
+    # cache the curated lineage: it feeds the packer AND the final
+    # lang/split join, and would otherwise be computed twice
     slim = d.select(
         "doc_id", "lang", "split", F.col("n_tokens_ws").alias("n_tokens")
-    )
-    packed = pack_sequences(slim, capacity=512, n_groups=4)
-    return packed.join(
-        slim.select("doc_id", "lang", "split"), "doc_id"
-    ).select(
+    ).cache()
+    # pack each split SEPARATELY — one bin must never mix train and
+    # eval documents (that is the leakage the split exists to prevent)
+    parts = [
+        pack_sequences(
+            slim.filter(F.col("split") == sp), capacity=512, n_groups=4
+        ).withColumn("split", F.lit(sp))
+        for sp in ("train", "val", "test")
+    ]
+    packed = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return packed.join(slim.select("doc_id", "lang"), "doc_id").select(
         "doc_id", "lang", "split", "grp", "bin_idx", "n_tokens", "fill_after"
     )
 
@@ -4106,7 +4114,7 @@ WITH RECURSIVE q AS (
 ), kept AS (
   SELECT doc_id, lang, n_tokens,
          row_number() OVER (
-           PARTITION BY substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 128)
+           PARTITION BY md5(substr(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), 1, 128))
            ORDER BY doc_id
          ) AS rk
   FROM q WHERE score >= 0.6 AND n_tokens >= 25
@@ -4118,20 +4126,22 @@ WITH RECURSIVE q AS (
          ({u_pack} % 4)::INT AS grp
   FROM kept WHERE rk = 1
 ), docs AS (
-  SELECT *, row_number() OVER (PARTITION BY grp ORDER BY doc_id) AS rn
+  SELECT *, row_number() OVER (
+           PARTITION BY split, grp ORDER BY doc_id
+         ) AS rn
   FROM surv
 ), walk AS (
-  SELECT grp, rn, doc_id, lang, split, n_tokens,
+  SELECT split, grp, rn, doc_id, lang, n_tokens,
          0::BIGINT AS bin_idx, n_tokens AS fill_after
   FROM docs WHERE rn = 1
   UNION ALL
-  SELECT d.grp, d.rn, d.doc_id, d.lang, d.split, d.n_tokens,
+  SELECT d.split, d.grp, d.rn, d.doc_id, d.lang, d.n_tokens,
          CASE WHEN w.fill_after + d.n_tokens > 512
               THEN w.bin_idx + 1 ELSE w.bin_idx END,
          CASE WHEN w.fill_after + d.n_tokens > 512
               THEN d.n_tokens ELSE w.fill_after + d.n_tokens END
   FROM walk w
-  JOIN docs d ON d.grp = w.grp AND d.rn = w.rn + 1
+  JOIN docs d ON d.split = w.split AND d.grp = w.grp AND d.rn = w.rn + 1
 )
 SELECT doc_id, lang, split, grp, bin_idx, n_tokens, fill_after FROM walk
 """
@@ -4210,7 +4220,10 @@ WITH salted AS (
          len(regexp_extract_all(text,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT
            AS n_email,
-         len(regexp_extract_all(text,
+         len(regexp_extract_all(
+             regexp_replace(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
              '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT
            AS n_ipv4,
          regexp_replace(

@@ -521,10 +521,14 @@ def cross_contamination(
     eval side is the small one; ``max_shingle_df`` (applied to the
     TRAIN side) guards boilerplate shingles that would fan out.
     """
-    sh_t = _hashed_shingles(word_shingles(train, id_col, text_col, n)).select(
+    # NO shingle hashing here, unlike the Jaccard operators: a single
+    # 64-bit collision would FLAG a clean pair (min_shared defaults to
+    # 1 — no threshold slack to absorb it) and diverge from the
+    # string-keyed oracle; contamination verdicts stay exact
+    sh_t = word_shingles(train, id_col, text_col, n).select(
         F.col(id_col).alias("train_id"), "shingle"
     )
-    if max_shingle_df is not None:
+    if max_shingle_df:  # 0/None = guard disabled, matching ngram_jaccard_pairs
         hot = (
             sh_t.groupBy("shingle")
             .count()
@@ -532,7 +536,7 @@ def cross_contamination(
             .select("shingle")
         )
         sh_t = sh_t.join(hot, "shingle", "left_anti")
-    sh_e = _hashed_shingles(word_shingles(eval_df, id_col, text_col, n)).select(
+    sh_e = word_shingles(eval_df, id_col, text_col, n).select(
         F.col(id_col).alias("eval_id"), "shingle"
     )
     return (

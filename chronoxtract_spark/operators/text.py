@@ -117,17 +117,17 @@ def with_redactions(df: DataFrame, text_col: str = "text") -> DataFrame:
     expressions (regexp_replace / regexp_extract_all) — map-only, no
     UDF; production extends REDACTION_PATTERNS with its own scanner
     set under the same dual-dialect constraint."""
-    t = F.col(text_col)
-    counts = {
-        name: F.size(
-            F.regexp_extract_all(t, F.lit(pat), F.lit(0))
-        ).cast("long")
-        for name, pat in REDACTION_PATTERNS.items()
-    }
-    red = t
-    for name, pat in REDACTION_PATTERNS.items():
-        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    red = F.col(text_col)
     out = df
-    for name, c in counts.items():
-        out = out.withColumn(f"n_{name}", c)
+    # patterns apply IN ORDER and each count is taken on the text as it
+    # stands when that pattern runs — so n_<type> always equals the
+    # number of <TYPE> placeholders actually inserted, even when
+    # patterns overlap (an email whose local part looks like an IPv4 is
+    # consumed by the email pass and never double-counted)
+    for name, pat in REDACTION_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}",
+            F.size(F.regexp_extract_all(red, F.lit(pat), F.lit(0))).cast("long"),
+        )
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return out.withColumn("redacted_text", red)

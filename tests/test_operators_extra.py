@@ -961,3 +961,30 @@ class TestContaminationRedaction:
         assert "192.168" not in got[1].redacted_text
         assert (got[2].n_email, got[2].n_ipv4) == (0, 0)
         assert got[2].redacted_text == "nothing sensitive here"
+
+    def test_redaction_counts_match_inserted_placeholders(self, spark):
+        from chronoxtract_spark.operators.text import with_redactions
+
+        # local part that LOOKS like an IPv4: the email pass consumes
+        # it, so n_ipv4 must be 0 — counts describe what was actually
+        # replaced, not what matched the pristine text
+        df = spark.createDataFrame(
+            [(1, "ping 1.2.3.4@example.com now")],
+            "doc_id long, text string",
+        )
+        r = with_redactions(df).collect()[0]
+        assert (r.n_email, r.n_ipv4) == (1, 0)
+        assert r.redacted_text == "ping <EMAIL> now"
+
+    def test_contamination_zero_guard_means_disabled(self, spark):
+        from chronoxtract_spark.operators.dedup import cross_contamination
+
+        t = spark.createDataFrame(
+            [(1, "a b c d e f")], "doc_id long, text string"
+        )
+        e = spark.createDataFrame(
+            [(9, "a b c d e z")], "doc_id long, text string"
+        )
+        # 0 disables the guard (ngram_jaccard_pairs semantics), it does
+        # not silently drop every shingle and report a clean corpus
+        assert cross_contamination(t, e, n=5, max_shingle_df=0).count() == 1
