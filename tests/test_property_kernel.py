@@ -193,3 +193,39 @@ def test_lzc_bounds(data):
     c = lempel_ziv_complexity(x)
     # LZ76 phrase count: at least 1, at most n (every symbol new)
     assert 1 <= c <= len(x)
+
+
+# -- WAV codec --------------------------------------------------------------
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    samples=st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=0, max_size=400
+    ),
+    sr=st.sampled_from([8000, 16000, 44100]),
+)
+def test_wav_roundtrip_property(samples, sr):
+    from chronoxtract_spark.operators.multimodal import decode_wav, encode_wav
+
+    s = np.array(samples, dtype=np.int16)
+    got_sr, back = decode_wav(encode_wav(s, sr))
+    assert got_sr == sr
+    np.testing.assert_array_equal(back, s)
+
+
+# -- sampling thresholds ----------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.floats(min_value=0, max_value=1, allow_nan=False),
+    b=st.floats(min_value=0, max_value=1, allow_nan=False),
+)
+def test_rate_threshold_monotone_and_bounded(a, b):
+    from chronoxtract_spark.operators.sampling import U60, rate_threshold
+
+    ta, tb = rate_threshold(a), rate_threshold(b)
+    assert 0 <= ta <= U60 and 0 <= tb <= U60
+    if a <= b:
+        assert ta <= tb  # a larger rate never keeps fewer keys
