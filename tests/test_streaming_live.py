@@ -264,3 +264,43 @@ class TestStreamingDedup:
         # the guarantee is uniqueness, not event-time order)
         assert len({("a", 0), ("a", 1)} & got) == 1
         assert ("b", 0) in got
+
+    def test_session_state_survives_restart(self, spark, dirs):
+        """A session whose turns arrive in two separate runs against
+        the same checkpoint must emit as ONE merged session — the
+        session-window state store, not per-batch grouping, defines
+        the session."""
+        src, ckpt = dirs
+        _rows(
+            spark,
+            [
+                ("a", 0, "2026-01-01T00:00:00"),
+                ("a", 1, "2026-01-01T00:10:00"),
+                # small sentinel: advances the watermark a little but
+                # NOT past the open session's close point
+                ("y", 0, "2026-01-01T00:20:00"),
+            ],
+        ).write.mode("append").parquet(src)
+        out = live.watermarked_session_stats(
+            _read_stream(spark, src), gap="30 minutes", watermark="10 minutes"
+        )
+        live.run_collect(out, ckpt)
+
+        # second application run, same checkpoint: one more turn in the
+        # SAME session, then a far sentinel that closes everything
+        _rows(
+            spark,
+            [
+                ("a", 2, "2026-01-01T00:20:00"),
+                ("z", 0, "2026-01-01T12:00:00"),
+            ],
+        ).write.mode("append").parquet(src)
+        out2 = live.watermarked_session_stats(
+            _read_stream(spark, src), gap="30 minutes", watermark="10 minutes"
+        )
+        rows = live.run_collect(out2, ckpt)
+        sessions = {r.conv_id: r for r in rows if r.conv_id == "a"}
+        a = sessions["a"]
+        # merged: 3 turns spanning 00:00-00:20, not a 1-turn fragment
+        assert a.n_turns == 3
+        assert a.duration_s == 1200
