@@ -65,6 +65,8 @@ class _BitReader:
         # one vectorized dot per CODE instead of a Python loop per BIT
         # (~10x on point reads; the encoder stays the hot production
         # path, this serves point lookups and the round-trip tests)
+        if n > 64:
+            raise ValueError(f"_BitReader.read supports codes <= 64 bits, got {n}")
         b = self.bits[self.pos : self.pos + n].astype(np.uint64)
         self.pos += n
         if b.size == 0:

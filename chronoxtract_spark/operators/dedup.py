@@ -367,25 +367,44 @@ def duplicate_clusters(
         .distinct()
         .withColumn("cluster", F.col("doc"))
     )
+    from pyspark.sql import Observation
+
     prev_ckpt: DataFrame | None = None
-    for _ in range(max_iters):
-        # labels reachable over one hop, merged with current;
-        # checkpoint BEFORE the convergence count so the propagation
-        # plan is evaluated once, not once per downstream action
-        prop = (
+    for i in range(max_iters):
+        # labels reachable over one hop, merged with current. The OLD
+        # label rides the union as a second column (non-null only on the
+        # labels branch, so min() recovers the unique old value), and the
+        # changed-count is an ``observe`` metric collected by the SAME
+        # checkpoint action that materializes the round — one job per
+        # propagation round, no separate convergence probe.
+        merged = (
             edges.join(labels, edges["b"] == labels["doc"])
-            .select(F.col("a").alias("doc"), "cluster")
-            .unionByName(labels)
+            .select(
+                F.col("a").alias("doc"),
+                "cluster",
+                F.lit(None).cast(labels.schema["cluster"].dataType).alias("old"),
+            )
+            .unionByName(
+                labels.select("doc", "cluster", F.col("cluster").alias("old"))
+            )
             .groupBy("doc")
-            .agg(F.min("cluster").alias("cluster"))
-        ).localCheckpoint(eager=True)
-        changed = (
-            prop.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .limit(1)
-            .count()
+            .agg(
+                F.min("cluster").alias("cluster"),
+                F.min("old").alias("old"),
+            )
         )
+        obs = Observation(f"cc_round_{i}")
+        prop = (
+            merged.observe(
+                obs,
+                F.sum(
+                    (F.col("cluster") != F.col("old")).cast("long")
+                ).alias("changed"),
+            )
+            .select("doc", "cluster")
+            .localCheckpoint(eager=True)
+        )
+        changed = int(obs.get["changed"] or 0)
         # the previous round's checkpoint blocks are dead once ``prop``
         # replaces it — free them, or max_iters label snapshots pile up
         # in executor storage for the life of the job

@@ -127,11 +127,13 @@ class RollupEngine:
         ``day`` is hashed as its canonical string form — a read-back of
         the written files re-infers the partition column as DATE, and
         the checksum must not depend on which side of the write it was
-        computed from."""
+        computed from. ``row_hash`` (persisted by ``_write_with_lineage``)
+        is excluded so checksums from either path stay interchangeable —
+        both hash exactly the data columns."""
         df = df.withColumn("day", F.col("day").cast("string"))
         # name-sorted hash order: a read-back re-appends the partition
         # column last, so positional order is not canonical
-        cols = ", ".join(sorted(df.columns))
+        cols = ", ".join(sorted(c for c in df.columns if c != "row_hash"))
         rows = (
             df.groupBy("day")
             .agg(

@@ -80,7 +80,13 @@ class ParquetBackend:
         # empty-table fallback must match populated reads type-for-type.
         # Cost is one parquet-footer schema inference per write call.
         sp = self._schema_path(table)
-        schema_json = self.spark.read.parquet(self._path(table)).schema.json()
+        try:
+            schema_json = self.spark.read.parquet(self._path(table)).schema.json()
+        except AnalysisException:
+            # a zero-row partitioned write leaves no parquet footers to
+            # infer from — the data write itself succeeded, so keep the
+            # previous sidecar (or none) rather than failing the write
+            return
         tmp = sp + f".tmp.{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(schema_json)
