@@ -26,6 +26,7 @@ import os
 import shutil
 import uuid
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -51,8 +52,6 @@ class ParquetBackend:
         return os.path.isdir(self._path(table))
 
     def read(self, table: str) -> DataFrame:
-        from pyspark.errors import AnalysisException
-
         try:
             return self.spark.read.parquet(self._path(table))
         except AnalysisException:

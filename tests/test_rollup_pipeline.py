@@ -358,3 +358,26 @@ class TestRollupPipeline:
         assert got.schema == populated
         assert "b" in got.columns
         shutil.rmtree(root, ignore_errors=True)
+
+    def test_zero_row_write_succeeds_and_keeps_sidecar(self, spark):
+        """Writing an EMPTY DataFrame must not fail on the sidecar
+        refresh (zero rows → no parquet footers to infer from) and must
+        not clobber the sidecar written by an earlier populated write."""
+        import shutil
+        import tempfile
+
+        from chronoxtract_spark.sources.tableio import ParquetBackend
+
+        root = tempfile.mkdtemp(prefix="cx_zero_")
+        io2 = ParquetBackend(spark, root)
+        df1 = spark.createDataFrame([("2026-01-01", 1)], "day string, a int")
+        io2.overwrite_partitions(df1, "t", ["day"])
+        populated = io2.read("t").schema
+        empty = spark.createDataFrame([], "day string, a int")
+        io2.append(empty, "t", ["day"])  # must not raise
+        io2.delete_partitions("t", "day", io2.list_partitions("t", "day"))
+        assert io2.read("t").schema == populated
+        # a brand-new table whose FIRST write is empty: write succeeds,
+        # no sidecar exists yet — nothing to answer an empty read with
+        io2.overwrite_partitions(empty, "t2", ["day"])
+        shutil.rmtree(root, ignore_errors=True)
