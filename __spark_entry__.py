@@ -2531,34 +2531,95 @@ FROM grid g JOIN s ON s.event_type = g.event_type AND s.rn = g.i + g.j
 
 def q_carma_fit(spark, sf_dir):
     """Distributed CARMA(1,0) MLE per user series (reference:
-    src/carma/mle.rs:32-114) — rows-only: the multistart optimizer's
-    winner is seeded-deterministic but not SQL-computable; the Kalman
-    likelihood it maximizes IS oracle-checked (``carma_loglik``)."""
+    src/carma/mle.rs:32-114) — oracle-exact: the multistart optimizer
+    evaluates a SEEDED candidate list (kernel.carma._random_start,
+    seeds 0..5; seed 2 draws a <= 0, fails stationarity validation and
+    is skipped, exactly as carma_mle skips it), and with near-zero
+    measurement error each candidate's Kalman loglikelihood collapses
+    to the closed-form OU recursion already oracled by
+    ``carma_loglik`` — so the oracle replays the same 5 (a, sigma)
+    literals, computes each loglik with one lag() window, and applies
+    the same first-seed-wins argmax + AIC/AICc/BIC formulas
+    (src/carma/math.rs:345-367). The Spark side runs the REAL
+    carma_mle_per_series operator, not a reimplementation."""
     from chronoxtract_spark.operators.carma import carma_mle_per_series
 
-    ev = _events(spark, sf_dir).filter(F.col("user_id") < 20).select(
-        F.col("user_id").cast("string").alias("series_id"),
-        (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6).alias("t"),
-        F.col("value").alias("v"),
-        F.lit(0.5).alias("e"),
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .groupBy(
+            F.col("user_id").cast("string").alias("series_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
+        )
+        .agg(F.avg("value").alias("v"))
+        .withColumn("e", F.lit(1e-9))
     )
     fit = carma_mle_per_series(ev, p=1, q=0, n_starts=6)
-    # scalarize the coefficient arrays for the driver surface (the
-    # canonicalizer can't sort array columns)
+    # scalarize the winner's coefficients for the driver surface (the
+    # canonicalizer can't sort array columns); rounding JVM-side
     return fit.select(
         "series_id",
         "p",
         "q",
-        "loglikelihood",
-        "aic",
-        "aicc",
-        "bic",
-        "sigma",
-        F.get("ar_coeffs", 0).alias("ar1"),
-        F.get("ma_coeffs", 0).alias("ma0"),
-        "converged",
         "n_obs",
+        "converged",
+        F.round("loglikelihood", 4).alias("loglik"),
+        F.round("aic", 4).alias("aic"),
+        F.round("aicc", 4).alias("aicc"),
+        F.round("bic", 4).alias("bic"),
+        F.round("sigma", 6).alias("sigma"),
+        F.round(F.get("ar_coeffs", 0), 6).alias("ar1"),
     )
+
+
+# the five valid seeded starts for (p=1, q=0), n_starts=6: full-precision
+# (seed, a, sigma) literals from kernel.carma._random_start — seed 2
+# draws a <= 0 (non-stationary) and is skipped by carma_mle's validate()
+SQL_CARMA_FIT = """
+WITH s AS (
+  SELECT user_id::VARCHAR AS series_id,
+         epoch_us(ts)::BIGINT / 1000000.0 / 3600.0 AS t,
+         avg(value) AS v
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+), cand(seed, a, sigma) AS (
+  VALUES (0, 0.5292157037902991, 1.0787379841057392),
+         (1, 0.48730360909897247, 0.6281717522634557),
+         (3, 0.5365885420290956, 0.19649746807200863),
+         (4, 0.015168512142881865, 1.095908931106865),
+         (5, 0.13236824606551242, 2.53077118700778)
+), lagged AS (
+  SELECT series_id, t, v, lag(t) OVER w AS pt, lag(v) OVER w AS pv
+  FROM s WINDOW w AS (PARTITION BY series_id ORDER BY t)
+), terms AS (
+  SELECT series_id, c.seed, c.a, c.sigma,
+         CASE WHEN pt IS NULL THEN v
+              ELSE v - pv * exp(-c.a * (t - pt)) END AS innov,
+         CASE WHEN pt IS NULL
+              THEN c.sigma * c.sigma / (4 * c.a * c.a)
+              ELSE c.sigma * c.sigma * (1 - exp(-2 * c.a * (t - pt)))
+                   / (4 * c.a * c.a) END + 1e-18 AS ivar
+  FROM lagged, cand c
+), ll AS (
+  SELECT series_id, seed, a, sigma, count(*)::BIGINT AS n_obs,
+         sum(-0.5 * (innov*innov/ivar + ln(ivar) + 2*ln(pi()))) AS loglik
+  FROM terms GROUP BY 1, 2, 3, 4
+), best AS (
+  -- the WHOLE winner row rides one min(struct) — a float-equality
+  -- rejoin against a re-evaluated CTE is not summation-order-stable
+  SELECT series_id,
+         min({'negll': -loglik, 'seed': seed, 'a': a, 'sigma': sigma,
+              'n_obs': n_obs}) AS b
+  FROM ll GROUP BY 1
+)
+SELECT series_id, 1 AS p, 0 AS q, b.n_obs AS n_obs, TRUE AS converged,
+       round(-b.negll, 4) AS loglik,
+       round(2*3 + 2*b.negll, 4) AS aic,
+       round(2*3 + 2*b.negll + 24.0/(b.n_obs - 4), 4) AS aicc,
+       round(3*ln(b.n_obs) + 2*b.negll, 4) AS bic,
+       round(b.sigma, 6) AS sigma,
+       round(b.a, 6) AS ar1
+FROM best
+"""
 
 
 def q_carma_loglik(spark, sf_dir):
@@ -2970,6 +3031,82 @@ def q_carma_order(spark, sf_dir):
     )
     grid = carma_order_grid(ev, max_p=2, max_q=1, n_starts=3)
     return best_order_per_series(grid)
+
+
+def q_carma_order_p1(spark, sf_dir):
+    """The REAL order-selection operator pair (carma_order_grid +
+    best_order_per_series, reference src/carma/selection.rs:24-95)
+    made oracle-exact at the order budget where every grid cell has a
+    closed form: max_p=1, max_q=0, n_starts=4. Each cell is a genuine
+    carma_mle multistart over seeds 0..3 (seed 2 fails stationarity
+    validation), evaluated at near-zero measurement error so the
+    oracle replays the 3 valid (a, sigma) literals, takes the
+    first-seed-wins loglik argmax, and applies the AICc formula —
+    the p=2 cells of ``carma_order`` stay rows-only because a CAR(2)
+    Kalman optimum has no closed form."""
+    from chronoxtract_spark.operators.carma import (
+        best_order_per_series,
+        carma_order_grid,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 20)
+        .groupBy(
+            F.col("user_id").cast("string").alias("series_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
+        )
+        .agg(F.avg("value").alias("v"))
+        .withColumn("e", F.lit(1e-9))
+    )
+    grid = carma_order_grid(ev, max_p=1, max_q=0, n_starts=4)
+    best = best_order_per_series(grid)
+    return best.select(
+        "series_id",
+        "best_p",
+        "best_q",
+        F.round("best_aicc", 4).alias("best_aicc"),
+    )
+
+
+# valid seeded starts for (p=1, q=0) at n_starts=4: seeds 0, 1, 3
+# (full-precision literals from kernel.carma._random_start; seed 2
+# draws a <= 0 and fails the stationarity validate() guard)
+SQL_CARMA_ORDER_P1 = """
+WITH s AS (
+  SELECT user_id::VARCHAR AS series_id,
+         epoch_us(ts)::BIGINT / 1000000.0 / 3600.0 AS t,
+         avg(value) AS v
+  FROM events WHERE user_id < 20 GROUP BY 1, 2
+), cand(seed, a, sigma) AS (
+  VALUES (0, 0.5292157037902991, 1.0787379841057392),
+         (1, 0.48730360909897247, 0.6281717522634557),
+         (3, 0.5365885420290956, 0.19649746807200863)
+), lagged AS (
+  SELECT series_id, t, v, lag(t) OVER w AS pt, lag(v) OVER w AS pv
+  FROM s WINDOW w AS (PARTITION BY series_id ORDER BY t)
+), terms AS (
+  SELECT series_id, c.seed,
+         CASE WHEN pt IS NULL THEN v
+              ELSE v - pv * exp(-c.a * (t - pt)) END AS innov,
+         CASE WHEN pt IS NULL
+              THEN c.sigma * c.sigma / (4 * c.a * c.a)
+              ELSE c.sigma * c.sigma * (1 - exp(-2 * c.a * (t - pt)))
+                   / (4 * c.a * c.a) END + 1e-18 AS ivar
+  FROM lagged, cand c
+), ll AS (
+  SELECT series_id, seed, count(*)::BIGINT AS n_obs,
+         sum(-0.5 * (innov*innov/ivar + ln(ivar) + 2*ln(pi()))) AS loglik
+  FROM terms GROUP BY 1, 2
+), best AS (
+  SELECT series_id,
+         min({'negll': -loglik, 'seed': seed, 'n_obs': n_obs}) AS b
+  FROM ll GROUP BY 1
+)
+SELECT series_id, 1 AS best_p, 0 AS best_q,
+       round(2*3 + 2*b.negll + 24.0/(b.n_obs - 4), 4) AS best_aicc
+FROM best
+"""
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -4503,6 +4640,7 @@ _EXTRA_QUERIES = {
     "carma_fit": q_carma_fit,
     "zdcf": q_zdcf,
     "carma_order": q_carma_order,
+    "carma_order_p1": q_carma_order_p1,
     "embedding_near_dups": q_embedding_near_dups,
     "seasonality_acf": q_seasonality_acf,
     "strict_peaks": q_strict_peaks,
@@ -4538,6 +4676,8 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "rollup_1d": SQL_ROLLUP_1D,
     "carma_aicc": SQL_CARMA_AICC,
+    "carma_fit": SQL_CARMA_FIT,
+    "carma_order_p1": SQL_CARMA_ORDER_P1,
     "find_peaks": SQL_FIND_PEAKS,
     "lzc": SQL_LZC,
     "media_features": SQL_MEDIA_FEATURES,
