@@ -2965,37 +2965,39 @@ def q_carma_mcmc(spark, sf_dir):
 
 
 def q_zdcf(spark, sf_dir):
-    """Alexander ZDCF between two event-type series: equal-population
-    bins, Fisher-z errors, seeded MC (reference: src/correlation/zdcf.rs;
-    seed pinned per SURVEY.md trap #3) — rows-only: the alcbin
-    equal-population binning walks pairs greedily with a no-reused-point
-    rule, a sequential state machine with no window-SQL form, and the
-    reference's MC error term is RNG-driven."""
+    """Alexander ZDCF between two event-type series (reference:
+    src/correlation/zdcf.rs) — oracle-exact at zero measurement error:
+    the alcbin equal-population greedy walk (median-outward, no reused
+    point within a bin, bins close at exactly min_points) is a LINEAR
+    scan over the lag-sorted pair list, so the oracle replays it as a
+    recursive-CTE state machine (position, bin counter, per-bin used
+    index lists — the same jump-walk trick that oracled ``lzc``), and
+    with e=0 the MC perturbation degenerates so per-bin Pearson r and
+    the Fisher-z small-sample error bars (zdcf.rs:7-26) are fully
+    deterministic. The RNG-driven error bars at e>0 (reference uses an
+    unseeded thread_rng, zdcf.rs:189) stay covered by the seeded kernel
+    determinism tests in tests/test_kernel_zdcf.py. Series are deduped
+    on t and capped at 40 points each to bound the oracle's walk."""
     import pandas as pd
 
     from chronoxtract_spark.kernel import zdcf as k_zdcf
 
     ev = _events(spark, sf_dir).filter(
         F.col("event_type").isin("click", "view")
-    ).select(
+    ).groupBy(
         "event_type",
         (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
-        F.col("value").alias("v"),
-    ).withColumn("g", F.lit(1))
+    ).agg(F.avg("value").alias("v")).withColumn("g", F.lit(1))
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        a = pdf[pdf["event_type"] == "click"].sort_values("t")
-        b = pdf[pdf["event_type"] == "view"].sort_values("t")
-        # bound the n1*n2 pair enumeration for the demo
-        a, b = a.head(400), b.head(400)
-        e1 = np.full(len(a), 0.5)
-        e2 = np.full(len(b), 0.5)
+        a = pdf[pdf["event_type"] == "click"].sort_values("t").head(40)
+        b = pdf[pdf["event_type"] == "view"].sort_values("t").head(40)
         out = k_zdcf.zdcf(
-            a["t"].to_numpy(), a["v"].to_numpy(), e1,
-            b["t"].to_numpy(), b["v"].to_numpy(), e2,
-            min_points=11, num_mc=30, seed=42,
+            a["t"].to_numpy(), a["v"].to_numpy(), np.zeros(len(a)),
+            b["t"].to_numpy(), b["v"].to_numpy(), np.zeros(len(b)),
+            min_points=11, num_mc=1, seed=42,
         )
         return pd.DataFrame(
             {
@@ -3006,10 +3008,113 @@ def q_zdcf(spark, sf_dir):
             }
         )
 
-    return ev.groupBy("g").applyInPandas(
+    raw = ev.groupBy("g").applyInPandas(
         fn,
         schema="lag_hours double, correlation double, error double, n_per_bin long",
     )
+    return raw.select(
+        F.round("lag_hours", 6).alias("lag_hours"),
+        F.round("correlation", 6).alias("correlation"),
+        F.round("error", 6).alias("error"),
+        "n_per_bin",
+    )
+
+
+# the alcbin walk as a recursive CTE: two independent chains (negative
+# direction from median-1 down, positive from median up) advance one
+# lag-sorted pair per iteration; a bin's used-index lists reset when the
+# previous state's count hit min_points (bins close at EXACTLY
+# min_points, kernel.zdcf.alcbin); trailing partial bins are dropped by
+# the HAVING. Pair order ties break by (i, j) — the kernel's stable
+# argsort over the row-major ravel.
+SQL_ZDCF = """
+WITH RECURSIVE
+s1 AS (SELECT t, v, row_number() OVER (ORDER BY t) - 1 AS i
+       FROM (SELECT epoch_us(ts)::BIGINT/1000000.0/3600.0 AS t,
+                    avg(value) AS v
+             FROM events WHERE event_type = 'click'
+             GROUP BY 1 ORDER BY t LIMIT 40)),
+s2 AS (SELECT t, v, row_number() OVER (ORDER BY t) - 1 AS j
+       FROM (SELECT epoch_us(ts)::BIGINT/1000000.0/3600.0 AS t,
+                    avg(value) AS v
+             FROM events WHERE event_type = 'view'
+             GROUP BY 1 ORDER BY t LIMIT 40)),
+pairs AS (
+  SELECT s1.i, s2.j, s2.t - s1.t AS lag, s1.v AS v1, s2.v AS v2
+  FROM s1, s2),
+ordered AS (
+  SELECT *, row_number() OVER (ORDER BY lag, i, j) - 1 AS pos FROM pairs),
+meta AS (SELECT count(*)::BIGINT // 2 AS med FROM ordered),
+walk(dir, pos, bin_id, cnt, used1, used2, take_i, take_j) AS (
+  SELECT * FROM (
+    SELECT -1 AS dir, (SELECT med FROM meta) AS pos, 0 AS bin_id,
+           0 AS cnt, []::BIGINT[] AS used1, []::BIGINT[] AS used2,
+           NULL::BIGINT AS take_i, NULL::BIGINT AS take_j
+    UNION ALL
+    SELECT 1, (SELECT med FROM meta) - 1, 0, 0,
+           []::BIGINT[], []::BIGINT[], NULL::BIGINT, NULL::BIGINT)
+  UNION ALL
+  SELECT w.dir,
+         w.pos + w.dir,
+         w.bin_id + CASE WHEN w.cnt = 11 THEN 1 ELSE 0 END,
+         CASE WHEN w.cnt = 11 THEN 0 ELSE w.cnt END
+           + CASE WHEN tk THEN 1 ELSE 0 END,
+         CASE WHEN tk THEN list_append(w.u1, o.i) ELSE w.u1 END,
+         CASE WHEN tk THEN list_append(w.u2, o.j) ELSE w.u2 END,
+         CASE WHEN tk THEN o.i ELSE NULL END,
+         CASE WHEN tk THEN o.j ELSE NULL END
+  FROM (SELECT *,
+               CASE WHEN cnt = 11 THEN []::BIGINT[] ELSE used1 END AS u1,
+               CASE WHEN cnt = 11 THEN []::BIGINT[] ELSE used2 END AS u2
+        FROM walk) w
+  JOIN ordered o ON o.pos = w.pos + w.dir
+  CROSS JOIN LATERAL (SELECT NOT list_contains(w.u1, o.i)
+                         AND NOT list_contains(w.u2, o.j) AS tk) c
+),
+assign AS (
+  SELECT w.dir, w.bin_id, o.lag, o.v1, o.v2
+  FROM walk w
+  JOIN ordered o ON o.pos = w.pos AND w.take_i = o.i AND w.take_j = o.j
+),
+full_bins AS (
+  SELECT dir, bin_id, avg(lag) AS lag_hours,
+         avg(v1*v2) - avg(v1)*avg(v2) AS cov,
+         avg(v1*v1) - avg(v1)*avg(v1) AS var1,
+         avg(v2*v2) - avg(v2)*avg(v2) AS var2,
+         count(*)::BIGINT AS n
+  FROM assign GROUP BY 1, 2 HAVING count(*) = 11
+),
+corr AS (
+  SELECT lag_hours, n,
+         CASE WHEN var1 > 0 AND var2 > 0
+              THEN cov / sqrt(var1 * var2) ELSE 0.0 END AS r
+  FROM full_bins
+),
+fisher AS (
+  SELECT lag_hours, n, r,
+         least(greatest(r, -1 + 1e-7), 1 - 1e-7) AS rc,
+         (n - 1.0) AS nm1
+  FROM corr
+),
+zs AS (
+  SELECT lag_hours, n, r,
+         0.5 * ln((1 + rc) / (1 - rc))
+           + rc / (2 * nm1) * (1 + (5 + rc*rc) / (4 * nm1)
+             + (11 + 2*rc*rc + 3*rc*rc*rc*rc) / (8 * nm1 * nm1)) AS z,
+         sqrt(greatest((1.0 / nm1) * (1 + (4 - rc*rc) / (2 * nm1)
+             + (22 - 6*rc*rc - 3*rc*rc*rc*rc) / (6 * nm1 * nm1)),
+             0.0)) AS s
+  FROM fisher
+)
+SELECT round(lag_hours, 6) AS lag_hours,
+       round(r, 6) AS correlation,
+       -- tanh(x) spelled via exp: this DuckDB build ships no tanh();
+       -- z is bounded (~8.4 at the clip), so exp(2x) cannot overflow
+       round(((exp(2*(z + s)) - 1) / (exp(2*(z + s)) + 1)
+            - (exp(2*(z - s)) - 1) / (exp(2*(z - s)) + 1)) / 2, 6) AS error,
+       n AS n_per_bin
+FROM zs
+"""
 
 
 def q_carma_order(spark, sf_dir):
@@ -4677,6 +4782,7 @@ _EXTRA_ORACLES = {
     "rollup_1d": SQL_ROLLUP_1D,
     "carma_aicc": SQL_CARMA_AICC,
     "carma_fit": SQL_CARMA_FIT,
+    "zdcf": SQL_ZDCF,
     "carma_order_p1": SQL_CARMA_ORDER_P1,
     "find_peaks": SQL_FIND_PEAKS,
     "lzc": SQL_LZC,
