@@ -127,7 +127,9 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             hash_fn="xxhash64",
         )
 
-    qs["minhash_lsh"] = _minhash_production
+    # the key says so explicitly: the bench number is the PRODUCTION
+    # xxhash64 family, not the md5_60 oracle-portability path
+    qs["minhash_lsh_prod"] = _minhash_production
     bench_queries = [
         "summary_stats",
         "quantiles",
@@ -140,7 +142,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "tpch_q1",
         "revenue_by_nation",
         "ngram_jaccard",
-        "minhash_lsh",
+        "minhash_lsh_prod",
         "knn_brute",
         "lsh_ann",
         "kernel_features",
