@@ -1739,11 +1739,13 @@ FROM sea
 
 def q_compression_stats(spark, sf_dir):
     """Gorilla chunk compression stats per user-day over the gap-filled
-    series (north_star compression stage) — rows-only: enc_size and
-    checksum are products of the binary bit-packing (no SQL form); the
-    SQL-expressible layout columns (n, t0, raw_size) are oracle-checked
-    by the sibling ``chunk_layout`` query, and the codec itself is
-    bit-exact round-trip tested."""
+    series (north_star compression stage) — rows-only, and the
+    justification is narrowed to the VALUE stream only: val_size is the
+    XOR bit-packing of data-dependent floats and checksum is crc32 over
+    both payloads (no SQL form for either); every other chunk column —
+    n, t0, raw_size, and now the analytic delta-of-delta ts_size — is
+    oracle-checked by the sibling ``chunk_layout`` query, and the codec
+    itself is bit-exact round-trip tested."""
     from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
     from chronoxtract_spark.plans.rollup import RollupEngine
     from chronoxtract_spark.sources.tableio import temp_warehouse
@@ -1757,7 +1759,9 @@ def q_compression_stats(spark, sf_dir):
     eng = RollupEngine(spark, temp_warehouse(spark))
     chunks = eng.build_chunks(filled)
     return chunks.select(
-        "conv_id", "day", "n", "raw_size", "enc_size", "checksum"
+        "conv_id", "day", "n", "raw_size",
+        F.length("val_bytes").cast("long").alias("val_size"),
+        "enc_size", "checksum",
     )
 
 
@@ -3895,12 +3899,17 @@ def q_chunk_layout(spark, sf_dir):
     )
     eng = RollupEngine(spark, temp_warehouse(spark))
     chunks = eng.build_chunks(filled)
+    # ts_size is analytic on the gap-filled grid: every delta inside a
+    # day-chunk is exactly 60 s, so every delta-of-delta is the 1-bit
+    # '0' control code — header 4(magic)+4(n)+8(t0)[+8(d0) if n>=2]
+    # plus ceil((n-2)/8) packed bytes (compression.encode_timestamps)
     return chunks.select(
         F.col("conv_id").cast("long").alias("user_id"),
         "day",
         F.col("n").cast("long").alias("n"),
         F.col("t0").cast("long").alias("t0"),
         F.col("raw_size").cast("long").alias("raw_size"),
+        F.length("ts_bytes").cast("long").alias("ts_size"),
     )
 
 
@@ -3924,7 +3933,10 @@ SELECT user_id,
        strftime(to_timestamp((tsec // 86400) * 86400), '%Y-%m-%d') AS day,
        count(*)::BIGINT AS n,
        min(tsec)::BIGINT AS t0,
-       (count(*) * 16)::BIGINT AS raw_size
+       (count(*) * 16)::BIGINT AS raw_size,
+       (CASE WHEN count(*) = 1 THEN 16
+             WHEN count(*) = 2 THEN 24
+             ELSE 24 + (count(*) - 2 + 7) // 8 END)::BIGINT AS ts_size
 FROM dense GROUP BY 1, 2
 """
 
