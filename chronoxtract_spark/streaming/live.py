@@ -293,6 +293,58 @@ def run_collect(
     return rows
 
 
+def streaming_chunks(
+    stream_events: DataFrame,
+    engine,
+    checkpoint_dir: str,
+    base_table: str = "stream_base",
+    chunk_table: str = "chunks_1m_stream",
+):
+    """Streaming face of the Gorilla chunk stage (north_star step 4):
+    each micro-batch lands in the base table under a batch-id partition
+    (dynamic overwrite — a checkpoint REPLAY of the same batch rewrites
+    the identical partition instead of duplicating rows), then every
+    touched conversation's FULL observed series is re-encoded through
+    the same ``RollupEngine.build_chunks`` kernel the batch path uses
+    and dynamic-overwritten at (day, conv_id) granularity.
+
+    Re-encoding the whole conversation (not just the new day) is what
+    keeps cross-day gap-fill exact: one new turn can extend a dense
+    span across day boundaries, changing chunks for days the batch
+    never mentioned. Both commits are idempotent partition overwrites,
+    so the terminal state is byte-identical to one batch
+    ``build_chunks`` over the same events
+    (tests/test_streaming_live.py::TestStreamingChunks).
+
+    Scale notes: touched conversations ride a broadcast semi-join (no
+    driver-side id list); at 10^12-turn scale the per-(day, conv)
+    directory layout becomes the IcebergBackend's overwritePartitions /
+    MERGE — the parquet stand-in keeps the same commit unit.
+    """
+
+    def sink(batch_df, batch_id):
+        io = engine.io
+        b = batch_df.withColumn("_batch", F.lit(int(batch_id)))
+        io.overwrite_partitions(b, base_table, ["_batch"])
+        touched = batch_df.select("conv_id").distinct()
+        base = (
+            io.read(base_table)
+            .drop("_batch")
+            .join(F.broadcast(touched), "conv_id", "semi")
+        )
+        chunks = engine.build_chunks(engine.build_observed(base))
+        io.overwrite_partitions(chunks, chunk_table, ["day", "conv_id"])
+
+    q = (
+        stream_events.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
 MOMENT_STATE_SCHEMA = (
     "n long, s1 double, s2 double, s3 double, s4 double, "
     "mn double, mx double"

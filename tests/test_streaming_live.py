@@ -304,3 +304,73 @@ class TestStreamingDedup:
         # merged: 3 turns spanning 00:00-00:20, not a 1-turn fragment
         assert a.n_turns == 3
         assert a.duration_s == 1200
+
+
+class TestStreamingChunks:
+    def test_stream_equals_batch_chunks_byte_for_byte(self, spark, dirs):
+        """The streaming chunk face (foreachBatch -> full-conversation
+        re-encode -> (day, conv_id) dynamic overwrite) must terminate in
+        EXACTLY the chunk table one batch build_chunks produces over the
+        same events — same Gorilla payload bytes, same crc32, same
+        layout — across multiple micro-batches that split conversations
+        mid-day and mid-span."""
+        import shutil as sh
+
+        from chronoxtract_spark.plans.rollup import RollupEngine
+        from chronoxtract_spark.sources.tableio import temp_warehouse
+        from chronoxtract_spark.synth import synth_transcripts
+
+        src, ckpt = dirs
+        # long conversations so dense spans cross day boundaries (the
+        # case the full-conversation re-encode exists for)
+        tr = synth_transcripts(
+            spark, n_conversations=6, seed=11, min_turns=250, max_turns=400
+        ).select("conv_id", "turn_idx", "ts")
+        tr.cache()
+        # three source files -> three micro-batches, slicing every
+        # conversation's turn sequence across batches
+        for k in range(3):
+            tr.filter(F.pmod("turn_idx", F.lit(3)) == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+
+        io = temp_warehouse(spark)
+        eng = RollupEngine(spark, io, kernel_features=False, compress=True)
+        stream = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        live.streaming_chunks(stream, eng, ckpt)
+
+        def canon(df):
+            return {
+                (r["conv_id"], str(r["day"])): (
+                    r["n"],
+                    r["t0"],
+                    r["checksum"],
+                    bytes(r["ts_bytes"]),
+                    bytes(r["val_bytes"]),
+                )
+                for r in df.collect()
+            }
+
+        got = canon(io.read("chunks_1m_stream"))
+        io2 = temp_warehouse(spark)
+        eng2 = RollupEngine(spark, io2, kernel_features=False, compress=True)
+        want = canon(eng2.build_chunks(eng2.build_observed(tr)))
+        assert got == want
+        assert len(got) > 6  # multi-day chunks actually exercised
+
+        # availableNow with an exhausted source: replay is a no-op
+        stream2 = (
+            spark.readStream.schema(SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        live.streaming_chunks(stream2, eng, ckpt)
+        assert canon(io.read("chunks_1m_stream")) == want
+
+        tr.unpersist()
+        sh.rmtree(io.root, ignore_errors=True)
+        sh.rmtree(io2.root, ignore_errors=True)
