@@ -275,6 +275,14 @@ def main():
 
 Generated {time.strftime('%Y-%m-%d %H:%M:%S')} by tools/scaling_bench.py.
 
+Storage-backend status, so the scope of this evidence cannot be
+misread: every measured number here runs the Parquet backend of
+TableIO. The Iceberg backend (sources/tableio.py IcebergBackend) is
+implementation-complete and has a runtime test, but that test is
+jar-gated and has NEVER executed in this sandbox (no Iceberg catalog
+jar, no network to fetch one) — the Iceberg path is
+runtime-unvalidated here and carries no bench evidence.
+
 North metric: rolled-up points/sec across all retention tiers
 (1m gap-filled points + 1h windows + 1d windows, with the north-star
 per-window feature vectors and Gorilla chunk compression), full
