@@ -92,7 +92,16 @@ def main():
     from chronoxtract_spark.session import get_spark
 
     spark = get_spark(app_name="cx_ann_scale", master="local[16]",
-                      shuffle_partitions=32)
+                      shuffle_partitions=32,
+                      # this VM's hypervisor can freeze the JVM for
+                      # minutes in a degraded window; at 1M vectors the
+                      # default 10s heartbeat x 60 misses then kills the
+                      # local executor mid-stage — tolerate the stall
+                      # instead of dying (observed 2026-08-17 08:08)
+                      extra_conf={
+                          "spark.network.timeout": "600s",
+                          "spark.executor.heartbeatInterval": "60s",
+                      })
     corpus = synth_vectors(spark, n, dim, n_clusters, noise=0.15).cache()
     n_actual = corpus.count()
     queries = corpus.filter(F.col("vec_id") < n_queries).select(
