@@ -1,16 +1,35 @@
 """Similarity search over embedding columns (array<float>).
 
-- ``brute_force_topk`` — exact cosine top-k: query×corpus equi-free
-  join with the small side broadcast, dot products via ``F.zip_with``
-  + ``F.aggregate`` (JVM-side, no Python), ranked per query with a
-  window. The correctness baseline.
+- ``brute_force_topk`` — exact cosine top-k. The query batch (bounded
+  by contract: an ANN batch ≪ corpus — the same rows a broadcast join
+  would ship to every executor anyway) is collected into a dense
+  matrix and broadcast; each corpus Arrow batch scores against it with
+  ONE BLAS matmul and emits only its batch-local top-k per query (all
+  ties at the k-th score kept), so the shuffle carries
+  O(batches * q * k) candidate rows instead of the q x n score cross
+  product, and a window ranks the union. Semantics identical to the
+  full cross join: every global top-k row is in its own batch's local
+  top-k.
 - ``lsh_topk`` — random-hyperplane LSH: sign-bit sketches from fixed
-  seeded projections bucket the corpus; candidates come from an
-  equi-join on the bucket key (optionally multi-probe over nearby
-  buckets), then exact cosine re-ranks candidates. The 100 TB path:
-  shuffle is O(n * n_tables) instead of O(n_q * n_corpus).
+  seeded projections bucket the corpus (all tables in one Arrow pass);
+  each (table, bucket) group matmuls against just the queries hashed
+  to it. The 100 TB path: shuffle is O(n * n_tables) corpus rows plus
+  O(groups * q * k) candidates — never the scored pair set.
+- ``ivf_topk`` — k-means coarse quantizer + probe lists (FAISS shape):
+  corpus grouped by nearest-centroid cell, queries probe their
+  ``n_probe`` closest cells, one matmul per cell.
 - ``embedding_near_duplicates`` — all pairs with cosine >= threshold,
-  the embedding flavor of dedup.
+  the embedding flavor of dedup (bucketed self-join + vectorized
+  verify).
+
+Scoring everywhere is numpy/BLAS inside Arrow-batched kernels — the
+r4 rework after the 1M-vector bench showed the per-row
+``F.aggregate``/``zip_with`` dot products (interpreted per element,
+~6 us/row) and the q x n ranking shuffle dominating wall time ~30x
+over the matmul cost. Unit-normalization stays on the JVM
+(``with_unit_norm``) so kernel and SQL-oracle inputs are bit-identical;
+only the dot-product summation order changed (BLAS vs sequential
+fold), which is below the oracles' 6-decimal rounding.
 """
 
 from __future__ import annotations
@@ -31,6 +50,25 @@ def _dot(a, b):
     )
 
 
+def _cos_pairs(a, b):
+    """Vectorized exact cosine for candidate pairs of already-unit
+    vectors: one einsum row-dot per Arrow batch. The interpreted
+    ``_dot`` fold costs ~6 us/row; this is for the hot verify paths
+    where candidates number in the millions. (Built per call: a
+    module-level ``pandas_udf`` would resolve its DDL return type on
+    the executor, where no SparkSession exists.)"""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def cos(x: pd.Series, y: pd.Series) -> pd.Series:
+        xm = np.asarray(x.tolist(), dtype=np.float64)
+        ym = np.asarray(y.tolist(), dtype=np.float64)
+        return pd.Series(np.einsum("ij,ij->i", xm, ym))
+
+    return cos(a, b)
+
+
 def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     """Pre-normalize embeddings so cosine reduces to a dot product."""
     v = F.col(vec_col).cast("array<double>")
@@ -40,33 +78,42 @@ def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
     )
 
 
-def brute_force_topk(
-    queries: DataFrame,
-    corpus: DataFrame,
-    k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    broadcast_queries: bool = True,
-) -> DataFrame:
-    """Exact cosine top-k neighbors: (query_id, neighbor_id, cosine, rank).
+def _collect_query_matrix(queries: DataFrame, id_col: str, vec_col: str):
+    """Driver-side materialization of the ANN query batch as a dense
+    unit matrix. BOUNDED by contract: a query batch ≪ corpus, and these
+    are exactly the rows a broadcast hash join would ship to every
+    executor — collecting them once and re-broadcasting moves the same
+    bytes. Normalization happens through the same JVM expression the
+    SQL-visible path uses (``with_unit_norm``) so kernel inputs are
+    bit-identical to what an equivalent Catalyst plan would score."""
+    rows = (
+        with_unit_norm(queries, vec_col)
+        .select(F.col(id_col).alias("qid"), F.col("_unit").alias("qv"))
+        .collect()
+    )
+    qids = np.asarray([r["qid"] for r in rows])
+    qm = np.asarray([r["qv"] for r in rows], dtype=np.float64)
+    return qids, qm
 
-    The query side is broadcast (typical ANN batch << corpus); the
-    corpus streams through one scan. Ties rank deterministically by
-    neighbor id.
-    """
-    q = with_unit_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
-    )
-    c = with_unit_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv")
-    )
-    if broadcast_queries:
-        q = F.broadcast(q)
-    scored = (
-        q.join(c, F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", _dot(F.col("qv"), F.col("cv")))
-        .select("query_id", "neighbor_id", "cosine")
-    )
+
+def _local_topk(S: np.ndarray, k: int):
+    """Row/col indices of the per-column top-k of a score matrix
+    (rows = corpus vectors, cols = queries). ALL rows tying at the
+    k-th score are kept — exactness under ties is decided by the
+    global rank window, never truncated here. ``-inf`` rows (masked
+    self-matches) are dropped."""
+    if S.shape[0] > k:
+        kth = np.partition(S, S.shape[0] - k, axis=0)[S.shape[0] - k]
+    else:
+        kth = np.full(S.shape[1], -np.inf)
+    rows, cols = np.nonzero(S >= kth[None, :])
+    keep = np.isfinite(S[rows, cols])
+    return rows[keep], cols[keep]
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Global rank over the (small) candidate union: deterministic
+    tie-break by neighbor id, k rows per query."""
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -80,6 +127,57 @@ def brute_force_topk(
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k neighbors: (query_id, neighbor_id, cosine, rank).
+
+    One BLAS matmul per corpus Arrow batch against the broadcast query
+    matrix; each batch emits only its local top-k per query (ties at
+    the k-th score all kept), so the exchange feeding the rank window
+    carries O(batches * q * k) rows, not q x n. Self-matches are
+    masked in-kernel. ``broadcast_queries`` is kept for API
+    compatibility; the query batch is always broadcast now."""
+    spark = corpus.sparkSession
+    id_type = dict(corpus.dtypes)[id_col]
+    qids, qm = _collect_query_matrix(queries, id_col, vec_col)
+    bvar = spark.sparkContext.broadcast((qids, np.ascontiguousarray(qm.T)))
+    kk = int(k)
+
+    def score(batches):
+        qid_arr, qmT = bvar.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
+            S = X @ qmT
+            nid = pdf["neighbor_id"].to_numpy()
+            S[np.equal(nid[:, None], qid_arr[None, :])] = -np.inf
+            r, c = _local_topk(S, kk)
+            yield pd.DataFrame(
+                {
+                    "query_id": qid_arr[c],
+                    "neighbor_id": nid[r],
+                    "cosine": S[r, c],
+                }
+            )
+
+    cand = (
+        with_unit_norm(corpus, vec_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv"))
+        .mapInPandas(
+            score,
+            schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
+        )
+    )
+    return _rank_topk(cand, kk)
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
@@ -104,6 +202,55 @@ def lsh_bucket_col(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def _lsh_buckets_udf(planes_all: np.ndarray):
+    """Arrow-batched sign-bit buckets for ALL hash tables in one pass:
+    one (n x dim) @ (dim x tables*planes) matmul per batch, bit i set
+    when the projection is strictly > 0 — the same predicate as
+    ``lsh_bucket_col``, 8 tables for the price of one column scan."""
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.asarray(planes_all, dtype=np.float64)  # (tables, planes, dim)
+    n_tables, n_planes, dim = P.shape
+    flat = np.ascontiguousarray(P.reshape(n_tables * n_planes, dim).T)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("array<long>")
+    def buckets(v: pd.Series) -> pd.Series:
+        x = np.asarray(v.tolist(), dtype=np.float64)
+        bits = (x @ flat > 0).reshape(len(x), n_tables, n_planes)
+        b = (bits * weights[None, None, :]).sum(axis=2)
+        return pd.Series(list(b))
+
+    return buckets
+
+
+def _grouped_topk_fn(bvar, k: int):
+    """applyInPandas body shared by the LSH table-bucket groups and the
+    IVF cells: look up the queries hashed/probed to this group, matmul
+    the group's vectors against them, emit the group-local top-k per
+    query (ties kept)."""
+
+    def score(key, pdf):
+        qids, qm, route = bvar.value
+        qsel = route.get(tuple(int(x) for x in key))
+        if qsel is None or not len(pdf):
+            return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
+        X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
+        S = X @ qm[qsel].T
+        nid = pdf["neighbor_id"].to_numpy()
+        S[np.equal(nid[:, None], qids[qsel][None, :])] = -np.inf
+        r, c = _local_topk(S, k)
+        return pd.DataFrame(
+            {
+                "query_id": qids[qsel][c],
+                "neighbor_id": nid[r],
+                "cosine": S[r, c],
+            }
+        )
+
+    return score
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -118,41 +265,47 @@ def lsh_topk(
     """Approximate cosine top-k via random-hyperplane LSH buckets.
 
     Each of ``n_tables`` independent hash tables contributes candidates
-    from the query's bucket; exact cosine re-ranks the candidate union.
-    Recall rises with n_tables; shuffle volume stays linear.
-    """
-    q = with_unit_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
+    from the query's bucket; exact cosine (one matmul per (table,
+    bucket) group against just the queries hashed there) re-ranks the
+    union. Recall rises with n_tables; shuffle volume stays linear in
+    the corpus — the scored pair set never hits an exchange. A
+    neighbor found by several tables carries the same cosine; the
+    max() pre-aggregation collapses those float-identical duplicates
+    deterministically before the rank window."""
+    spark = corpus.sparkSession
+    id_type = dict(corpus.dtypes)[id_col]
+    qids, qm = _collect_query_matrix(queries, id_col, vec_col)
+    planes_all = np.asarray(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
     )
-    c = with_unit_norm(corpus, vec_col).select(
-        F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv")
-    )
-    cand = None
+    # query-side buckets driver-side (Q x tables matmul on the already
+    # JVM-normalized vectors): route[(table, bucket)] -> query indices
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+    route: dict = {}
     for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + t)
-        qb = q.withColumn("bucket", lsh_bucket_col(F.col("qv"), planes)).withColumn(
-            "table", F.lit(t)
-        )
-        cb = c.withColumn("bucket", lsh_bucket_col(F.col("cv"), planes)).withColumn(
-            "table", F.lit(t)
-        )
-        pairs = qb.join(cb, ["table", "bucket"]).filter(
-            F.col("query_id") != F.col("neighbor_id")
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
-    scored = cand.withColumn("cosine", _dot(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
+        qbuckets = ((qm @ planes_all[t].T > 0) * weights[None, :]).sum(axis=1)
+        for qi, bkt in enumerate(qbuckets):
+            route.setdefault((t, int(bkt)), []).append(qi)
+    route = {key: np.asarray(v) for key, v in route.items()}
+    bvar = spark.sparkContext.broadcast((qids, qm, route))
+    kk = int(k)
+
+    cb = (
+        with_unit_norm(corpus, vec_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv"))
+        .withColumn("_buckets", _lsh_buckets_udf(planes_all)(F.col("cv")))
         .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
+            "neighbor_id", "cv", F.posexplode("_buckets").alias("table", "bucket")
         )
     )
+    cand = cb.groupBy("table", "bucket").applyInPandas(
+        _grouped_topk_fn(bvar, kk),
+        schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
+    )
+    best = cand.groupBy("query_id", "neighbor_id").agg(
+        F.max("cosine").alias("cosine")
+    )
+    return _rank_topk(best, kk)
 
 
 def _kmeans_centroids(
@@ -208,22 +361,6 @@ def _cell_assign_udf(centroids: np.ndarray):
     return assign
 
 
-def _probe_cells_udf(centroids: np.ndarray, n_probe: int):
-    """Arrow-batched top-n_probe centroid ids per query vector."""
-    from pyspark.sql.functions import pandas_udf
-
-    c = np.ascontiguousarray(centroids.T)
-
-    @pandas_udf("array<int>")
-    def probes(v: pd.Series) -> pd.Series:
-        x = np.asarray(v.tolist(), dtype=np.float64)
-        scores = x @ c
-        top = np.argsort(-scores, kind="stable", axis=1)[:, :n_probe]
-        return pd.Series([row.astype(np.int32).tolist() for row in top])
-
-    return probes
-
-
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -240,16 +377,17 @@ def ivf_topk(
     Train: seeded k-means on a bounded driver-side corpus sample (IVF's
     standard train step; the sample size, not the corpus, bounds driver
     memory). Assign: every corpus vector goes to its nearest centroid —
-    a JVM-side argmax over ``n_centroids`` dot products, one linear
-    scan. Search: each query probes its ``n_probe`` closest centroids'
-    lists via an equi-join on the centroid id, then exact cosine
-    re-ranks the candidates. Shuffle volume is O(n + q * n_probe *
-    list_size) — no cross join, no per-row Python."""
+    an Arrow-batched argmax matmul, one linear scan. Search: each
+    probed cell's list matmuls against just the queries probing it and
+    emits its cell-local top-k (ties kept); a window ranks the
+    candidate union. Shuffle volume is O(n) corpus rows for the cell
+    grouping plus O(cells * q * k) candidates — the scored pair set
+    (q * n_probe * list_size dot products) stays inside the kernels
+    and never hits an exchange."""
+    spark = corpus.sparkSession
+    id_type = dict(corpus.dtypes)[id_col]
     u_corpus = with_unit_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv")
-    )
-    u_queries = with_unit_norm(queries, vec_col).select(
-        F.col(id_col).alias("query_id"), F.col("_unit").alias("qv")
     )
     # bounded training sample: hash-ordered ids pick a uniform subset,
     # then the collected rows are re-sorted by id so the kmeans RNG
@@ -266,25 +404,27 @@ def ivf_topk(
         np.asarray([r["cv"] for r in sample]), n_centroids, seed
     )
 
+    # probe lists driver-side on the JVM-normalized query batch:
+    # stable-argsort top-n_probe centroid ids (ties to the lower cell);
+    # route[(cell,)] -> indices of the queries probing that cell
+    qids, qm = _collect_query_matrix(queries, id_col, vec_col)
+    top = np.argsort(-(qm @ cents.T), kind="stable", axis=1)[:, :n_probe]
+    route: dict = {}
+    for qi, cells in enumerate(top):
+        for cell in cells:
+            route.setdefault((int(cell),), []).append(qi)
+    route = {key: np.asarray(v) for key, v in route.items()}
+    bvar = spark.sparkContext.broadcast((qids, qm, route))
+    kk = int(k)
+
     assigned = u_corpus.withColumn("cell", _cell_assign_udf(cents)(F.col("cv")))
-    probes = u_queries.withColumn(
-        "cell", F.explode(_probe_cells_udf(cents, n_probe)(F.col("qv")))
+    # one matmul per probed cell (each corpus vector lives in exactly
+    # one cell, so no cross-table dedup is needed before the rank)
+    cand = assigned.groupBy("cell").applyInPandas(
+        _grouped_topk_fn(bvar, kk),
+        schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
     )
-    cand = probes.join(assigned, "cell").filter(
-        F.col("query_id") != F.col("neighbor_id")
-    )
-    scored = cand.withColumn("cosine", _dot(F.col("qv"), F.col("cv")))
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id",
-            "neighbor_id",
-            F.round("cosine", 6).alias("cosine"),
-            F.col("rank").cast("long").alias("rank"),
-        )
-    )
+    return _rank_topk(cand, kk)
 
 
 def embedding_near_duplicates(
@@ -300,40 +440,48 @@ def embedding_near_duplicates(
     """Pairs with cosine >= threshold (d1 < d2) — embedding-space
     near-dup detection, LSH-bucketed (the 100 TB path).
 
-    Candidates come from equi-joins on random-hyperplane sign buckets
-    (one self-join per table, never a cross join); exact cosine then
-    verifies each candidate pair. Recall is probabilistic: a pair at
-    angle theta collides per table with (1 - theta/pi)^n_planes, so for
-    low thresholds use few planes + many tables. Shuffle volume is
-    O(n * n_tables) plus the candidate pairs themselves."""
+    Candidates come from ONE self equi-join on the exploded (table,
+    bucket) key — random-hyperplane sign buckets for every table from
+    a single Arrow pass, never a cross join. Exact cosine (vectorized
+    einsum over the candidate pairs) then verifies. Recall is
+    probabilistic: a pair at angle theta collides per table with
+    (1 - theta/pi)^n_planes, so for low thresholds use few planes +
+    many tables. Shuffle volume is O(n * n_tables) bare-id rows plus
+    the candidate pairs themselves — vectors never ride the
+    quadratic-output join."""
     u = with_unit_norm(df, vec_col).select(
         F.col(id_col).alias("d"), F.col("_unit").alias("v")
     )
     n_part = max(df.sparkSession.sparkContext.defaultParallelism, 8)
-    cand = None
-    for t in range(n_tables):
-        planes = _hyperplanes(dim, n_planes, seed + 101 * t)
-        bt = u.withColumn("bucket", lsh_bucket_col(F.col("v"), planes))
+    planes_all = np.asarray(
+        [_hyperplanes(dim, n_planes, seed + 101 * t) for t in range(n_tables)]
+    )
+    bt = (
+        u.withColumn("_buckets", _lsh_buckets_udf(planes_all)(F.col("v")))
+        .select("d", F.posexplode("_buckets").alias("table", "bucket"))
         # pin fan-out parallelism before the quadratic-output self-join
         # (AQE sees only the small bucketed input)
-        bt = bt.repartition(n_part, "bucket")
-        a, b = bt.alias("a"), bt.alias("b")
-        pairs = a.join(
+        .repartition(n_part, "table", "bucket")
+    )
+    a, b = bt.alias("a"), bt.alias("b")
+    cand = (
+        a.join(
             b,
-            (F.col("a.bucket") == F.col("b.bucket"))
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.d") < F.col("b.d")),
-        ).select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
-        cand = pairs if cand is None else cand.unionByName(pairs)
-    # dedupe bare id-pairs first (small rows), then attach vectors once —
-    # shipping both vectors through every table's union would multiply
-    # shuffle bytes by n_tables
-    cand = cand.dropDuplicates(["d1", "d2"])
+        )
+        .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+        # dedupe bare id-pairs first (small rows), then attach vectors
+        # once — a pair colliding in several tables verifies once
+        .dropDuplicates(["d1", "d2"])
+    )
     v1 = u.select(F.col("d").alias("d1"), F.col("v").alias("v1"))
     v2 = u.select(F.col("d").alias("d2"), F.col("v").alias("v2"))
     return (
         cand.join(v1, "d1")
         .join(v2, "d2")
-        .withColumn("cosine", _dot(F.col("v1"), F.col("v2")))
+        .withColumn("cosine", _cos_pairs(F.col("v1"), F.col("v2")))
         .filter(F.col("cosine") >= threshold)
         .select("d1", "d2", F.round("cosine", 6).alias("cosine"))
     )
