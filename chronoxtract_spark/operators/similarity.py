@@ -40,6 +40,15 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _stack(col: pd.Series) -> np.ndarray:
+    """Arrow list column -> dense float64 matrix. After Arrow->pandas
+    each cell is already a numpy array; ``np.stack`` memcpys rows,
+    where ``.tolist()`` would box every element into a Python float
+    (measured ~20x slower at 64-dim — it dominated the first 1M-vector
+    bench run)."""
+    return np.stack(col.to_numpy()).astype(np.float64, copy=False)
+
+
 def _norm(col):
     return F.sqrt(F.aggregate(col, F.lit(0.0), lambda a, x: a + x * x))
 
@@ -62,8 +71,8 @@ def _cos_pairs(a, b):
 
     @pandas_udf(DoubleType())
     def cos(x: pd.Series, y: pd.Series) -> pd.Series:
-        xm = np.asarray(x.tolist(), dtype=np.float64)
-        ym = np.asarray(y.tolist(), dtype=np.float64)
+        xm = _stack(x)
+        ym = _stack(y)
         return pd.Series(np.einsum("ij,ij->i", xm, ym))
 
     return cos(a, b)
@@ -156,7 +165,7 @@ def brute_force_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
+            X = _stack(pdf["cv"])
             S = X @ qmT
             nid = pdf["neighbor_id"].to_numpy()
             S[np.equal(nid[:, None], qid_arr[None, :])] = -np.inf
@@ -216,7 +225,7 @@ def _lsh_buckets_udf(planes_all: np.ndarray):
 
     @pandas_udf("array<long>")
     def buckets(v: pd.Series) -> pd.Series:
-        x = np.asarray(v.tolist(), dtype=np.float64)
+        x = _stack(v)
         bits = (x @ flat > 0).reshape(len(x), n_tables, n_planes)
         b = (bits * weights[None, None, :]).sum(axis=2)
         return pd.Series(list(b))
@@ -235,7 +244,7 @@ def _grouped_topk_fn(bvar, k: int):
         qsel = route.get(tuple(int(x) for x in key))
         if qsel is None or not len(pdf):
             return pd.DataFrame({"query_id": [], "neighbor_id": [], "cosine": []})
-        X = np.asarray(pdf["cv"].tolist(), dtype=np.float64)
+        X = _stack(pdf["cv"])
         S = X @ qm[qsel].T
         nid = pdf["neighbor_id"].to_numpy()
         S[np.equal(nid[:, None], qids[qsel][None, :])] = -np.inf
@@ -251,9 +260,44 @@ def _grouped_topk_fn(bvar, k: int):
     return score
 
 
-def lsh_topk(
-    queries: DataFrame,
+def _lsh_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """The (tables, planes, dim) projection tensor — derived purely
+    from the hash parameters, so index build and search recover the
+    SAME planes without shipping state between them."""
+    return np.asarray(
+        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
+    )
+
+
+def lsh_index(
     corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Build the LSH index relation: one row per (corpus vector, hash
+    table) with its sign-bit bucket — ``(neighbor_id, cv, table,
+    bucket)``. A plain DataFrame: persist it (cache / write to a
+    bucketed table) and amortize the build across query batches; the
+    planes regenerate deterministically from the hash parameters, so
+    no side state needs storing."""
+    planes_all = _lsh_planes(dim, n_planes, n_tables, seed)
+    return (
+        with_unit_norm(corpus, vec_col)
+        .select(F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv"))
+        .withColumn("_buckets", _lsh_buckets_udf(planes_all)(F.col("cv")))
+        .select(
+            "neighbor_id", "cv", F.posexplode("_buckets").alias("table", "bucket")
+        )
+    )
+
+
+def lsh_search(
+    index: DataFrame,
+    queries: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -262,22 +306,16 @@ def lsh_topk(
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate cosine top-k via random-hyperplane LSH buckets.
-
-    Each of ``n_tables`` independent hash tables contributes candidates
-    from the query's bucket; exact cosine (one matmul per (table,
-    bucket) group against just the queries hashed there) re-ranks the
-    union. Recall rises with n_tables; shuffle volume stays linear in
-    the corpus — the scored pair set never hits an exchange. A
-    neighbor found by several tables carries the same cosine; the
-    max() pre-aggregation collapses those float-identical duplicates
-    deterministically before the rank window."""
-    spark = corpus.sparkSession
-    id_type = dict(corpus.dtypes)[id_col]
+    """Query an ``lsh_index`` relation: each (table, bucket) group
+    matmuls against just the queries hashed there; exact cosine
+    re-ranks the candidate union. A neighbor found by several tables
+    carries the same cosine; the max() pre-aggregation collapses those
+    float-identical duplicates deterministically before the rank
+    window. Hash parameters must match the index build."""
+    spark = index.sparkSession
+    id_type = dict(index.dtypes)["neighbor_id"]
     qids, qm = _collect_query_matrix(queries, id_col, vec_col)
-    planes_all = np.asarray(
-        [_hyperplanes(dim, n_planes, seed + t) for t in range(n_tables)]
-    )
+    planes_all = _lsh_planes(dim, n_planes, n_tables, seed)
     # query-side buckets driver-side (Q x tables matmul on the already
     # JVM-normalized vectors): route[(table, bucket)] -> query indices
     weights = (1 << np.arange(n_planes)).astype(np.int64)
@@ -290,15 +328,7 @@ def lsh_topk(
     bvar = spark.sparkContext.broadcast((qids, qm, route))
     kk = int(k)
 
-    cb = (
-        with_unit_norm(corpus, vec_col)
-        .select(F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv"))
-        .withColumn("_buckets", _lsh_buckets_udf(planes_all)(F.col("cv")))
-        .select(
-            "neighbor_id", "cv", F.posexplode("_buckets").alias("table", "bucket")
-        )
-    )
-    cand = cb.groupBy("table", "bucket").applyInPandas(
+    cand = index.groupBy("table", "bucket").applyInPandas(
         _grouped_topk_fn(bvar, kk),
         schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
     )
@@ -306,6 +336,33 @@ def lsh_topk(
         F.max("cosine").alias("cosine")
     )
     return _rank_topk(best, kk)
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets —
+    one-shot convenience composing ``lsh_index`` + ``lsh_search``
+    (build amortization is the caller's choice: persist the index
+    relation to reuse it). Recall rises with n_tables; shuffle volume
+    stays linear in the corpus — the scored pair set never hits an
+    exchange."""
+    index = lsh_index(
+        corpus, id_col=id_col, vec_col=vec_col, n_planes=n_planes,
+        n_tables=n_tables, dim=dim, seed=seed,
+    )
+    return lsh_search(
+        index, queries, k=k, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, dim=dim, seed=seed,
+    )
 
 
 def _kmeans_centroids(
@@ -355,37 +412,30 @@ def _cell_assign_udf(centroids: np.ndarray):
 
     @pandas_udf("int")
     def assign(v: pd.Series) -> pd.Series:
-        x = np.asarray(v.tolist(), dtype=np.float64)
+        x = _stack(v)
         return pd.Series(np.argmax(x @ c, axis=1).astype(np.int32))
 
     return assign
 
 
-def ivf_topk(
-    queries: DataFrame,
+def ivf_index(
     corpus: DataFrame,
-    k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_centroids: int = 16,
-    n_probe: int = 4,
     seed: int = 42,
     train_sample: int = 4096,
-) -> DataFrame:
-    """IVF approximate top-k: k-means coarse quantizer + probe lists.
+):
+    """Build the IVF index: train the coarse quantizer and assign every
+    corpus vector to its nearest-centroid cell. Returns ``(assigned,
+    centroids)`` — the assigned relation ``(neighbor_id, cv, cell)`` is
+    a plain DataFrame to persist (cache / write partitioned by cell)
+    and amortize across query batches; the centroid matrix is the
+    index's side state.
 
     Train: seeded k-means on a bounded driver-side corpus sample (IVF's
     standard train step; the sample size, not the corpus, bounds driver
-    memory). Assign: every corpus vector goes to its nearest centroid —
-    an Arrow-batched argmax matmul, one linear scan. Search: each
-    probed cell's list matmuls against just the queries probing it and
-    emits its cell-local top-k (ties kept); a window ranks the
-    candidate union. Shuffle volume is O(n) corpus rows for the cell
-    grouping plus O(cells * q * k) candidates — the scored pair set
-    (q * n_probe * list_size dot products) stays inside the kernels
-    and never hits an exchange."""
-    spark = corpus.sparkSession
-    id_type = dict(corpus.dtypes)[id_col]
+    memory). Assign: an Arrow-batched argmax matmul, one linear scan."""
     u_corpus = with_unit_norm(corpus, vec_col).select(
         F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv")
     )
@@ -403,12 +453,33 @@ def ivf_topk(
     cents = _kmeans_centroids(
         np.asarray([r["cv"] for r in sample]), n_centroids, seed
     )
+    assigned = u_corpus.withColumn("cell", _cell_assign_udf(cents)(F.col("cv")))
+    return assigned, cents
 
+
+def ivf_search(
+    index: DataFrame,
+    centroids: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query an ``ivf_index`` relation: each probed cell's list matmuls
+    against just the queries probing it and emits its cell-local top-k
+    (ties kept); a window ranks the candidate union. Shuffle volume is
+    O(n) corpus rows for the cell grouping (amortized away when the
+    index is persisted partitioned by cell) plus O(cells * q * k)
+    candidates — the scored pair set (q * n_probe * list_size dot
+    products) stays inside the kernels and never hits an exchange."""
+    spark = index.sparkSession
+    id_type = dict(index.dtypes)["neighbor_id"]
     # probe lists driver-side on the JVM-normalized query batch:
     # stable-argsort top-n_probe centroid ids (ties to the lower cell);
     # route[(cell,)] -> indices of the queries probing that cell
     qids, qm = _collect_query_matrix(queries, id_col, vec_col)
-    top = np.argsort(-(qm @ cents.T), kind="stable", axis=1)[:, :n_probe]
+    top = np.argsort(-(qm @ centroids.T), kind="stable", axis=1)[:, :n_probe]
     route: dict = {}
     for qi, cells in enumerate(top):
         for cell in cells:
@@ -417,14 +488,38 @@ def ivf_topk(
     bvar = spark.sparkContext.broadcast((qids, qm, route))
     kk = int(k)
 
-    assigned = u_corpus.withColumn("cell", _cell_assign_udf(cents)(F.col("cv")))
     # one matmul per probed cell (each corpus vector lives in exactly
     # one cell, so no cross-table dedup is needed before the rank)
-    cand = assigned.groupBy("cell").applyInPandas(
+    cand = index.groupBy("cell").applyInPandas(
         _grouped_topk_fn(bvar, kk),
         schema=f"query_id {id_type}, neighbor_id {id_type}, cosine double",
     )
     return _rank_topk(cand, kk)
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    train_sample: int = 4096,
+) -> DataFrame:
+    """IVF approximate top-k: k-means coarse quantizer + probe lists
+    (FAISS shape) — one-shot convenience composing ``ivf_index`` +
+    ``ivf_search`` (persist the index relation to amortize the build
+    across query batches)."""
+    index, cents = ivf_index(
+        corpus, id_col=id_col, vec_col=vec_col, n_centroids=n_centroids,
+        seed=seed, train_sample=train_sample,
+    )
+    return ivf_search(
+        index, cents, queries, k=k, id_col=id_col, vec_col=vec_col,
+        n_probe=n_probe,
+    )
 
 
 def embedding_near_duplicates(

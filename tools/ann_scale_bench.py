@@ -86,8 +86,10 @@ def main():
 
     from chronoxtract_spark.operators.similarity import (
         brute_force_topk,
-        ivf_topk,
-        lsh_topk,
+        ivf_index,
+        ivf_search,
+        lsh_index,
+        lsh_search,
     )
     from chronoxtract_spark.session import get_spark
 
@@ -109,7 +111,7 @@ def main():
     ).cache()
     queries.count()
 
-    def run(name, fn):
+    def timed_search(name, fn, build_sec=0.0):
         t0 = time.time()
         res = (
             fn()
@@ -117,17 +119,41 @@ def main():
             .cache()
         )
         cnt = res.count()
-        return {"name": name, "wall_sec": round(time.time() - t0, 2),
+        search = round(time.time() - t0, 2)
+        return {"name": name, "build_sec": round(build_sec, 2),
+                "search_sec": search,
+                "wall_sec": round(build_sec + search, 2),
                 "rows": cnt, "df": res}
 
-    brute = run("brute_force", lambda: brute_force_topk(
-        queries.withColumnRenamed("qid", "vec_id"), corpus, k=k))
-    lsh = run("lsh", lambda: lsh_topk(
-        queries.withColumnRenamed("qid", "vec_id"), corpus, k=k,
-        n_planes=10, n_tables=8, dim=dim))
-    ivf = run("ivf", lambda: ivf_topk(
-        queries.withColumnRenamed("qid", "vec_id"), corpus, k=k,
-        n_centroids=64, n_probe=8))
+    qdf = queries.withColumnRenamed("qid", "vec_id")
+
+    # brute force has no index: its one corpus-scan matmul IS the query
+    brute = timed_search(
+        "brute_force", lambda: brute_force_topk(qdf, corpus, k=k))
+
+    # index paths: build once (materialized via cache+count — the
+    # deployment shape persists this relation and amortizes it across
+    # query batches), then time the query phase against the built index
+    t0 = time.time()
+    lsh_idx = lsh_index(corpus, n_planes=10, n_tables=8, dim=dim).cache()
+    lsh_idx.count()
+    lsh_build = time.time() - t0
+    lsh = timed_search(
+        "lsh",
+        lambda: lsh_search(lsh_idx, qdf, k=k, n_planes=10, n_tables=8, dim=dim),
+        build_sec=lsh_build,
+    )
+
+    t0 = time.time()
+    ivf_idx, cents = ivf_index(corpus, n_centroids=64)
+    ivf_idx = ivf_idx.cache()
+    ivf_idx.count()
+    ivf_build = time.time() - t0
+    ivf = timed_search(
+        "ivf",
+        lambda: ivf_search(ivf_idx, cents, qdf, k=k, n_probe=8),
+        build_sec=ivf_build,
+    )
 
     # all three paths exclude self-matches (brute_force_topk joins on
     # query_id != neighbor_id, similarity.py) — plain k-vs-k recall
@@ -140,7 +166,8 @@ def main():
     rows = []
     for r in (brute, lsh, ivf):
         rec = 1.0 if r is brute else recall(r)
-        rows.append({"path": r["name"], "wall_sec": r["wall_sec"],
+        rows.append({"path": r["name"], "build_sec": r["build_sec"],
+                     "search_sec": r["search_sec"], "wall_sec": r["wall_sec"],
                      "result_rows": r["rows"], "recall_at_k": rec})
         print(json.dumps(rows[-1]))
 
@@ -161,21 +188,23 @@ def main():
             rec = json.loads(line)
             by_scale[rec["n"]] = rec  # latest run per scale wins
 
-    def speed(rec, path):
-        w = {r["path"]: r["wall_sec"] for r in rec["rows"]}
+    def qspeed(rec, path):
+        w = {r["path"]: r.get("search_sec", r["wall_sec"])
+             for r in rec["rows"]}
         return w["brute_force"] / w[path]
 
     table = "\n".join(
-        f"| {rec['n']:,} | {r['path']} | {r['wall_sec']} | "
-        f"{r['result_rows']} | {r['recall_at_k']} |"
+        f"| {rec['n']:,} | {r['path']} | "
+        f"{r.get('build_sec', '—')} | {r.get('search_sec', '—')} | "
+        f"{r['wall_sec']} | {r['result_rows']} | {r['recall_at_k']} |"
         for _, rec in sorted(by_scale.items())
         for r in rec["rows"]
     )
     scales = [by_scale[s] for s in sorted(by_scale)]
     spd = "; ".join(
-        f"at {rec['n']:,}: LSH **{speed(rec, 'lsh'):.1f}x** "
+        f"at {rec['n']:,}: LSH **{qspeed(rec, 'lsh'):.1f}x** "
         f"(recall {[r for r in rec['rows'] if r['path'] == 'lsh'][0]['recall_at_k']}), "
-        f"IVF **{speed(rec, 'ivf'):.1f}x** "
+        f"IVF **{qspeed(rec, 'ivf'):.1f}x** "
         f"(recall {[r for r in rec['rows'] if r['path'] == 'ivf'][0]['recall_at_k']})"
         for rec in scales
     )
@@ -189,19 +218,26 @@ with per-partition seeded streams. {n_queries} queries (cluster
 members), k={k}; recall measured against the exact brute-force top-k
 (all three paths exclude self-matches).
 local[16], one JVM, each path timed after the corpus is cached.
+Index paths are measured in deployment shape: the index relation
+(``lsh_index`` / ``ivf_index``) is built and materialized ONCE
+(build sec), then the query batch runs against it (search sec) —
+a persisted index amortizes build across every future batch; brute
+force has no index, its search IS the full corpus-scan matmul.
 
-| corpus | path | wall sec | result rows | recall@{k} vs brute |
-| --- | --- | --- | --- | --- |
+| corpus | path | build sec | search sec | total | result rows | recall@{k} vs brute |
+| --- | --- | --- | --- | --- | --- | --- |
 {table}
 
-- brute force is one corpus scan per query batch (broadcast queries) —
-  the exact referee, linear in corpus size.
+- brute force: one BLAS matmul block per corpus Arrow batch against
+  the broadcast query matrix — the exact referee, linear in corpus
+  size per query batch.
 - LSH (10 planes x 8 tables) and IVF (64 centroids, probe 8) touch a
   fraction of the corpus per query; their recall here is the real
   index miss rate on well-separated clusters.
-- index speedup vs brute at this batch size: {spd} — the index
-  advantage grows with corpus size (brute is linear in corpus; the
-  banded/probed paths touch a shrinking fraction of it).
+- query-phase speedup vs brute at this batch size: {spd}. The
+  amortized (index-persisted) advantage grows with corpus size —
+  brute rescans everything per batch; the probed paths touch a
+  shrinking fraction of it.
 
 ```json
 {json.dumps(scales, indent=2)}
