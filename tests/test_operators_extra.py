@@ -110,6 +110,62 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.4  # probabilistic but stable for fixed seed
 
+    def test_index_search_split_matches_one_shot(self, spark):
+        """The persisted-index deployment shape: building lsh_index /
+        ivf_index once and searching it returns exactly what the
+        one-shot composition returns, and one cached index serves
+        DIFFERENT query batches (the amortization the scale bench
+        measures)."""
+        from chronoxtract_spark.operators.similarity import (
+            ivf_index,
+            ivf_search,
+            ivf_topk,
+            lsh_index,
+            lsh_search,
+            lsh_topk,
+        )
+
+        rng = np.random.RandomState(7)
+        vecs = rng.normal(size=(80, 16)).astype(np.float32)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        hp = dict(n_planes=4, n_tables=6, dim=16)
+
+        idx = lsh_index(df, **hp).cache()
+        try:
+            for lo, hi in ((0, 4), (40, 44)):
+                q = df.filter(f"vec_id >= {lo} and vec_id < {hi}")
+                split = {
+                    (r.query_id, r.rank, r.neighbor_id, r.cosine)
+                    for r in lsh_search(idx, q, k=3, **hp).collect()
+                }
+                oneshot = {
+                    (r.query_id, r.rank, r.neighbor_id, r.cosine)
+                    for r in lsh_topk(q, df, k=3, **hp).collect()
+                }
+                assert split == oneshot and len(split) == 12
+        finally:
+            idx.unpersist()
+
+        assigned, cents = ivf_index(df, n_centroids=4)
+        assigned = assigned.cache()
+        try:
+            for lo, hi in ((0, 4), (40, 44)):
+                q = df.filter(f"vec_id >= {lo} and vec_id < {hi}")
+                split = {
+                    (r.query_id, r.rank, r.neighbor_id, r.cosine)
+                    for r in ivf_search(assigned, cents, q, k=3,
+                                        n_probe=2).collect()
+                }
+                oneshot = {
+                    (r.query_id, r.rank, r.neighbor_id, r.cosine)
+                    for r in ivf_topk(q, df, k=3, n_centroids=4,
+                                      n_probe=2).collect()
+                }
+                assert split == oneshot and len(split) == 12
+        finally:
+            assigned.unpersist()
+
 
 class TestText:
     def test_lang_id(self, spark):
