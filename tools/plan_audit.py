@@ -38,6 +38,9 @@ EXPECTED_FLAGS = {
     "to a join-shaped brute plan is flagged with context)",
     "carma_order": "broadcast of the tiny fixed (p,q) candidate grid "
     "(6 rows) against per-series data",
+    "carma_order_p1": "same tiny fixed candidate-grid broadcast as "
+    "carma_order, restricted to the closed-form p=1 cells the oracle "
+    "covers",
 }
 
 
