@@ -382,20 +382,24 @@ def _kmeans_centroids(
     rng = np.random.RandomState(seed)
     x = np.asarray(vectors, dtype=np.float64)
     n = x.shape[0]
-    # kmeans++ seeding
+    # kmeans++ seeding with an incremental min-distance: only the
+    # NEWEST centroid's distances are computed per step (O(k n d)
+    # total, not O(k^2 n d) — the full-tensor recompute dominated IVF
+    # build once centroid counts grow toward the sqrt(n) a large
+    # corpus wants). Each pairwise distance uses the same elementwise
+    # ops and last-axis summation as the old full recompute, and min
+    # is exact, so the seeding draws are bit-identical.
     cents = [x[int(rng.randint(n))]]
+    d2 = ((x - cents[0]) ** 2).sum(axis=1)
     for _ in range(1, n_centroids):
-        d2 = np.min(
-            ((x[:, None, :] - np.asarray(cents)[None, :, :]) ** 2).sum(axis=2),
-            axis=1,
-        )
         total = float(d2.sum())
         if total <= 0.0:
             # every remaining vector coincides with a centroid (e.g. a
             # corpus of duplicates) — fall back to a uniform pick
             cents.append(x[int(rng.randint(n))])
-            continue
-        cents.append(x[int(rng.choice(n, p=d2 / total))])
+        else:
+            cents.append(x[int(rng.choice(n, p=d2 / total))])
+        d2 = np.minimum(d2, ((x - cents[-1]) ** 2).sum(axis=1))
     c = np.asarray(cents)
     for _ in range(n_iters):
         d2 = ((x[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
