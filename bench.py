@@ -145,6 +145,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "minhash_lsh_prod",
         "knn_brute",
         "lsh_ann",
+        "ivf_ann",
         "kernel_features",
         "compression_stats",
     ]
