@@ -110,6 +110,41 @@ class TestSimilarity:
         recall = len(exact & approx) / len(exact)
         assert recall >= 0.4  # probabilistic but stable for fixed seed
 
+    def test_bucket_udf_matches_column_expression(self, spark):
+        """Two independent implementations of the sign-bit bucket — the
+        JVM column expression (``lsh_bucket_col``, the DuckDB oracle's
+        documented twin) and the Arrow multi-table kernel
+        (``_lsh_buckets_udf``) — agree bit-for-bit on every table."""
+        from chronoxtract_spark.operators.similarity import (
+            _lsh_buckets_udf,
+            _lsh_planes,
+            lsh_bucket_col,
+            with_unit_norm,
+        )
+
+        rng = np.random.RandomState(3)
+        vecs = rng.normal(size=(50, 12)).astype(np.float32)
+        rows = [(i, [float(x) for x in vecs[i]]) for i in range(50)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        planes_all = _lsh_planes(dim=12, n_planes=5, n_tables=3, seed=9)
+        u = with_unit_norm(df, "embedding")
+        got = {
+            (r.vec_id, r.table): r.bucket
+            for r in u.withColumn(
+                "_b", _lsh_buckets_udf(planes_all)(F.col("_unit"))
+            )
+            .select("vec_id", F.posexplode("_b").alias("table", "bucket"))
+            .collect()
+        }
+        for t in range(3):
+            expect = {
+                r.vec_id: r.b
+                for r in u.withColumn(
+                    "b", lsh_bucket_col(F.col("_unit"), planes_all[t].tolist())
+                ).collect()
+            }
+            assert {v: got[(v, t)] for v in expect} == expect
+
     def test_index_search_split_matches_one_shot(self, spark):
         """The persisted-index deployment shape: building lsh_index /
         ivf_index once and searching it returns exactly what the
