@@ -946,7 +946,10 @@ FROM documents GROUP BY lang
 
 def q_knn_brute(spark, sf_dir):
     """Exact cosine top-3 neighbors for query vectors (vec_id < 20) —
-    brute-force ANN baseline with broadcast query side."""
+    brute-force ANN baseline: the query batch is broadcast as a dense
+    matrix and each corpus Arrow batch matmuls against it, emitting
+    batch-local top-k into a small rank window (never a q x n scored
+    join; see BENCH/ANN_SCALE.md for the 1M-vector numbers)."""
     from chronoxtract_spark.operators.similarity import brute_force_topk
 
     emb = _embeddings(spark, sf_dir)
