@@ -103,7 +103,9 @@ spark.stop()
 def run_leg(cpus: int, n_docs: int) -> dict:
     cmd = ["taskset", "-c", f"0-{cpus-1}", sys.executable, "-u", "-c",
            LEG.format(repo=REPO, cpus=cpus, n_docs=n_docs)]
-    out = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+    # the 1M-doc 8-core leg runs ~70 min (200k was 805 s); 3600 s
+    # killed it at the finish line
+    out = subprocess.run(cmd, capture_output=True, text=True, timeout=14400)
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
             return json.loads(line[len("RESULT "):])
