@@ -1743,12 +1743,13 @@ FROM sea
 def q_compression_stats(spark, sf_dir):
     """Gorilla chunk compression stats per user-day over the gap-filled
     series (north_star compression stage) — rows-only, and the
-    justification is narrowed to the VALUE stream only: val_size is the
-    XOR bit-packing of data-dependent floats and checksum is crc32 over
-    both payloads (no SQL form for either); every other chunk column —
-    n, t0, raw_size, and now the analytic delta-of-delta ts_size — is
-    oracle-checked by the sibling ``chunk_layout`` query, and the codec
-    itself is bit-exact round-trip tested."""
+    justification is now narrowed to the ``checksum`` column alone:
+    zlib.crc32 over the packed payloads has no SQL form (and is
+    bit-exact round-trip + read-back tested instead). Every OTHER
+    column on this surface — n, raw_size, the analytic delta-of-delta
+    ts_size, the XOR-coded val_size, and enc_size — is oracle-exact in
+    the sibling ``chunk_layout`` query (val_size via exact integer
+    IEEE-754 bit arithmetic on the dense turns stream)."""
     from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
     from chronoxtract_spark.plans.rollup import RollupEngine
     from chronoxtract_spark.sources.tableio import temp_warehouse
@@ -3887,9 +3888,19 @@ LEFT JOIN phi3 USING (event_type, day)
 
 def q_chunk_layout(spark, sf_dir):
     """Gorilla chunk layout per (conversation, day): point count, epoch
-    start, raw byte size — the SQL-expressible face of the chunk
-    pipeline (build_chunks splits the regenerated dense series on day
-    boundaries; n and t0 must match the gap-fill SQL exactly)."""
+    start, raw/encoded byte sizes — the SQL-expressible face of the
+    chunk pipeline (build_chunks splits the regenerated dense series on
+    day boundaries; every column must match the codec exactly).
+
+    ``val_size`` is oracle-able because this surface's value stream is
+    the dense integer turns series (0 on gap minutes): the IEEE-754
+    bit pattern of an integer-valued double is exact integer arithmetic
+    (``((1022+bitlen)<<52) | ((k<<(53-bitlen)) - 2^52)``), the XOR
+    value code is stateless per pair ('0' control bit when equal, else
+    13 + meaningful-length bits — compression.encode_values drops the
+    paper's sequential previous-window reuse), and leading/trailing
+    zero counts are bit-smear + popcount, all expressible in DuckDB's
+    integer ops. ``enc_size`` is then ts_size + val_size."""
     from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
     from chronoxtract_spark.plans.rollup import RollupEngine
     from chronoxtract_spark.sources.tableio import temp_warehouse
@@ -3913,6 +3924,8 @@ def q_chunk_layout(spark, sf_dir):
         F.col("t0").cast("long").alias("t0"),
         F.col("raw_size").cast("long").alias("raw_size"),
         F.length("ts_bytes").cast("long").alias("ts_size"),
+        F.length("val_bytes").cast("long").alias("val_size"),
+        F.col("enc_size").cast("long").alias("enc_size"),
     )
 
 
@@ -3921,26 +3934,74 @@ WITH m AS (
   SELECT user_id, date_trunc('minute', ts) AS minute_ts, count(*) AS turns
   FROM events GROUP BY 1, 2
 ), seg AS (
-  SELECT user_id, minute_ts,
+  SELECT user_id, minute_ts, turns,
          lead(minute_ts) OVER w AS next_ts
   FROM m WINDOW w AS (PARTITION BY user_id ORDER BY minute_ts)
 ), dense AS (
-  SELECT user_id,
+  SELECT user_id, turns, epoch(minute_ts)::BIGINT AS obs_sec,
          unnest(generate_series(
            epoch(minute_ts)::BIGINT,
            epoch(coalesce(next_ts - INTERVAL 1 MINUTE, minute_ts))::BIGINT,
            60)) AS tsec
   FROM seg
+), val AS (
+  -- the chunk value stream on this surface: dense turns, 0 on gaps
+  SELECT user_id, (tsec // 86400) AS dayi, tsec,
+         CASE WHEN tsec = obs_sec THEN turns ELSE 0 END AS k
+  FROM dense
+), vbits AS (
+  -- exact IEEE-754 bits of the integer-valued double k:
+  -- ((1022+bitlen)<<52) | ((k << (53-bitlen)) - 2^52); bitlen via
+  -- bit-smear + popcount (exact, no float log2 boundary risk)
+  SELECT user_id, dayi, tsec,
+         k | (k >> 1) AS s1, s1 | (s1 >> 2) AS s2, s2 | (s2 >> 4) AS s3,
+         s3 | (s3 >> 8) AS s4, s4 | (s4 >> 16) AS s5, s5 | (s5 >> 32) AS s6,
+         bit_count(s6)::BIGINT AS blen,
+         CASE WHEN k = 0 THEN 0
+              ELSE ((1022 + blen)::BIGINT << 52)
+                   | ((k::BIGINT << (53 - blen)) - (1::BIGINT << 52))
+         END AS vb
+  FROM val
+), pair AS (
+  -- XOR codes are per-chunk: partition by day like the chunk split
+  SELECT user_id, dayi, vb,
+         lag(vb) OVER (PARTITION BY user_id, dayi ORDER BY tsec) AS pvb
+  FROM vbits
+), xorc AS (
+  SELECT user_id, dayi, xor(vb, pvb) AS xr,
+         xr | (xr >> 1) AS t1, t1 | (t1 >> 2) AS t2, t2 | (t2 >> 4) AS t3,
+         t3 | (t3 >> 8) AS t4, t4 | (t4 >> 16) AS t5, t5 | (t5 >> 32) AS t6,
+         bit_count(t6)::BIGINT AS xblen,
+         bit_count((xr & (-xr)) - 1)::BIGINT AS tz
+  FROM pair WHERE pvb IS NOT NULL
+), valbits AS (
+  -- '0' when XOR == 0, else '1' + 6b lz + 6b (ml-1) + ml meaningful
+  SELECT user_id, dayi,
+         sum(CASE WHEN xr = 0 THEN 1 ELSE 13 + (xblen - tz) END)::BIGINT
+           AS bits
+  FROM xorc GROUP BY 1, 2
+), layout AS (
+  SELECT user_id, (tsec // 86400) AS dayi,
+         count(*)::BIGINT AS n,
+         min(tsec)::BIGINT AS t0
+  FROM dense GROUP BY 1, 2
 )
 SELECT user_id,
-       strftime(to_timestamp((tsec // 86400) * 86400), '%Y-%m-%d') AS day,
-       count(*)::BIGINT AS n,
-       min(tsec)::BIGINT AS t0,
-       (count(*) * 16)::BIGINT AS raw_size,
-       (CASE WHEN count(*) = 1 THEN 16
-             WHEN count(*) = 2 THEN 24
-             ELSE 24 + (count(*) - 2 + 7) // 8 END)::BIGINT AS ts_size
-FROM dense GROUP BY 1, 2
+       strftime(to_timestamp(dayi * 86400), '%Y-%m-%d') AS day,
+       n,
+       t0,
+       (n * 16)::BIGINT AS raw_size,
+       (CASE WHEN n = 1 THEN 16
+             WHEN n = 2 THEN 24
+             ELSE 24 + (n - 2 + 7) // 8 END)::BIGINT AS ts_size,
+       (16 + CASE WHEN n >= 2 THEN (coalesce(bits, 0) + 7) // 8
+                  ELSE 0 END)::BIGINT AS val_size,
+       ((CASE WHEN n = 1 THEN 16
+              WHEN n = 2 THEN 24
+              ELSE 24 + (n - 2 + 7) // 8 END)
+        + 16 + CASE WHEN n >= 2 THEN (coalesce(bits, 0) + 7) // 8
+               ELSE 0 END)::BIGINT AS enc_size
+FROM layout LEFT JOIN valbits USING (user_id, dayi)
 """
 
 

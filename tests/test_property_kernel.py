@@ -68,6 +68,54 @@ def test_regular_series_compresses(n, step):
     assert ch["enc_size"] < ch["raw_size"] / 4
 
 
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.lists(
+        st.one_of(
+            st.integers(min_value=0, max_value=8),
+            st.just(0),  # gap-fill zero runs dominate the dense stream
+            st.integers(min_value=0, max_value=2**40),
+        ),
+        min_size=0,
+        max_size=400,
+    )
+)
+def test_val_size_analytic_on_integer_stream(counts):
+    """The SQL_CHUNK_LAYOUT val_size oracle's bit arithmetic, asserted
+    against the real encoder: for integer-valued doubles (the dense
+    turns stream of the chunk_layout surface) the byte length of
+    encode_values is 16 + ceil(sum(nbits)/8), where nbits per
+    consecutive pair is 1 when the IEEE bit patterns are equal, else
+    13 + meaningful-length of the XOR — and the bit pattern of integer
+    k>0 is ((1022+bitlen)<<52) | ((k<<(53-bitlen)) - 2^52), exactly
+    the integer expressions the DuckDB oracle runs."""
+
+    def dbits(k: int) -> int:
+        if k == 0:
+            return 0
+        blen = k.bit_length()
+        return ((1022 + blen) << 52) | ((k << (53 - blen)) - (1 << 52))
+
+    v = np.array(counts, dtype=np.float64)
+    # the formula's bit patterns must equal numpy's actual IEEE view
+    if v.size:
+        np.testing.assert_array_equal(
+            v.view(np.uint64), np.array([dbits(k) for k in counts], dtype=np.uint64)
+        )
+    total = 0
+    for a, b in zip(counts, counts[1:]):
+        x = dbits(a) ^ dbits(b)
+        if x == 0:
+            total += 1
+        else:
+            tz = (x & -x).bit_length() - 1
+            total += 13 + (x.bit_length() - tz)
+    expect = 8 + (8 if len(counts) >= 1 else 0) + (
+        (total + 7) // 8 if len(counts) >= 2 else 0
+    )
+    assert len(cxc.encode_values(v)) == expect
+
+
 # -- moment-state mergeability ---------------------------------------------
 
 
