@@ -986,7 +986,18 @@ def q_kernel_features(spark, sf_dir):
     position-window) via applyInPandas (SURVEY.md §2.8).
     ``max_points=1440`` splits each day group into bounded position
     windows so the O(n^2) entropy kernels stay constant-cost per task
-    at any event rate — the same bound the rollup tiers guarantee."""
+    at any event rate — the same bound the rollup tiers guarantee.
+
+    Oracle-exact since round 4: every constituent's SQL form already
+    existed in its standalone query (template pair-joins for
+    SampEn/ApEn, the LZ76 jump-table + recursive-CTE walk, the naive
+    DFT over hann-windowed 50%-overlap segments, prefix/suffix-min
+    global prominences, the DFA window-OLS ladder) — SQL_KERNEL_FEATURES
+    re-keys them all to the battery's (event_type, day, window_idx)
+    grouping, with nperseg = min(64, n) Welch parameterization per
+    group. Large-magnitude columns round to 4 decimals, the rest to 6
+    (FFT-vs-naive-DFT and var summation-order tails are ~1e-11
+    relative; lzc and num_peaks are integer-valued and stay exact)."""
     from chronoxtract_spark.operators.features import kernel_features
 
     ev = _events(spark, sf_dir).select(
@@ -996,9 +1007,401 @@ def q_kernel_features(spark, sf_dir):
         "event_id",
         "value",
     )
-    return kernel_features(
+    out = kernel_features(
         ev, ["event_type", "day"], ["ts", "event_id"], "value", max_points=1440
     )
+    round4 = {"spectral_power_total", "hjorth_activity", "slope_variance"}
+    exact = {"lempel_ziv_complexity", "num_peaks"}
+    cols = [F.col("event_type"), F.col("day"), F.col("window_idx")]
+    from chronoxtract_spark.operators.features import KERNEL_FEATURE_FIELDS
+
+    for name, _t in KERNEL_FEATURE_FIELDS:
+        if name in exact:
+            cols.append(F.col(name))
+        elif name in round4:
+            cols.append(F.round(name, 4).alias(name))
+        else:
+            cols.append(F.round(name, 6).alias(name))
+    return out.select(*cols)
+
+
+# the whole battery re-keyed to (event_type, day, window_idx): each CTE
+# family is the proven oracle form of its standalone query (entropy
+# pair-joins, LZ76 jump walk, hann/DFT Welch grid, prefix/suffix-min
+# prominences, DFA ladder), parameterized per group where the kernel is
+# (nperseg = min(64, n), threshold = sorted[n//2], r = 0.2*max(sigma,1e-12))
+SQL_KERNEL_FEATURES = """
+WITH x0 AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value,
+         row_number() OVER (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+                            ORDER BY ts, event_id) - 1 AS rn
+  FROM events
+), x AS (
+  SELECT event_type, day, rn // 1440 AS w, rn % 1440 AS i, value
+  FROM x0
+), meta AS (
+  SELECT event_type, day, w, count(*) AS n,
+         avg(value) AS mu,
+         var_pop(value) AS varp,
+         0.2 * greatest(stddev_pop(value), 1e-12) AS r,
+         min(value) AS mn, max(value) AS mx,
+         sum(value * value) AS tot
+  FROM x GROUP BY 1, 2, 3
+), tpl AS (
+  SELECT event_type, day, w, i, value AS y0,
+         lead(value, 1) OVER ww AS y1, lead(value, 2) OVER ww AS y2
+  FROM x WINDOW ww AS (PARTITION BY event_type, day, w ORDER BY i)
+), bcnt AS (
+  SELECT a.event_type, a.day, a.w, count(*) AS b
+  FROM tpl a
+  JOIN tpl b ON a.event_type = b.event_type AND a.day = b.day
+            AND a.w = b.w AND a.i < b.i
+  JOIN meta m ON m.event_type = a.event_type AND m.day = a.day AND m.w = a.w
+  WHERE a.y1 IS NOT NULL AND b.y1 IS NOT NULL
+    AND greatest(abs(a.y0 - b.y0), abs(a.y1 - b.y1)) <= m.r
+  GROUP BY 1, 2, 3
+), acnt AS (
+  SELECT a.event_type, a.day, a.w, count(*) AS a
+  FROM tpl a
+  JOIN tpl b ON a.event_type = b.event_type AND a.day = b.day
+            AND a.w = b.w AND a.i < b.i
+  JOIN meta m ON m.event_type = a.event_type AND m.day = a.day AND m.w = a.w
+  WHERE a.y2 IS NOT NULL AND b.y2 IS NOT NULL
+    AND greatest(abs(a.y0 - b.y0), abs(a.y1 - b.y1), abs(a.y2 - b.y2)) <= m.r
+  GROUP BY 1, 2, 3
+), phi2 AS (
+  SELECT a.event_type, a.day, a.w, sum(ln(cnt / k)) / any_value(k) AS phi
+  FROM (
+    SELECT a.event_type, a.day, a.w, a.i, count(*)::DOUBLE AS cnt,
+           any_value(m.n - 1)::DOUBLE AS k
+    FROM tpl a
+    JOIN tpl b ON a.event_type = b.event_type AND a.day = b.day AND a.w = b.w
+    JOIN meta m ON m.event_type = a.event_type AND m.day = a.day AND m.w = a.w
+    WHERE a.y1 IS NOT NULL AND b.y1 IS NOT NULL
+      AND greatest(abs(a.y0 - b.y0), abs(a.y1 - b.y1)) <= m.r
+    GROUP BY 1, 2, 3, 4
+  ) a GROUP BY 1, 2, 3
+), phi3 AS (
+  SELECT a.event_type, a.day, a.w, sum(ln(cnt / k)) / any_value(k) AS phi
+  FROM (
+    SELECT a.event_type, a.day, a.w, a.i, count(*)::DOUBLE AS cnt,
+           any_value(m.n - 2)::DOUBLE AS k
+    FROM tpl a
+    JOIN tpl b ON a.event_type = b.event_type AND a.day = b.day AND a.w = b.w
+    JOIN meta m ON m.event_type = a.event_type AND m.day = a.day AND m.w = a.w
+    WHERE a.y2 IS NOT NULL AND b.y2 IS NOT NULL
+      AND greatest(abs(a.y0 - b.y0), abs(a.y1 - b.y1), abs(a.y2 - b.y2)) <= m.r
+    GROUP BY 1, 2, 3, 4
+  ) a GROUP BY 1, 2, 3
+), pe AS (
+  SELECT event_type, day, w, -sum(p * ln(p)) AS perm_entropy
+  FROM (
+    SELECT event_type, day, w,
+           count(*)::DOUBLE
+             / sum(count(*)) OVER (PARTITION BY event_type, day, w) AS p
+    FROM (
+      SELECT event_type, day, w,
+             1 * pow(3, (CASE WHEN y0 <= y1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN y2 <  y1 THEN 1 ELSE 0 END))
+           + 2 * pow(3, (CASE WHEN y0 <= y2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN y1 <= y2 THEN 1 ELSE 0 END)) AS code
+      FROM tpl WHERE y1 IS NOT NULL AND y2 IS NOT NULL
+    ) GROUP BY event_type, day, w, code
+  ) GROUP BY 1, 2, 3
+), thr AS (
+  SELECT event_type, day, w, value AS t FROM (
+    SELECT event_type, day, w, value,
+           row_number() OVER (PARTITION BY event_type, day, w
+                              ORDER BY value) AS rk,
+           count(*) OVER (PARTITION BY event_type, day, w) AS n
+    FROM x)
+  WHERE rk = n // 2 + 1
+), bits AS (
+  SELECT x.event_type, x.day, x.w,
+         string_agg(CASE WHEN x.value >= thr.t THEN '1' ELSE '0' END, ''
+                    ORDER BY x.i) AS b,
+         count(*) AS n
+  FROM x JOIN thr USING (event_type, day, w) GROUP BY 1, 2, 3
+), lpos AS (
+  SELECT event_type, day, w, b, n, unnest(generate_series(0, n - 1)) AS i
+  FROM bits
+), lpairs AS (
+  SELECT event_type, day, w, b, i, unnest(generate_series(1, n - i)) AS j
+  FROM lpos
+), L AS (
+  SELECT event_type, day, w, i,
+         coalesce(max(CASE WHEN contains(substr(b, 1, i::INT),
+                                          substr(b, (i + 1)::INT, j::INT))
+                           THEN j END), 0) AS l
+  FROM lpairs GROUP BY 1, 2, 3, 4
+), lzwalk AS (
+  WITH RECURSIVE wk(event_type, day, w, pos, c) AS (
+    SELECT event_type, day, w, 0::BIGINT, 0::BIGINT FROM bits
+    UNION ALL
+    SELECT wk.event_type, wk.day, wk.w, wk.pos + greatest(l.l + 1, 1), wk.c + 1
+    FROM wk
+    JOIN L l ON l.event_type = wk.event_type AND l.day = wk.day
+            AND l.w = wk.w AND l.i = wk.pos
+    JOIN bits b ON b.event_type = wk.event_type AND b.day = wk.day
+               AND b.w = wk.w
+    WHERE wk.pos < b.n
+  )
+  SELECT event_type, day, w, max(c)::DOUBLE AS lzc
+  FROM wk GROUP BY 1, 2, 3
+), shan AS (
+  SELECT event_type, day, w, -sum(p * log2(p)) AS shannon
+  FROM (
+    SELECT x.event_type, x.day, x.w,
+           count(*)::DOUBLE / any_value(m.n) AS p
+    FROM x JOIN meta m USING (event_type, day, w)
+    WHERE m.mx > m.mn
+    GROUP BY x.event_type, x.day, x.w,
+             least(floor((x.value - m.mn) / (m.mx - m.mn) * 16), 15)
+  ) GROUP BY 1, 2, 3
+), wparams AS (
+  SELECT event_type, day, w, n,
+         least(64, n) AS np,
+         least(64, n) - least(64, n) // 2 AS step,
+         (n - least(64, n)) // (least(64, n) - least(64, n) // 2) + 1 AS nseg
+  FROM meta WHERE n >= 8
+), wsum AS (
+  SELECT p.event_type, p.day, p.w,
+         sum(pow(0.5 - 0.5 * cos(2 * pi() * i.i / (p.np - 1)), 2)) AS ws
+  FROM wparams p, unnest(generate_series(0, p.np - 1)) AS i(i)
+  GROUP BY 1, 2, 3
+), sampidx AS (
+  SELECT p.event_type, p.day, p.w, p.np, g.seg, i.i,
+         g.seg * p.step + i.i AS xi
+  FROM wparams p,
+       unnest(generate_series(0, p.nseg - 1)) AS g(seg),
+       unnest(generate_series(0, p.np - 1)) AS i(i)
+), samp AS (
+  SELECT s.event_type, s.day, s.w, s.np, s.seg, s.i, x.value
+  FROM sampidx s
+  JOIN x ON x.event_type = s.event_type AND x.day = s.day AND x.w = s.w
+        AND x.i = s.xi
+), seg_mean AS (
+  SELECT event_type, day, w, seg, avg(value) AS smu
+  FROM samp GROUP BY 1, 2, 3, 4
+), yw AS (
+  SELECT s.event_type, s.day, s.w, s.np, s.seg, s.i,
+         (s.value - sm.smu)
+           * (0.5 - 0.5 * cos(2 * pi() * s.i / (s.np - 1))) AS y
+  FROM samp s JOIN seg_mean sm USING (event_type, day, w, seg)
+), spec AS (
+  SELECT y.event_type, y.day, y.w, y.np, y.seg, k.k,
+         sum(y.y * cos(2 * pi() * k.k * y.i / y.np)) AS re,
+         sum(y.y * sin(2 * pi() * k.k * y.i / y.np)) AS im
+  FROM yw y, unnest(generate_series(0, 32)) AS k(k)
+  WHERE k.k <= y.np // 2
+  GROUP BY 1, 2, 3, 4, 5, 6
+), psd AS (
+  SELECT s.event_type, s.day, s.w, s.k,
+         avg((s.re * s.re + s.im * s.im) / u.ws
+             * CASE WHEN s.k = 0 OR (s.np % 2 = 0 AND s.k = s.np // 2)
+                    THEN 1.0 ELSE 2.0 END) AS p,
+         any_value(s.np) AS np
+  FROM spec s JOIN wsum u USING (event_type, day, w)
+  GROUP BY 1, 2, 3, 4
+), spectral AS (
+  SELECT event_type, day, w,
+         sum(p) AS power_total,
+         any_value(np) AS np
+  FROM psd GROUP BY 1, 2, 3
+), speak AS (
+  SELECT event_type, day, w, k, np FROM (
+    SELECT event_type, day, w, k, np,
+           row_number() OVER (PARTITION BY event_type, day, w
+                              ORDER BY p DESC, k ASC) AS rk
+    FROM psd) WHERE rk = 1
+), sent AS (
+  SELECT p.event_type, p.day, p.w,
+         -sum(CASE WHEN p.p > 0 THEN (p.p / t.power_total)
+                                     * ln(p.p / t.power_total)
+                   ELSE 0 END) AS spec_entropy,
+         any_value(t.power_total) AS tot
+  FROM psd p JOIN spectral t USING (event_type, day, w)
+  GROUP BY 1, 2, 3
+), hj AS (
+  SELECT event_type, day, w,
+         var_pop(value) AS va, var_pop(d1) AS v1, var_pop(d2) AS v2
+  FROM (
+    SELECT event_type, day, w, value, d1,
+           d1 - lag(d1) OVER ww AS d2
+    FROM (
+      SELECT event_type, day, w, i, value,
+             value - lag(value) OVER ww AS d1
+      FROM x WINDOW ww AS (PARTITION BY event_type, day, w ORDER BY i)
+    ) WINDOW ww AS (PARTITION BY event_type, day, w ORDER BY i)
+  ) GROUP BY 1, 2, 3
+), ps AS (
+  SELECT event_type, day, w, i, value AS v,
+         lag(value) OVER ww AS prev, lead(value) OVER ww AS next,
+         min(value) OVER (PARTITION BY event_type, day, w ORDER BY i
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmin,
+         min(value) OVER (PARTITION BY event_type, day, w ORDER BY i
+            ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS smin
+  FROM x WINDOW ww AS (PARTITION BY event_type, day, w ORDER BY i)
+), pk AS (
+  SELECT event_type, day, w, count(*)::DOUBLE AS n_peaks,
+         avg(prom) AS mean_prom
+  FROM (
+    SELECT event_type, day, w,
+           v - greatest(least(pmin, v), least(smin, v)) AS prom
+    FROM ps
+    WHERE prev IS NOT NULL AND next IS NOT NULL AND v > prev AND v > next
+      AND v - greatest(least(pmin, v), least(smin, v)) >= 0.1
+  ) GROUP BY 1, 2, 3
+), sl AS (
+  SELECT event_type, day, w,
+         avg(d1) AS mean_slope,
+         var_pop(d1) AS slope_var,
+         max(abs(d1)) AS max_slope,
+         sum(CASE WHEN prev IS NOT NULL
+                  AND ((value >= 0) != (prev >= 0)) THEN 1 ELSE 0 END)::DOUBLE
+           AS zc,
+         sum(CASE WHEN prev IS NOT NULL AND next IS NOT NULL AND
+                  ((value > prev AND value > next)
+                   OR (value < prev AND value < next))
+                  THEN 1 ELSE 0 END)::DOUBLE AS tp
+  FROM (
+    SELECT event_type, day, w, value,
+           lag(value) OVER ww AS prev, lead(value) OVER ww AS next,
+           value - lag(value) OVER ww AS d1
+    FROM x WINDOW ww AS (PARTITION BY event_type, day, w ORDER BY i)
+  ) GROUP BY 1, 2, 3
+), centered AS (
+  SELECT x.event_type, x.day, x.w, x.i, x.value - m.mu AS c
+  FROM x JOIN meta m USING (event_type, day, w)
+), integ AS (
+  SELECT event_type, day, w, i,
+         sum(c) OVER (PARTITION BY event_type, day, w ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y
+  FROM centered
+), ladder AS (
+  SELECT * FROM (
+    SELECT m.event_type, m.day, m.w, li.li AS lidx, m.n,
+           round(exp(ln(4.0)
+                     + li.li * ((ln((m.n // 4)::DOUBLE) - ln(4.0)) / 9.0)))
+             ::BIGINT AS ws
+    FROM meta m, unnest(generate_series(0, 9)) AS li(li)
+    WHERE m.n >= 16
+  ) WHERE ws >= 4 AND ws <= n // 4
+), dwin AS (
+  SELECT l.event_type, l.day, l.w, l.lidx, l.ws,
+         g.i // l.ws AS dw, g.i % l.ws AS il, g.y
+  FROM ladder l
+  JOIN integ g ON g.event_type = l.event_type AND g.day = l.day
+              AND g.w = l.w AND g.i < (l.n // l.ws) * l.ws
+), dfits AS (
+  SELECT event_type, day, w, lidx, ws, dw,
+         ws::DOUBLE AS nf,
+         ws::DOUBLE * (ws - 1) / 2.0 AS sx,
+         ws::DOUBLE * (ws - 1) * (2.0 * ws - 1) / 6.0 AS sxx,
+         sum(y) AS sy, sum(il * y) AS sxy
+  FROM dwin GROUP BY 1, 2, 3, 4, 5, 6
+), dresid AS (
+  SELECT dn.event_type, dn.day, dn.w, dn.lidx, dn.ws, dn.dw,
+         avg(pow(dn.y - (((f.nf * f.sxy - f.sx * f.sy)
+                          / (f.nf * f.sxx - f.sx * f.sx)) * dn.il
+                        + (f.sy - ((f.nf * f.sxy - f.sx * f.sy)
+                                   / (f.nf * f.sxx - f.sx * f.sx)) * f.sx)
+                          / f.nf), 2)) AS mean_sq
+  FROM dwin dn
+  JOIN dfits f ON f.event_type = dn.event_type AND f.day = dn.day
+              AND f.w = dn.w AND f.lidx = dn.lidx AND f.dw = dn.dw
+  GROUP BY 1, 2, 3, 4, 5, 6
+), dfl AS (
+  SELECT event_type, day, w, lidx, ws,
+         sqrt(sum(mean_sq) / count(*)) AS f
+  FROM dresid GROUP BY 1, 2, 3, 4, 5
+), dfit AS (
+  SELECT event_type, day, w, count(*)::DOUBLE AS nw,
+         sum(ln(ws::DOUBLE)) AS sx, sum(ln(f)) AS sy,
+         sum(ln(ws::DOUBLE) * ln(ws::DOUBLE)) AS sxx,
+         sum(ln(ws::DOUBLE) * ln(f)) AS sxy
+  FROM dfl GROUP BY 1, 2, 3
+), eng AS (
+  SELECT event_type, day, w,
+         list_sort(list(value * value), 'DESC') AS e
+  FROM x GROUP BY 1, 2, 3
+)
+SELECT m.event_type, m.day, m.w::BIGINT AS window_idx,
+       round(CASE WHEN m.n < 4 THEN 'NaN'::DOUBLE
+             WHEN coalesce(bc.b, 0) = 0 THEN 'Infinity'::DOUBLE
+             WHEN coalesce(ac.a, 0) = 0 THEN 'Infinity'::DOUBLE
+             ELSE -ln((ac.a / (m.n - 3.0)) / (bc.b / (m.n - 2.0)))
+       END, 6) AS sample_entropy,
+       round(CASE WHEN m.n >= 4 THEN phi2.phi - phi3.phi
+             ELSE 'NaN'::DOUBLE END, 6) AS approx_entropy,
+       round(CASE WHEN m.n >= 3 THEN pe.perm_entropy
+             ELSE 'NaN'::DOUBLE END, 6) AS permutation_entropy,
+       lw.lzc AS lempel_ziv_complexity,
+       round(CASE WHEN m.mx = m.mn THEN 0.0 ELSE sh.shannon END, 6)
+         AS shannon_entropy,
+       round(CASE WHEN m.n >= 8 THEN sp.power_total
+             ELSE 'NaN'::DOUBLE END, 4) AS spectral_power_total,
+       round(CASE WHEN m.n < 8 THEN 'NaN'::DOUBLE
+             ELSE sk.k::DOUBLE / sk.np END, 6) AS spectral_peak_freq,
+       round(CASE WHEN m.n < 8 THEN 'NaN'::DOUBLE
+             WHEN se.tot > 0 THEN se.spec_entropy
+             ELSE 'NaN'::DOUBLE END, 6) AS spectral_entropy,
+       round(CASE WHEN m.n >= 3 THEN hj.va ELSE 'NaN'::DOUBLE END, 4)
+         AS hjorth_activity,
+       round(CASE WHEN m.n < 3 THEN 'NaN'::DOUBLE
+             WHEN hj.va > 0 THEN sqrt(hj.v1 / hj.va) ELSE 0.0 END, 6)
+         AS hjorth_mobility,
+       round(CASE WHEN m.n < 3 THEN 'NaN'::DOUBLE
+             WHEN hj.v1 <= 0 THEN 1.0
+             WHEN hj.va <= 0 THEN 1.0
+             WHEN sqrt(hj.v1 / hj.va) <= 0 THEN 1.0
+             ELSE sqrt(hj.v2 / hj.v1) / sqrt(hj.v1 / hj.va) END, 6)
+         AS hjorth_complexity,
+       CASE WHEN m.n < 3 THEN 'NaN'::DOUBLE
+            ELSE coalesce(pk.n_peaks, 0.0) END AS num_peaks,
+       round(CASE WHEN m.n < 3 THEN 'NaN'::DOUBLE
+             ELSE coalesce(pk.mean_prom, 0.0) END, 6) AS mean_prominence,
+       round(CASE WHEN m.n < 2 THEN 'NaN'::DOUBLE
+             ELSE sl.zc / (m.n - 1) END, 6) AS zero_crossing_rate,
+       round(CASE WHEN m.n < 2 THEN 'NaN'::DOUBLE
+             ELSE sl.mean_slope END, 6) AS mean_slope,
+       round(CASE WHEN m.n < 2 THEN 'NaN'::DOUBLE
+             ELSE sl.slope_var END, 4) AS slope_variance,
+       round(CASE WHEN m.n < 2 THEN 'NaN'::DOUBLE
+             ELSE sl.max_slope END, 6) AS max_slope,
+       round(CASE WHEN m.n < 3 THEN 'NaN'::DOUBLE
+             ELSE sl.tp / (m.n - 2) END, 6) AS turning_point_rate,
+       round(CASE WHEN m.n < 16 THEN 'NaN'::DOUBLE
+             WHEN df.nw >= 2
+             THEN (df.nw * df.sxy - df.sx * df.sy)
+                  / (df.nw * df.sxx - df.sx * df.sx)
+             ELSE 0.0 END, 6) AS dfa_alpha,
+       round(CASE WHEN m.tot = 0 THEN 0.0
+             ELSE list_sum(list_transform(list_filter(en.e, v -> v > 0),
+                  v -> -(v / m.tot) * ln(v / m.tot))) END, 6)
+         AS energy_entropy,
+       round(CASE WHEN m.tot = 0 THEN 0.0
+             ELSE list_sum(en.e[1:ceil(m.n * 0.1)::INT]) / m.tot END, 6)
+         AS energy_concentration
+FROM meta m
+LEFT JOIN bcnt bc USING (event_type, day, w)
+LEFT JOIN acnt ac USING (event_type, day, w)
+LEFT JOIN phi2 ON phi2.event_type = m.event_type AND phi2.day = m.day
+              AND phi2.w = m.w
+LEFT JOIN phi3 ON phi3.event_type = m.event_type AND phi3.day = m.day
+              AND phi3.w = m.w
+LEFT JOIN pe USING (event_type, day, w)
+LEFT JOIN lzwalk lw USING (event_type, day, w)
+LEFT JOIN shan sh USING (event_type, day, w)
+LEFT JOIN spectral sp USING (event_type, day, w)
+LEFT JOIN speak sk USING (event_type, day, w)
+LEFT JOIN sent se USING (event_type, day, w)
+LEFT JOIN hj USING (event_type, day, w)
+LEFT JOIN pk USING (event_type, day, w)
+LEFT JOIN sl USING (event_type, day, w)
+LEFT JOIN dfit df USING (event_type, day, w)
+LEFT JOIN eng en USING (event_type, day, w)
+"""
 
 
 def _rollup_1h_tier(spark, sf_dir):
@@ -4985,6 +5388,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "kernel_features": SQL_KERNEL_FEATURES,
     "rollup_1d": SQL_ROLLUP_1D,
     "carma_aicc": SQL_CARMA_AICC,
     "carma_fit": SQL_CARMA_FIT,
@@ -5058,7 +5462,8 @@ _PRIORITY_ORDER = [
     "quality_filter", "token_stats", "lang_id_pred", "lang_counts",
     "doc_fingerprint", "media_features", "audio_features",
     # newly oracled this round
-    "carma_fit", "carma_order_p1", "zdcf", "enhanced_peak_stats",
+    "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
+    "enhanced_peak_stats",
     # parity core
     "summary_stats", "quantiles", "mode", "hjorth", "slope_shape",
     "fvar", "variability_timescale", "rolling_mean", "rolling_variance",
