@@ -5335,7 +5335,250 @@ WHERE {u} < CASE lang WHEN 'en' THEN {rate_threshold(0.3)}
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText-style repetition quality signals per doc:
+    top-{2,3,4}-gram char fraction, duplicated-{2,3}-gram char
+    fraction, longest consecutive word run, word count. One explode +
+    one (doc, n, gram) shuffle + one (doc, n) window; the run statistic
+    is a pre-explode array fold. All fractions are single IEEE
+    divisions of exact integer counts — oracle matches bit-for-bit."""
+    from chronoxtract_spark.operators.corpus_stats import repetition_stats
+
+    return repetition_stats(_documents(spark, sf_dir))
+
+
+SQL_REPETITION_STATS = """
+WITH d AS (
+  SELECT doc_id, string_split(text, ' ') AS w,
+         length(text)::BIGINT AS n_chars
+  FROM documents
+),
+flags AS (
+  SELECT d.doc_id, t.i
+  FROM d, unnest(generate_series(2, len(d.w))) AS t(i)
+  WHERE d.w[t.i] = d.w[t.i - 1]
+),
+isl AS (
+  SELECT doc_id, count(*) + 1 AS run
+  FROM (
+    SELECT doc_id, i,
+           i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+    FROM flags
+  )
+  GROUP BY doc_id, grp
+),
+runs AS (SELECT doc_id, max(run) AS max_run FROM isl GROUP BY doc_id),
+grams AS (
+  SELECT d.doc_id, ns.n,
+         array_to_string(list_slice(d.w, t.i, t.i + ns.n - 1), ' ') AS gram
+  FROM d,
+       (VALUES (2), (3), (4)) AS ns(n),
+       unnest(generate_series(1, len(d.w) - ns.n + 1)) AS t(i)
+),
+cnts AS (
+  SELECT doc_id, n, gram, count(*)::BIGINT AS cnt,
+         length(gram)::BIGINT AS glen
+  FROM grams GROUP BY doc_id, n, gram
+),
+rnk AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id, n ORDER BY cnt DESC, gram ASC) AS rn
+  FROM cnts
+),
+agg AS (
+  SELECT doc_id,
+    max(CASE WHEN n = 2 AND rn = 1 THEN cnt * glen END) AS top2,
+    max(CASE WHEN n = 3 AND rn = 1 THEN cnt * glen END) AS top3,
+    max(CASE WHEN n = 4 AND rn = 1 THEN cnt * glen END) AS top4,
+    sum(CASE WHEN n = 2 AND cnt > 1 THEN cnt * glen ELSE 0 END) AS dup2,
+    sum(CASE WHEN n = 3 AND cnt > 1 THEN cnt * glen ELSE 0 END) AS dup3
+  FROM rnk GROUP BY doc_id
+)
+SELECT d.doc_id,
+       len(d.w)::BIGINT AS n_words,
+       COALESCE(r.max_run, 1)::BIGINT AS max_run,
+       COALESCE(a.top2, 0)::BIGINT / d.n_chars AS top2_char_frac,
+       COALESCE(a.top3, 0)::BIGINT / d.n_chars AS top3_char_frac,
+       COALESCE(a.top4, 0)::BIGINT / d.n_chars AS top4_char_frac,
+       COALESCE(a.dup2, 0)::BIGINT / d.n_chars AS dup2_char_frac,
+       COALESCE(a.dup3, 0)::BIGINT / d.n_chars AS dup3_char_frac
+FROM d
+LEFT JOIN runs r USING (doc_id)
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 terms per document by smoothed TF-IDF. The term
+    document-frequency table is vocabulary-sized and broadcast; N rides
+    a 1-row broadcast cross join; ranking is one (doc) window. Scores
+    round to 6 decimals BEFORE ranking (then term-asc tie-break) so
+    both engines rank identical values despite libm ln ulp noise."""
+    from chronoxtract_spark.operators.corpus_stats import tfidf_terms
+
+    return tfidf_terms(_documents(spark, sf_dir), k=3)
+
+
+SQL_TFIDF_TERMS = """
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tok GROUP BY 1, 2),
+dfreq AS (SELECT term, count(*)::BIGINT AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.doc_freq,
+         round(tf.tf * (ln(((SELECT n_docs FROM n) + 1)::DOUBLE
+                           / (dfreq.doc_freq + 1)) + 1.0), 6) AS score
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT doc_id, term, tf, doc_freq, score, rn AS "rank" FROM (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+  FROM scored
+) WHERE rn <= 3
+"""
+
+
+def q_lang_mixture(spark, sf_dir):
+    """Temperature mixture resampling over the skewed lang column
+    (alpha=0.5, budget 0.6N): per-stratum keep rates derive from the
+    stratum histogram (sqrt-flattened, no-upsampling cap), membership
+    decided by integer threshold on the md5-60 doc hash. The oracle
+    recomputes the histogram, the sorted-fold denominator
+    (list_reduce), the exact-power-of-two threshold scaling, and every
+    per-row decision from scratch."""
+    from chronoxtract_spark.operators.sampling import temperature_mixture
+
+    d = temperature_mixture(
+        _documents(spark, sf_dir), "doc_id", "lang",
+        alpha=0.5, budget_frac=0.6,
+    )
+    return d.select("doc_id", "lang")
+
+
+def _sql_lang_mixture() -> str:
+    from chronoxtract_spark.operators.sampling import sql_u60
+
+    u = sql_u60("doc_id", "mixture")
+    return f"""
+WITH c AS (SELECT lang, count(*)::BIGINT AS cnt FROM documents GROUP BY 1),
+tot AS (SELECT count(*)::BIGINT AS n FROM documents),
+den AS (
+  SELECT list_reduce(list(sqrt(cnt::DOUBLE) ORDER BY lang),
+                     (a, b) -> a + b) AS denom
+  FROM c
+),
+tgt AS (SELECT floor(0.6 * n)::DOUBLE AS n_tgt FROM tot),
+thr AS (
+  SELECT lang,
+         CAST(floor(
+           LEAST(1.0,
+                 ((sqrt(cnt::DOUBLE) / (SELECT denom FROM den))
+                  * (SELECT n_tgt FROM tgt)) / cnt::DOUBLE)
+           * 1152921504606846976.0) AS BIGINT) AS t
+  FROM c
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE {u} < thr.t
+"""
+
+
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (pandas merge_asof / kdb aj semantics, which
+    Spark lacks as a built-in): every error event gains the most recent
+    signup (ts, value) for the same user within a 1h tolerance. ONE
+    shuffle on user_id via the union + last(ignorenulls) window — no
+    range join, no per-key blow-up. The oracle restates the spec as a
+    correlated ORDER BY ts DESC LIMIT 1 lateral — an independent
+    formulation, so agreement checks semantics, not implementation."""
+    from chronoxtract_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    left = ev.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    right = ev.where(F.col("event_type") == "signup").select(
+        "user_id", "ts", "value"
+    )
+    return asof_join(
+        left, right, on="user_id", ts_col="ts",
+        value_cols=["value"], tolerance_s=3600,
+    )
+
+
+SQL_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, l.ts,
+       r.ts AS ts_matched, r.value AS value_matched
+FROM events l
+LEFT JOIN LATERAL (
+  SELECT r.ts, r.value
+  FROM events r
+  WHERE r.user_id = l.user_id AND r.event_type = 'signup'
+    AND r.ts <= l.ts
+    AND epoch_us(l.ts) - epoch_us(r.ts) <= 3600000000
+  ORDER BY r.ts DESC, r.value DESC
+  LIMIT 1
+) r ON TRUE
+WHERE l.event_type = 'error'
+"""
+
+
+def q_ewma_irregular(spark, sf_dir):
+    """Irregular-interval time-decay EWMA (tau = 4h) of click values
+    per user: the sequential recurrence y_i = (1-a_i) y_{i-1} + a_i x_i
+    with a_i = 1 - exp(-dt_i/tau), computed as pure window algebra via
+    the BLOCKED telescoping attenuated prefix sum (operators/decay.py:
+    45-tau blocks + 2-lag chain carry, overflow-safe at any span) — one
+    key shuffle, no UDF, whole-stage codegen. The oracle computes the
+    UNBLOCKED closed form (safe here: 720h span / 4h tau = 180 << the
+    exp ceiling) — an independent formulation, so agreement checks the
+    blocked decomposition's math, not the implementation; outputs round
+    to 6 decimals because prefix-sum float association order is
+    engine-internal."""
+    from chronoxtract_spark.operators.decay import ewma_irregular
+
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type") == "click"
+    ).select("event_id", "user_id", "ts", "value")
+    return ewma_irregular(
+        ev, keys="user_id", ts_col="ts", value_col="value", tau_s=14400.0,
+        tie_cols=["value", "event_id"],
+    ).select("event_id", "user_id", "ts", "value", "ewma")
+
+
+SQL_EWMA_IRREGULAR = """
+WITH s AS (
+  SELECT event_id, user_id, ts, value,
+         row_number() OVER w AS rn,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER w) / 1000000.0 AS dt,
+         (epoch_us(ts) - first_value(epoch_us(ts)) OVER w) / 1000000.0
+           AS trel
+  FROM events WHERE event_type = 'click'
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value, event_id)
+),
+t AS (
+  SELECT *,
+         (CASE WHEN rn = 1 THEN 1.0
+               ELSE 1.0 - exp(-dt / 14400.0) END)
+         * value * exp(trel / 14400.0) AS term
+  FROM s
+)
+SELECT event_id, user_id, ts, value,
+       round(exp(-trel / 14400.0) * sum(term) OVER (
+           PARTITION BY user_id ORDER BY ts, value, event_id
+           ROWS UNBOUNDED PRECEDING), 6) AS ewma
+FROM t
+"""
+
+
 _EXTRA_QUERIES = {
+    "ewma_irregular": q_ewma_irregular,
+    "asof_join": q_asof_join,
+    "repetition_stats": q_repetition_stats,
+    "tfidf_terms": q_tfidf_terms,
+    "lang_mixture": q_lang_mixture,
     "rollup_1d": q_rollup_1d,
     "carma_aicc": q_carma_aicc,
     "find_peaks": q_find_peaks,
@@ -5388,6 +5631,11 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "ewma_irregular": SQL_EWMA_IRREGULAR,
+    "asof_join": SQL_ASOF_JOIN,
+    "repetition_stats": SQL_REPETITION_STATS,
+    "tfidf_terms": SQL_TFIDF_TERMS,
+    "lang_mixture": _sql_lang_mixture(),
     "kernel_features": SQL_KERNEL_FEATURES,
     "rollup_1d": SQL_ROLLUP_1D,
     "carma_aicc": SQL_CARMA_AICC,
@@ -5461,14 +5709,15 @@ _PRIORITY_ORDER = [
     "embedding_near_dups", "knn_brute", "lsh_ann", "ivf_ann",
     "quality_filter", "token_stats", "lang_id_pred", "lang_counts",
     "doc_fingerprint", "media_features", "audio_features",
+    "repetition_stats", "tfidf_terms", "lang_mixture", "asof_join",
+    "ewma_irregular",
     # newly oracled this round
     "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
     "enhanced_peak_stats",
     # parity core
     "summary_stats", "quantiles", "mode", "hjorth", "slope_shape",
     "fvar", "variability_timescale", "rolling_mean", "rolling_variance",
-    "expanding_sum", "ema", "acf_eventcount", "carma_loglik",
-    "carma_aicc", "find_peaks", "lzc",
+    "expanding_sum",
 ]
 
 

@@ -148,6 +148,9 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "ivf_ann",
         "kernel_features",
         "compression_stats",
+        "repetition_stats",
+        "asof_join",
+        "ewma_irregular",
     ]
     for name in bench_queries:
         t0 = time.time()

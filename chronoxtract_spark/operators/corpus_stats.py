@@ -1,0 +1,235 @@
+"""Corpus-level text statistics for training-data curation:
+repetition signals (the Gopher/MassiveText repetition filters) and
+per-document TF-IDF keyword extraction.
+
+The reference repo is a single-series feature library and has no text
+subsystem; these operators are engine-native, sitting beside the
+dedup/quality family (operators/dedup.py, operators/text.py) that a
+100 TB pre-training pipeline needs.
+
+Scale shape
+-----------
+``repetition_stats``: one ``explode`` of per-document n-grams (output
+size is O(total words x |ns|), i.e. linear in corpus size), ONE
+shuffle keyed (doc, n, gram) with map-side partial aggregation, one
+(doc, n) window, and a final (doc) aggregation. The consecutive-run
+statistic is a pure array fold (``aggregate`` over adjacent-equality
+flags) computed before the explode — no extra shuffle, no UDF.
+
+``tfidf_terms``: token counts shuffle on (doc, term); the term
+document-frequency table is vocabulary-sized (zipf-bounded, orders of
+magnitude smaller than the corpus) and is broadcast back; the corpus
+size N rides a 1-row broadcast cross join. Top-k per doc is a (doc)
+window over the scored terms.
+
+Everything is built-in column expressions — no Python UDFs anywhere.
+
+Oracle determinism
+------------------
+All repetition fractions are single IEEE divisions of exact integer
+counts (chars, occurrences), so a DuckDB oracle matches bit-for-bit.
+The "most frequent n-gram" is pinned deterministically: highest count,
+then lexicographically smallest gram (binary UTF-8 order in both
+engines). TF-IDF scores round to 6 decimals BEFORE ranking so both
+engines rank identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grams(words, n: int):
+    """Array of space-joined word n-grams of ``words`` (empty when the
+    document has fewer than ``n`` words — guarded because Spark's
+    ``sequence(1, k)`` would count DOWN for k < 1)."""
+    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
+    g = F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return F.when(F.size(words) >= n, g).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _tagged_grams(words, n: int):
+    """n-grams tagged with their order as ``struct(n, gram)``. A
+    closure factory, NOT an inline default-arg lambda: a two-parameter
+    lambda makes ``transform`` pass the ARRAY INDEX as the second
+    argument, silently shadowing the captured ``n``."""
+
+    def tag(g):
+        return F.struct(F.lit(n).alias("n"), g.alias("gram"))
+
+    return F.transform(_grams(words, n), tag)
+
+
+def _max_consecutive_run(words):
+    """Longest run of the same word repeated consecutively, as a pure
+    array fold: adjacent-equality flags via ``zip_with`` of the array
+    against itself shifted by one, then a (current, best) accumulator.
+    A 1-word document has run 1."""
+    tail_len = F.size(words) - 1  # split() never yields an empty array
+    flags = F.zip_with(
+        F.slice(words, 2, tail_len),
+        F.slice(words, 1, tail_len),
+        lambda a, b: a == b,
+    )
+    return F.aggregate(
+        flags,
+        F.struct(F.lit(1).alias("cur"), F.lit(1).alias("best")),
+        lambda acc, eq: F.struct(
+            F.when(eq, acc["cur"] + 1).otherwise(F.lit(1)).alias("cur"),
+            F.greatest(
+                acc["best"], F.when(eq, acc["cur"] + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (2, 3),
+) -> DataFrame:
+    """Per-document repetition signals in the style of the Gopher /
+    MassiveText quality filters:
+
+    - ``top{n}_char_frac`` (n in ``top_ns``): fraction of the
+      document's characters covered by ALL occurrences of its single
+      most frequent word n-gram (``count * len(gram) / len(text)``;
+      gram length includes its internal separator spaces, occurrences
+      may overlap, so the fraction is a repetition score, not a
+      partition of the text).
+    - ``dup{n}_char_frac`` (n in ``dup_ns``): fraction of characters
+      covered by all occurrences of every n-gram that appears more
+      than once.
+    - ``max_run``: longest consecutive repetition of a single word.
+    - ``n_words``: whitespace token count.
+
+    High values of any of these mark boilerplate / degenerate documents
+    that repetition filters drop before training.
+    """
+    ns = sorted(set(top_ns) | set(dup_ns))
+    w = F.split(F.col(text_col), " ")
+    base = df.select(
+        F.col(key_col),
+        w.alias("w"),
+        F.length(text_col).cast("long").alias("n_chars"),
+    ).select(
+        key_col,
+        "n_chars",
+        F.size("w").cast("long").alias("n_words"),
+        _max_consecutive_run(F.col("w")).cast("long").alias("max_run"),
+        F.explode_outer(
+            F.flatten(
+                F.array(*[_tagged_grams(F.col("w"), n) for n in ns])
+            )
+        ).alias("p"),
+    )
+    cnt = (
+        base.select(
+            key_col, "n_chars", "n_words", "max_run",
+            F.col("p.n").alias("n"), F.col("p.gram").alias("gram"),
+        )
+        .groupBy(key_col, "n", "gram")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.first("n_chars").alias("n_chars"),
+            F.first("n_words").alias("n_words"),
+            F.first("max_run").alias("max_run"),
+        )
+    )
+    # deterministic "most frequent" pin: count desc, then gram asc
+    rn = F.row_number().over(
+        Window.partitionBy(key_col, "n").orderBy(
+            F.col("cnt").desc(), F.col("gram").asc()
+        )
+    )
+    gchars = F.col("cnt") * F.length("gram")
+    out = (
+        cnt.withColumn("rn", rn)
+        .groupBy(key_col)
+        .agg(
+            F.first("n_chars").alias("n_chars"),
+            F.first("n_words").alias("n_words"),
+            F.first("max_run").alias("max_run"),
+            *[
+                F.max(
+                    F.when((F.col("n") == n) & (F.col("rn") == 1), gchars)
+                ).alias(f"_top{n}")
+                for n in top_ns
+            ],
+            *[
+                F.sum(
+                    F.when(
+                        (F.col("n") == n) & (F.col("cnt") > 1), gchars
+                    ).otherwise(F.lit(0))
+                ).alias(f"_dup{n}")
+                for n in dup_ns
+            ],
+        )
+    )
+    frac = lambda c: (F.coalesce(F.col(c), F.lit(0)).cast("long") / F.col("n_chars"))  # noqa: E731
+    return out.select(
+        key_col,
+        "n_words",
+        "max_run",
+        *[frac(f"_top{n}").alias(f"top{n}_char_frac") for n in top_ns],
+        *[frac(f"_dup{n}").alias(f"dup{n}_char_frac") for n in dup_ns],
+    )
+
+
+def tfidf_terms(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``, the sklearn-style smooth-idf).
+
+    Scores are rounded to 6 decimals BEFORE ranking (ties then broken
+    by term ascending) so the ordering is reproducible across engines
+    — ``ln`` is not guaranteed identically rounded between libm
+    implementations, 6 decimals is far coarser than the disagreement.
+
+    Returns (key, term, tf, doc_freq, score, rank).
+    """
+    toks = df.select(
+        F.col(key_col), F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    tf = toks.groupBy(key_col, "term").agg(F.count("*").alias("tf"))
+    # document frequency: vocabulary-sized — broadcast back onto tf
+    docfreq = tf.groupBy("term").agg(F.count("*").alias("doc_freq"))
+    n_docs = df.select(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1)).cast("double")
+                        / (F.col("doc_freq") + F.lit(1))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    rank = F.row_number().over(
+        Window.partitionBy(key_col).orderBy(
+            F.col("score").desc(), F.col("term").asc()
+        )
+    )
+    return (
+        scored.withColumn("rank", rank)
+        .where(F.col("rank") <= k)
+        .select(key_col, "term", "tf", "doc_freq", "score", "rank")
+    )

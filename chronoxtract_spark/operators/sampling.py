@@ -127,6 +127,67 @@ def stratified_sample(
     return df.where(hash_u60(key_col, salt, hash_fn) < thr)
 
 
+def temperature_mixture(
+    df: DataFrame,
+    key_col: str,
+    strata_col: str,
+    alpha: float = 0.5,
+    budget_frac: float = 0.6,
+    salt: str = "mixture",
+    hash_fn: str = "md5_60",
+) -> DataFrame:
+    """Temperature-flattened mixture resampling: resample so each
+    stratum's share of the output approaches ``c_i^alpha / sum c_j^alpha``
+    (alpha < 1 flattens a skewed source/language distribution — the
+    standard multilingual / multi-source pre-training mixing rule),
+    subject to a total budget of ``floor(budget_frac * N)`` rows and a
+    no-upsampling cap (keep rate <= 1).
+
+    The stratum histogram is collected driver-side — bounded metadata,
+    one row per stratum (languages/domains number in the hundreds, not
+    the billions), the same pattern as a broadcast dimension. The
+    per-row decision stays a map-only integer-threshold CASE over the
+    60-bit key hash, identical machinery to :func:`stratified_sample`.
+
+    Reproducibility: the weight denominator is folded in sorted-stratum
+    order, thresholds are ``floor(rate * 2^60)`` where the 2^60 scaling
+    is exact (power of two), so for ``alpha = 0.5`` (sqrt is correctly
+    rounded in every IEEE libm) a DuckDB oracle reproduces every
+    per-row decision bit-for-bit. Other alphas go through ``pow``,
+    whose last-ulp rounding is engine-specific — decisions remain
+    deterministic per engine but cross-engine exactness is only
+    guaranteed at 0.5. Unlike :func:`hash_sample`, membership depends
+    on the stratum histogram: adding rows can change every rate.
+    """
+    import math
+
+    counts = {
+        r[0]: r[1] for r in df.groupBy(strata_col).count().collect()
+    }
+    if not counts:
+        return df.where(F.lit(False))
+    if not 0.0 < budget_frac <= 1.0:
+        raise ValueError(f"budget_frac must be in (0, 1], got {budget_frac}")
+
+    def weigh(c: int) -> float:
+        return math.sqrt(c) if alpha == 0.5 else float(c) ** alpha
+
+    total = sum(counts.values())
+    n_tgt = math.floor(budget_frac * total)
+    denom = 0.0
+    for s in sorted(counts):  # pinned fold order (see docstring)
+        denom += weigh(counts[s])
+    thr = None
+    for s in sorted(counts):
+        c = counts[s]
+        rate = min(1.0, ((weigh(c) / denom) * n_tgt) / c)
+        lit = F.lit(math.floor(rate * U60))
+        cond = F.col(strata_col) == F.lit(s)
+        thr = F.when(cond, lit) if thr is None else thr.when(cond, lit)
+    thr = thr.otherwise(F.lit(-1))  # unseen stratum (impossible) drops
+    return df.where(hash_u60(key_col, salt, hash_fn) < thr)
+
+
 # -- oracle SQL helpers ------------------------------------------------------
 
 

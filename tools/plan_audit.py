@@ -41,6 +41,9 @@ EXPECTED_FLAGS = {
     "carma_order_p1": "same tiny fixed candidate-grid broadcast as "
     "carma_order, restricted to the closed-form p=1 cells the oracle "
     "covers",
+    "tfidf_terms": "BNLJ = broadcast of the 1-row corpus-size scalar "
+    "(N for the idf denominator) onto the tf table; the term "
+    "document-frequency join is a broadcast hash equi-join",
 }
 
 
