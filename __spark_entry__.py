@@ -5573,7 +5573,400 @@ FROM t
 """
 
 
+def q_interp_grid(spark, sf_dir):
+    """Linear interpolation of the irregular per-type value series
+    onto a regular 1h grid (TimescaleDB ``interpolate`` shape): grid
+    instants via sequence()+explode bounded by span/step, bracketing
+    via one backward last(ignorenulls) + one forward first(ignorenulls)
+    window on a single key shuffle — no range join. Bit-exact oracle:
+    bracketing is integer-microsecond arithmetic and the lerp is one
+    division + multiply-add, the same IEEE tree in both engines."""
+    from chronoxtract_spark.operators.resample import interpolate_grid
+
+    return interpolate_grid(
+        _events(spark, sf_dir), keys="event_type", ts_col="ts",
+        value_col="value", step_s=3600,
+    )
+
+
+SQL_INTERP_GRID = """
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) AS t_us, min(value) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(t_us) AS t_lo, max(t_us) AS t_hi FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT event_type, g.t_us
+  FROM span, unnest(generate_series(
+    ((t_lo + 3599999999) // 3600000000) * 3600000000,
+    (t_hi // 3600000000) * 3600000000, 3600000000)) AS g(t_us)
+),
+u AS (
+  SELECT event_type, t_us, 0 AS is_grid, v FROM obs
+  UNION ALL
+  SELECT event_type, t_us, 1 AS is_grid, NULL FROM grid
+),
+b AS (
+  SELECT *,
+    last_value(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY t_us, is_grid
+            ROWS UNBOUNDED PRECEDING) AS tp,
+    last_value(v IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY t_us, is_grid
+            ROWS UNBOUNDED PRECEDING) AS vp,
+    first_value(CASE WHEN is_grid = 0 THEN t_us END IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY t_us, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS tn,
+    first_value(v IGNORE NULLS)
+      OVER (PARTITION BY event_type ORDER BY t_us, is_grid
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS vn
+  FROM u
+)
+SELECT event_type, make_timestamp(t_us) AS grid_ts,
+       CASE WHEN tp = t_us THEN vp
+            ELSE vp + (vn - vp) * ((t_us - tp)::DOUBLE / (tn - tp)::DOUBLE)
+       END AS value
+FROM b WHERE is_grid = 1
+"""
+
+
+def q_time_weighted(spark, sf_dir):
+    """Trapezoidal time-weighted average per (event_type, day) — the
+    TimescaleDB ``time_weighted_average`` shape for irregular samples.
+    The integral is the last element of the ordered prefix sum (one
+    key shuffle); twa/duration round to 6 decimals, the integral to 2
+    (magnitude ~1e6-1e8 puts finer grids under association noise)."""
+    from chronoxtract_spark.operators.resample import time_weighted_avg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return time_weighted_avg(
+        ev, keys=["event_type", "day"], ts_col="ts", value_col="value",
+        tie_cols=["value", "event_id"],
+    )
+
+
+SQL_TIME_WEIGHTED = """
+WITH s AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, epoch_us(ts) AS t_us, value AS v,
+         row_number() OVER w AS rn,
+         CASE WHEN lead(epoch_us(ts)) OVER w IS NOT NULL
+              THEN (value + lead(value) OVER w) * 0.5
+                   * ((lead(epoch_us(ts)) OVER w - epoch_us(ts))::DOUBLE
+                      / 1e6)
+              ELSE 0.0 END AS term
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+               ORDER BY ts, value, event_id)
+),
+c AS (
+  SELECT *, sum(term) OVER (PARTITION BY event_type, day ORDER BY rn
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT event_type, day, max(rn)::BIGINT AS n_obs,
+       round((max(t_us) - min(t_us))::DOUBLE / 1e6, 6) AS duration_s,
+       round(max_by(cum, rn), 2) AS integral,
+       round(CASE WHEN (max(t_us) - min(t_us))::DOUBLE / 1e6 > 0
+             THEN max_by(cum, rn) / ((max(t_us) - min(t_us))::DOUBLE / 1e6)
+             ELSE min_by(v, rn) END, 6) AS twa
+FROM c GROUP BY event_type, day
+"""
+
+
+def q_counter_resets(spark, sf_dir):
+    """Prometheus-increase / TimescaleDB-counter_agg semantics per
+    (event_type, day): a value drop is a counter reset and contributes
+    the restarted value. One key shuffle; reset count and extrema are
+    exact, total_delta rounds to 4 (float sum association)."""
+    from chronoxtract_spark.operators.counters import counter_agg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    return counter_agg(
+        ev, keys=["event_type", "day"], ts_col="ts", value_col="value",
+        tie_cols=["value", "event_id"],
+    )
+
+
+SQL_COUNTER_RESETS = """
+WITH s AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, value AS v,
+         row_number() OVER w AS rn,
+         value - lag(value) OVER w AS delta
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, strftime(ts, '%Y-%m-%d')
+               ORDER BY ts, value, event_id)
+)
+SELECT event_type, day,
+       max(rn)::BIGINT AS n_obs,
+       sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END)::BIGINT AS n_resets,
+       round(sum(CASE WHEN delta IS NULL THEN 0.0
+                      WHEN delta < 0 THEN v ELSE delta END), 4)
+         AS total_delta,
+       min_by(v, rn) AS first_value,
+       max_by(v, rn) AS last_value,
+       max(v) AS max_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_state_durations(spark, sf_dir):
+    """Time-in-state per state (TimescaleDB state_agg): each event
+    holds its user in that event_type state until the user's next
+    event. One shuffle on user_id; every output is exact
+    integer-microsecond arithmetic or a single division of exact
+    integers — bit-exact, no rounding."""
+    from chronoxtract_spark.operators.counters import state_durations
+
+    return state_durations(
+        _events(spark, sf_dir), entity_col="user_id",
+        state_col="event_type", ts_col="ts", tie_cols=["event_id"],
+    )
+
+
+SQL_STATE_DURATIONS = """
+WITH iv AS (
+  SELECT event_type AS state,
+         lead(epoch_us(ts)) OVER w - epoch_us(ts) AS dur_us
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT state, count(*)::BIGINT AS n_intervals,
+       sum(dur_us)::DOUBLE / 1e6 AS total_s,
+       (sum(dur_us)::DOUBLE / count(*)::DOUBLE) / 1e6 AS mean_s,
+       max(dur_us)::DOUBLE / 1e6 AS max_s
+FROM iv WHERE dur_us IS NOT NULL GROUP BY 1
+"""
+
+
+def q_heartbeat_uptime(spark, sf_dir):
+    """Liveness accounting from click heartbeats per day (TimescaleDB
+    heartbeat_agg): 900s liveness windows merge into islands via the
+    cummax gaps-and-islands pass — one key shuffle, exact integer
+    microseconds end-to-end, bit-exact oracle."""
+    from chronoxtract_spark.operators.counters import heartbeat_agg
+
+    ev = _events(spark, sf_dir).where(
+        F.col("event_type") == "click"
+    ).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    return heartbeat_agg(
+        ev, keys=["event_type", "day"], ts_col="ts", liveness_s=900,
+    )
+
+
+SQL_HEARTBEAT_UPTIME = """
+WITH hb AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, epoch_us(ts) AS t_us
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT *,
+    max(t_us + 900000000) OVER (PARTITION BY event_type, day ORDER BY t_us
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+  FROM hb
+),
+mk AS (
+  SELECT *,
+    CASE WHEN prev_end IS NULL OR t_us > prev_end THEN 1 ELSE 0 END
+      AS is_start,
+    CASE WHEN prev_end IS NULL OR t_us > prev_end THEN t_us - prev_end END
+      AS start_gap_us
+  FROM m
+),
+isl AS (
+  SELECT *, sum(is_start) OVER (PARTITION BY event_type, day ORDER BY t_us
+      ROWS UNBOUNDED PRECEDING) AS island
+  FROM mk
+),
+pi AS (
+  SELECT event_type, day, island, count(*) AS n_hb,
+         max(t_us) + 900000000 - min(t_us) AS extent_us,
+         max(start_gap_us) AS start_gap_us
+  FROM isl GROUP BY 1, 2, 3
+)
+SELECT event_type, day,
+       sum(n_hb)::BIGINT AS n_heartbeats,
+       count(*)::BIGINT AS n_live_segments,
+       sum(extent_us)::DOUBLE / 1e6 AS uptime_s,
+       COALESCE(max(start_gap_us), 0)::DOUBLE / 1e6 AS max_gap_s
+FROM pi GROUP BY 1, 2
+"""
+
+
+def q_hampel_outliers(spark, sf_dir):
+    """Hampel filter over per-minute event counts: flag samples more
+    than 3 scaled MADs from their ±5-sample rolling median. Median and
+    MAD are exact array expressions over a bounded collect_list frame
+    (no UDF); integer counts make every float a deterministic
+    IEEE chain — bit-exact flags, no rounding."""
+    from chronoxtract_spark.operators.anomaly import hampel_outliers
+
+    mc = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.date_trunc("minute", "ts").alias("minute"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    return hampel_outliers(
+        mc, keys=["event_type", "day"], order_col="minute",
+        value_col="cnt", half_window=5, k=3.0,
+    )
+
+
+SQL_HAMPEL_OUTLIERS = """
+WITH mc AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, date_trunc('minute', ts) AS minute,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+wl AS (
+  SELECT *, list(cnt) OVER (PARTITION BY event_type, day ORDER BY minute
+      ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS win
+  FROM mc
+),
+m AS (
+  SELECT *,
+    CASE WHEN len(win) % 2 = 1
+      THEN list_sort(win)[(len(win) + 1) // 2]::DOUBLE
+      ELSE (list_sort(win)[len(win) // 2]::DOUBLE
+            + list_sort(win)[len(win) // 2 + 1]::DOUBLE) / 2.0 END AS med
+  FROM wl
+),
+md AS (
+  SELECT *,
+    CASE WHEN len(win) % 2 = 1
+      THEN list_sort(list_transform(win, e -> abs(e::DOUBLE - med)))
+             [(len(win) + 1) // 2]
+      ELSE (list_sort(list_transform(win, e -> abs(e::DOUBLE - med)))
+              [len(win) // 2]
+            + list_sort(list_transform(win, e -> abs(e::DOUBLE - med)))
+              [len(win) // 2 + 1]) / 2.0 END AS mad
+  FROM m
+)
+SELECT event_type, day, minute, cnt,
+       med AS window_median, mad AS window_mad
+FROM md
+WHERE (mad = 0.0 AND abs(cnt::DOUBLE - med) > 0.0)
+   OR abs(cnt::DOUBLE - med) > 3.0 * 1.4826 * mad
+"""
+
+
+def q_change_points(spark, sf_dir):
+    """Best single change point per (event_type, day) minute-count
+    series (binary segmentation step): candidate split SSEs from exact
+    BIGINT prefix sums, argmin via one row_number window with ties
+    pinned to the earlier split. O(n) rows per series, one key
+    shuffle, bit-exact oracle (integer inputs, identical IEEE
+    division chains)."""
+    from chronoxtract_spark.operators.anomaly import change_points
+
+    mc = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.date_trunc("minute", "ts").alias("minute"),
+        )
+        .agg(F.count("*").alias("cnt"))
+    )
+    return change_points(
+        mc, keys=["event_type", "day"], order_col="minute", value_col="cnt"
+    )
+
+
+SQL_CHANGE_POINTS = """
+WITH mc AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, date_trunc('minute', ts) AS minute,
+         count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2, 3
+),
+p AS (
+  SELECT event_type, day, minute AS ord, cnt AS v,
+         row_number() OVER w AS rn,
+         sum(cnt) OVER (w ROWS UNBOUNDED PRECEDING) AS s1,
+         sum(cnt * cnt) OVER (w ROWS UNBOUNDED PRECEDING) AS s2
+  FROM mc
+  WINDOW w AS (PARTITION BY event_type, day ORDER BY minute)
+),
+t AS (
+  SELECT *, count(*) OVER pk AS n,
+         max_by(s1, rn) OVER pk AS t1,
+         max_by(s2, rn) OVER pk AS t2
+  FROM p
+  WINDOW pk AS (PARTITION BY event_type, day)
+),
+cand AS (
+  SELECT *,
+    (s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / rn::DOUBLE)
+    + ((t2 - s2)::DOUBLE - ((t1 - s1)::DOUBLE * (t1 - s1)::DOUBLE)
+        / (n::DOUBLE - rn::DOUBLE)) AS sse,
+    t2::DOUBLE - (t1::DOUBLE * t1::DOUBLE) / n::DOUBLE AS sse_tot
+  FROM t WHERE rn < n
+)
+SELECT event_type, day, n::BIGINT AS n, rn::BIGINT AS split_idx,
+       ord AS split_at,
+       s1::DOUBLE / rn::DOUBLE AS left_mean,
+       (t1 - s1)::DOUBLE / (n - rn)::DOUBLE AS right_mean,
+       sse_tot - sse AS gain
+FROM (SELECT *, row_number() OVER (PARTITION BY event_type, day
+          ORDER BY sse ASC, rn ASC) AS pick FROM cand)
+WHERE pick = 1
+"""
+
+
+def q_bigram_lm(spark, sf_dir):
+    """Self-trained character-bigram LM quality score per document
+    (the CCNet LM-filter shape with no external model): add-one
+    smoothed corpus bigram model, per-doc -avg log2 P. Model tables
+    are vocabulary-squared sized and broadcast; one bigram-key shuffle
+    + one map-side-combinable doc reduction. Score rounds to 6 (libm
+    log2 ulp + sum association are ~1e-12)."""
+    from chronoxtract_spark.operators.corpus_stats import bigram_lm_bits
+
+    return bigram_lm_bits(_documents(spark, sf_dir))
+
+
+SQL_BIGRAM_LM = """
+WITH g AS (
+  SELECT doc_id, substr(text, t.i, 2) AS g
+  FROM documents, unnest(generate_series(1, length(text) - 1)) AS t(i)
+  WHERE length(text) >= 2
+),
+dg AS (SELECT doc_id, g, count(*)::BIGINT AS n FROM g GROUP BY 1, 2),
+cnt2 AS (SELECT g, sum(n)::BIGINT AS cnt2 FROM dg GROUP BY 1),
+cnt1 AS (SELECT substr(g, 1, 1) AS c1, sum(cnt2)::BIGINT AS cnt1
+         FROM cnt2 GROUP BY 1),
+vocab AS (
+  SELECT count(DISTINCT substr(text, t.i, 1))::BIGINT AS v
+  FROM documents, unnest(generate_series(1, length(text))) AS t(i)
+),
+model AS (
+  SELECT g, -log2((cnt2 + 1)::DOUBLE
+                  / (cnt1 + (SELECT v FROM vocab))::DOUBLE) AS bits
+  FROM cnt2 JOIN cnt1 ON substr(cnt2.g, 1, 1) = cnt1.c1
+)
+SELECT doc_id, sum(n)::BIGINT AS n_bigrams,
+       round(sum(n * bits) / sum(n), 6) AS bits_per_gram
+FROM dg JOIN model USING (g)
+GROUP BY doc_id
+"""
+
+
 _EXTRA_QUERIES = {
+    "interp_grid": q_interp_grid,
+    "time_weighted": q_time_weighted,
+    "counter_resets": q_counter_resets,
+    "state_durations": q_state_durations,
+    "heartbeat_uptime": q_heartbeat_uptime,
+    "hampel_outliers": q_hampel_outliers,
+    "change_points": q_change_points,
+    "bigram_lm": q_bigram_lm,
     "ewma_irregular": q_ewma_irregular,
     "asof_join": q_asof_join,
     "repetition_stats": q_repetition_stats,
@@ -5631,6 +6024,14 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "interp_grid": SQL_INTERP_GRID,
+    "time_weighted": SQL_TIME_WEIGHTED,
+    "counter_resets": SQL_COUNTER_RESETS,
+    "state_durations": SQL_STATE_DURATIONS,
+    "heartbeat_uptime": SQL_HEARTBEAT_UPTIME,
+    "hampel_outliers": SQL_HAMPEL_OUTLIERS,
+    "change_points": SQL_CHANGE_POINTS,
+    "bigram_lm": SQL_BIGRAM_LM,
     "ewma_irregular": SQL_EWMA_IRREGULAR,
     "asof_join": SQL_ASOF_JOIN,
     "repetition_stats": SQL_REPETITION_STATS,

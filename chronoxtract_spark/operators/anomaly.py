@@ -1,0 +1,181 @@
+"""Anomaly primitives over series: Hampel (rolling median/MAD)
+outlier detection and single-split change-point detection (the first
+step of binary segmentation / CUSUM-style level-shift localization).
+
+The reference repo's peak detection (kernel/peaks.py) finds LOCAL
+maxima by shape; these two answer the complementary operational
+questions — "which samples are statistically implausible against
+their neighborhood" and "where did the level of this series shift".
+
+Scale shape
+-----------
+``hampel_outliers``: one shuffle on the series key; the window median
+and MAD are computed from a bounded ``collect_list`` over a ±half
+ROWS frame (2*half+1 elements max — constant memory per row), then
+pure array expressions (``array_sort`` + ``element_at`` exact median,
+``transform`` for absolute deviations). No UDF.
+
+``change_points``: one shuffle on the series key; prefix sums of the
+value and its square are exact BIGINT cumulative windows, each
+candidate split's two-segment SSE is a per-row expression over those
+prefixes, and the argmin is one ``row_number`` window ordered by
+``(sse, split_idx)`` — O(n) rows per series, no pair join.
+
+Oracle determinism
+------------------
+Both operators run on integer per-minute counts, so every float is a
+single division / multiply chain over exact integers — identical IEEE
+expression trees in both engines, bit-exact, no rounding anywhere.
+Median of an even window is the exact mean of the two middles. The
+Hampel threshold comparison (|x - med| > k * 1.4826 * MAD) therefore
+produces identical flag decisions, and the change-point argmin breaks
+exact-equality ties by the earlier split index.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _arr_median(arr: Column) -> Column:
+    """Exact median of an array expression: sorted, middle element for
+    odd length, mean of the two middles for even."""
+    a = F.array_sort(arr)
+    n = F.size(a)
+    mid = (n + 1) / 2
+    odd = F.element_at(a, F.floor(mid).cast("int")).cast("double")
+    even = (
+        F.element_at(a, (n / 2).cast("int")).cast("double")
+        + F.element_at(a, (n / 2).cast("int") + 1).cast("double")
+    ) / 2.0
+    return F.when(n % 2 == 1, odd).otherwise(even)
+
+
+def hampel_outliers(
+    df: DataFrame,
+    keys: list[str] | str,
+    order_col: str,
+    value_col: str,
+    half_window: int = 5,
+    k: float = 3.0,
+) -> DataFrame:
+    """Hampel filter: a sample is an outlier when it deviates from its
+    rolling-window median by more than ``k`` scaled MADs
+    (``1.4826 * MAD`` estimates sigma under normality). Edge windows
+    truncate (the classic sample-window convention); a window with
+    ``MAD = 0`` flags any value different from its median.
+
+    Returns only the flagged rows: ``keys..., order_col, value,
+    window_median, window_mad``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-half_window, half_window)
+    )
+    win = F.collect_list(value_col).over(w)
+    med = _arr_median(F.col("win"))
+    mad = _arr_median(
+        F.transform(
+            F.col("win"), lambda e: F.abs(e.cast("double") - F.col("med"))
+        )
+    )
+    dev = F.abs(F.col(value_col).cast("double") - F.col("med"))
+    return (
+        df.select(*keys, order_col, value_col, win.alias("win"))
+        .withColumn("med", med)
+        .withColumn("mad", mad)
+        .where(
+            (F.col("mad") == 0.0) & (dev > 0.0)
+            | (dev > F.lit(float(k)) * F.lit(1.4826) * F.col("mad"))
+        )
+        .select(
+            *keys, order_col, value_col,
+            F.col("med").alias("window_median"),
+            F.col("mad").alias("window_mad"),
+        )
+    )
+
+
+def change_points(
+    df: DataFrame,
+    keys: list[str] | str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Best single change point per series: the split index minimizing
+    the summed within-segment SSE (one step of binary segmentation).
+    ``gain`` is the SSE reduction versus the unsplit series — the
+    standard level-shift score; series with fewer than 2 samples
+    return no row.
+
+    Exact-equality SSE ties break toward the EARLIER split. Returns
+    per key: ``n, split_idx, split_at, left_mean, right_mean, gain``
+    (``split_idx`` = size of the left segment, ``split_at`` = the
+    ``order_col`` of its last row).
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    wo = Window.partitionBy(*keys).orderBy("ord")
+    wc = wo.rowsBetween(Window.unboundedPreceding, 0)
+    wfull = Window.partitionBy(*keys).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    vv = F.col("v")
+    base = (
+        df.select(
+            *keys,
+            F.col(order_col).alias("ord"),
+            F.col(value_col).cast("long").alias("v"),
+        )
+        .select(
+            *keys, "ord", "v",
+            F.row_number().over(wo).alias("rn"),
+            F.sum(vv).over(wc).alias("s1"),
+            F.sum(vv * vv).over(wc).alias("s2"),
+        )
+        # totals: a second window pass over the (already shuffled)
+        # key partition — no new exchange, no nested window exprs
+        .select(
+            *keys, "ord", "rn", "s1", "s2",
+            F.count("*").over(wfull).alias("n"),
+            # max_by(rn), not max: the value cumsum is not monotone
+            # when values can be negative (s2 would be, s1 is not)
+            F.max_by("s1", "rn").over(wfull).alias("t1"),
+            F.max_by("s2", "rn").over(wfull).alias("t2"),
+        )
+    )
+    kk = F.col("rn").cast("double")
+    nn = F.col("n").cast("double")
+    sse_l = F.col("s2").cast("double") - (
+        F.col("s1").cast("double") * F.col("s1").cast("double")
+    ) / kk
+    r1 = (F.col("t1") - F.col("s1")).cast("double")
+    sse_r = (F.col("t2") - F.col("s2")).cast("double") - (r1 * r1) / (nn - kk)
+    sse_tot = F.col("t2").cast("double") - (
+        F.col("t1").cast("double") * F.col("t1").cast("double")
+    ) / nn
+    cand = base.where(F.col("rn") < F.col("n")).select(
+        *keys, "ord", "rn", "n", "s1", "t1",
+        (sse_l + sse_r).alias("sse"),
+        sse_tot.alias("sse_tot"),
+    )
+    pick = F.row_number().over(
+        Window.partitionBy(*keys).orderBy(F.col("sse").asc(), F.col("rn").asc())
+    )
+    return (
+        cand.withColumn("pick", pick)
+        .where(F.col("pick") == 1)
+        .select(
+            *keys,
+            F.col("n").cast("long").alias("n"),
+            F.col("rn").cast("long").alias("split_idx"),
+            F.col("ord").alias("split_at"),
+            (F.col("s1").cast("double") / F.col("rn").cast("double"))
+            .alias("left_mean"),
+            ((F.col("t1") - F.col("s1")).cast("double")
+             / (F.col("n") - F.col("rn")).cast("double")).alias("right_mean"),
+            (F.col("sse_tot") - F.col("sse")).alias("gain"),
+        )
+    )

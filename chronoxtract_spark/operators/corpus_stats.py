@@ -182,6 +182,83 @@ def repetition_stats(
     )
 
 
+def bigram_lm_bits(
+    df: DataFrame,
+    key_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Character-bigram language-model quality score per document —
+    the CCNet-style "LM perplexity" filter shape, self-trained on the
+    corpus itself so it needs no external model: documents whose
+    character transitions are atypical for the corpus (mojibake,
+    base64 blobs, ransom-note casing) score high and get dropped.
+
+    Model: add-one-smoothed bigram LM over the corpus's own character
+    stream, ``P(c2|c1) = (cnt(c1 c2) + 1) / (cnt(c1 *) + V)`` with
+    ``V`` = corpus distinct-character count. Score: ``bits_per_gram =
+    -avg log2 P`` over the document's bigram stream.
+
+    Scale shape: one explode to (doc, bigram) counts, ONE shuffle on
+    the bigram key for the model tables, which are vocabulary-squared
+    sized (tiny) and BROADCAST back onto the per-doc counts; the final
+    per-doc reduction is a map-side-combinable sum. No UDFs.
+
+    Determinism: counts are exact integers; each term is one log2 +
+    multiply (libm ulp noise across engines ~1e-16 relative, summed
+    ~1e-12 at worst) — the final score rounds to 6 decimals, orders of
+    magnitude above both the ulp noise and the sum's association-order
+    noise. Returns ``(key, n_bigrams, bits_per_gram)``; documents
+    shorter than 2 characters yield no row.
+    """
+    # substring with a column start needs expr-level substr
+    grams = df.where(F.length(text_col) >= 2).select(
+        F.col(key_col),
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col}) - 1),"
+                f" i -> substr({text_col}, i, 2))"
+            )
+        ).alias("g"),
+    )
+    dg = grams.groupBy(key_col, "g").agg(F.count("*").alias("n"))
+    cnt2 = dg.groupBy("g").agg(F.sum("n").alias("cnt2"))
+    cnt1 = cnt2.groupBy(F.substring("g", 1, 1).alias("c1")).agg(
+        F.sum("cnt2").alias("cnt1")
+    )
+    vocab = df.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, length({text_col})),"
+                f" i -> substr({text_col}, i, 1))"
+            )
+        ).alias("c")
+    ).agg(F.count_distinct("c").alias("v"))
+    model = (
+        cnt2.withColumn("c1", F.substring("g", 1, 1))
+        .join(F.broadcast(cnt1), "c1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "g",
+            (
+                -F.log2(
+                    (F.col("cnt2") + 1).cast("double")
+                    / (F.col("cnt1") + F.col("v")).cast("double")
+                )
+            ).alias("bits"),
+        )
+    )
+    return (
+        dg.join(F.broadcast(model), "g")
+        .groupBy(key_col)
+        .agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum(F.col("n") * F.col("bits")) / F.sum("n"), 6
+            ).alias("bits_per_gram"),
+        )
+    )
+
+
 def tfidf_terms(
     df: DataFrame,
     key_col: str = "doc_id",

@@ -1,0 +1,136 @@
+"""Paired-series operators: align two event streams onto a shared
+dense grid and compute rolling second-order statistics between them —
+the "does metric A move with metric B" question (rolling Pearson,
+covariance, OLS beta) every ops/quant tier answers.
+
+The reference repo's DCF/ACF (operators/dcf.py) correlate at LAGS over
+irregular samplings; this module is the complementary same-time
+rolling view over the regular grid the tier already materializes.
+
+Scale shape
+-----------
+``aligned_counts``: one groupBy shuffle to per-(key, grid) counts for
+each side, then a dense spine via ``sequence()+explode`` per key and
+two broadcast-free left joins ON THE SAME (key, grid) shuffle key —
+the join co-locates with no extra exchange. Missing instants count 0.
+
+``rolling_corr``: pure window algebra over the aligned grid — trailing
+``w``-row sums of x, y, x², y², xy as exact BIGINTs (counts are
+integers), so cov/corr/beta are short float chains over exact integers
+with identical IEEE trees in both engines: bit-exact, no rounding.
+Only full windows emit (the first ``w - 1`` grid rows are suppressed).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _keylist(keys: list[str] | str) -> list[str]:
+    return [keys] if isinstance(keys, str) else list(keys)
+
+
+def aligned_counts(
+    df: DataFrame,
+    keys: list[str] | str,
+    ts_col: str,
+    split_col: str,
+    x_val: str,
+    y_val: str,
+    step_s: int,
+) -> DataFrame:
+    """Per (key, epoch-aligned ``step_s`` grid instant): the event
+    counts of the two ``split_col`` populations ``x_val`` and
+    ``y_val``, dense over each key's observed span (union of both
+    sides), zeros where a side is silent.
+
+    Returns ``keys..., grid_ts, x, y`` with x/y BIGINT counts.
+    """
+    keys = _keylist(keys)
+    step_us = int(step_s) * 1_000_000
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.where(F.col(split_col).isin([x_val, y_val])).select(
+        *keys,
+        (t_us - (t_us % step_us)).alias("g_us"),
+        F.col(split_col).alias("_side"),
+    )
+    counts = base.groupBy(*keys, "g_us").agg(
+        F.sum(F.when(F.col("_side") == x_val, 1).otherwise(0))
+        .cast("long").alias("x"),
+        F.sum(F.when(F.col("_side") == y_val, 1).otherwise(0))
+        .cast("long").alias("y"),
+    )
+    span = counts.groupBy(*keys).agg(
+        F.min("g_us").alias("g_lo"), F.max("g_us").alias("g_hi")
+    )
+    spine = span.select(
+        *keys,
+        F.explode(
+            F.sequence(F.col("g_lo"), F.col("g_hi"), F.lit(step_us))
+        ).alias("g_us"),
+    )
+    return (
+        spine.join(counts, [*keys, "g_us"], "left")
+        .select(
+            *keys,
+            F.timestamp_micros("g_us").alias("grid_ts"),
+            F.coalesce("x", F.lit(0)).cast("long").alias("x"),
+            F.coalesce("y", F.lit(0)).cast("long").alias("y"),
+        )
+    )
+
+
+def rolling_corr(
+    df: DataFrame,
+    keys: list[str] | str,
+    order_col: str,
+    x_col: str,
+    y_col: str,
+    window: int,
+) -> DataFrame:
+    """Trailing-``window`` Pearson correlation, population covariance
+    and OLS slope (y on x) per (key, row), full windows only.
+
+    All sums are exact BIGINTs; ``corr`` is null when either side is
+    constant in the window (zero variance), ``beta`` null when x is.
+    Returns ``keys..., order_col, corr, cov, beta``.
+    """
+    keys = _keylist(keys)
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(order_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    x = F.col(x_col).cast("long")
+    y = F.col(y_col).cast("long")
+    n = F.count("*").over(w)
+    sx = F.sum(x).over(w)
+    sy = F.sum(y).over(w)
+    sxx = F.sum(x * x).over(w)
+    syy = F.sum(y * y).over(w)
+    sxy = F.sum(x * y).over(w)
+
+    wl = F.lit(int(window))
+    num = (wl * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (wl * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (wl * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    corr = F.when((F.col("dx") > 0) & (F.col("dy") > 0),
+                  F.col("num") / F.sqrt(F.col("dx") * F.col("dy")))
+    cov = F.col("num") / (wl * wl).cast("double")
+    beta = F.when(F.col("dx") > 0, F.col("num") / F.col("dx"))
+
+    return (
+        df.select(
+            *keys, order_col,
+            n.alias("wn"), sx.alias("sx"), sy.alias("sy"),
+            sxx.alias("sxx"), syy.alias("syy"), sxy.alias("sxy"),
+        )
+        .where(F.col("wn") == window)
+        .select(*keys, order_col, num.alias("num"), dx.alias("dx"),
+                dy.alias("dy"))
+        .select(
+            *keys, order_col,
+            corr.alias("corr"), cov.alias("cov"), beta.alias("beta"),
+        )
+    )
