@@ -5958,7 +5958,193 @@ GROUP BY doc_id
 """
 
 
+def q_m4_hourly(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB 2014) of the per-type value
+    stream into 1h pixel buckets: first/last/min/max with their
+    timestamps — ONE (key, bucket) shuffle, conditional aggregates
+    over four rank columns, no join, no UDF. Exact oracle: integer
+    bucket arithmetic and pinned (t, v) tie ordering."""
+    from chronoxtract_spark.operators.downsample import m4_downsample
+
+    return m4_downsample(
+        _events(spark, sf_dir), keys="event_type", ts_col="ts",
+        value_col="value", bucket_s=3600,
+    )
+
+
+SQL_M4_HOURLY = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS t_us, value AS v,
+         epoch_us(ts) // 3600000000 AS bucket
+  FROM events
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bucket ORDER BY t_us, v) AS rf,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY t_us DESC, v DESC) AS rl,
+    row_number() OVER (PARTITION BY event_type, bucket ORDER BY v, t_us) AS rmin,
+    row_number() OVER (PARTITION BY event_type, bucket
+                       ORDER BY v DESC, t_us) AS rmax
+  FROM b
+)
+SELECT event_type, make_timestamp(bucket * 3600000000) AS bucket_ts,
+       count(*)::BIGINT AS n,
+       make_timestamp(max(CASE WHEN rf = 1 THEN t_us END)) AS t_first,
+       max(CASE WHEN rf = 1 THEN v END) AS v_first,
+       make_timestamp(max(CASE WHEN rl = 1 THEN t_us END)) AS t_last,
+       max(CASE WHEN rl = 1 THEN v END) AS v_last,
+       make_timestamp(max(CASE WHEN rmin = 1 THEN t_us END)) AS t_min,
+       max(CASE WHEN rmin = 1 THEN v END) AS v_min,
+       make_timestamp(max(CASE WHEN rmax = 1 THEN t_us END)) AS t_max,
+       max(CASE WHEN rmax = 1 THEN v END) AS v_max
+FROM r GROUP BY event_type, bucket
+"""
+
+
+def q_lttb(spark, sf_dir):
+    """LTTB downsampling (Steinarsson 2013) of each type's hourly
+    event-count series to 60 points. The triangle recurrence is
+    sequential by design, so it runs as a per-series Arrow kernel
+    (applyInPandas) — one key shuffle, loop over OUTPUT buckets only.
+    The oracle replays the identical walk as a DuckDB recursive CTE
+    whose step is a lateral ORDER-BY-LIMIT-1 argmax; areas use ONE
+    pinned IEEE expression tree over exact integer inputs (counts +
+    integer-sum centroids), ties to the earliest timestamp, so both
+    engines pick identical points — bit-exact, no rounding."""
+    from chronoxtract_spark.operators.downsample import lttb_downsample
+
+    hr = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type", F.date_trunc("hour", "ts").alias("hr_ts")
+        )
+        .agg(F.count("*").cast("double").alias("v"))
+    )
+    return lttb_downsample(
+        hr, key_col="event_type", ts_col="hr_ts", value_col="v", n_out=60
+    )
+
+
+SQL_LTTB = """
+WITH RECURSIVE
+hr AS (SELECT event_type AS key, epoch_us(date_trunc('hour', ts)) AS t_us,
+              count(*)::DOUBLE AS v
+       FROM events GROUP BY 1, 2),
+pts AS (SELECT key, t_us, v,
+               row_number() OVER (PARTITION BY key ORDER BY t_us) - 1 AS idx,
+               count(*) OVER (PARTITION BY key) AS n
+        FROM hr),
+-- this instance has n (~720) > n_out (60) for every key; the kernel's
+-- n <= n_out passthrough branch is exercised by unit tests instead
+interior AS (SELECT key, t_us, v, idx, n,
+                    ((idx - 1) * 58) // (n - 2) AS b
+             FROM pts WHERE idx >= 1 AND idx <= n - 2),
+cent AS (SELECT key, b, sum(t_us)::DOUBLE / count(*) AS tb,
+                sum(v) / count(*) AS vb
+         FROM interior GROUP BY 1, 2),
+lastpt AS (SELECT key, t_us::DOUBLE AS tb, v AS vb FROM pts WHERE idx = n - 1),
+targets AS (
+  SELECT i.key, i.b, coalesce(c.tb, l.tb) AS tb, coalesce(c.vb, l.vb) AS vb
+  FROM (SELECT DISTINCT key, b FROM interior) i
+  LEFT JOIN cent c ON c.key = i.key AND c.b = i.b + 1
+  JOIN lastpt l ON l.key = i.key),
+walk(key, b, t_sel, v_sel) AS (
+  SELECT key, -1, t_us, v FROM pts WHERE idx = 0
+  UNION ALL
+  SELECT w.key, w.b + 1, p.t_us, p.v
+  FROM walk w JOIN LATERAL (
+    SELECT i.t_us, i.v
+    FROM interior i JOIN targets tg ON tg.key = i.key AND tg.b = i.b
+    WHERE i.key = w.key AND i.b = w.b + 1
+    ORDER BY abs((w.t_sel::DOUBLE - tg.tb) * (i.v - w.v_sel)
+               - (w.t_sel::DOUBLE - i.t_us::DOUBLE) * (tg.vb - w.v_sel)) DESC,
+             i.t_us ASC
+    LIMIT 1) p ON true
+  WHERE w.b + 1 <= 57)
+SELECT key, (b + 1)::BIGINT AS sel_idx, make_timestamp(t_sel) AS ts,
+       v_sel AS value
+FROM walk WHERE b >= 0
+UNION ALL
+SELECT key, 0::BIGINT, make_timestamp(t_us), v FROM pts WHERE idx = 0
+UNION ALL
+SELECT key, 59::BIGINT, make_timestamp(t_us), v FROM pts WHERE idx = n - 1
+"""
+
+
+def q_rolling_corr(spark, sf_dir):
+    """Rolling Pearson / covariance / OLS beta between the click and
+    view hourly count series, dense-aligned per day (zeros where a
+    side is silent), trailing 6h full windows. All window sums are
+    exact BIGINTs, so every output is a short float chain over exact
+    integers — bit-exact oracle, no rounding."""
+    from chronoxtract_spark.operators.paired import (
+        aligned_counts, rolling_corr,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    )
+    grid = aligned_counts(
+        ev, keys="day", ts_col="ts", split_col="event_type",
+        x_val="click", y_val="view", step_s=3600,
+    )
+    return rolling_corr(
+        grid, keys="day", order_col="grid_ts",
+        x_col="x", y_col="y", window=6,
+    )
+
+
+SQL_ROLLING_CORR = """
+WITH base AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         epoch_us(ts) - epoch_us(ts) % 3600000000 AS g_us,
+         event_type AS side
+  FROM events WHERE event_type IN ('click', 'view')
+),
+counts AS (
+  SELECT day, g_us,
+         sum(CASE WHEN side = 'click' THEN 1 ELSE 0 END)::BIGINT AS x,
+         sum(CASE WHEN side = 'view' THEN 1 ELSE 0 END)::BIGINT AS y
+  FROM base GROUP BY 1, 2
+),
+spine AS (
+  SELECT day, unnest(generate_series(min(g_us), max(g_us), 3600000000)) AS g_us
+  FROM counts GROUP BY day
+),
+grid AS (
+  SELECT s.day, s.g_us, coalesce(c.x, 0) AS x, coalesce(c.y, 0) AS y
+  FROM spine s LEFT JOIN counts c ON c.day = s.day AND c.g_us = s.g_us
+),
+sums AS (
+  SELECT day, g_us,
+         count(*) OVER w AS wn,
+         sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+         sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+         sum(x * y) OVER w AS sxy
+  FROM grid
+  WINDOW w AS (PARTITION BY day ORDER BY g_us
+               ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+),
+d AS (
+  SELECT day, g_us,
+         (6 * sxy - sx * sy)::DOUBLE AS num,
+         (6 * sxx - sx * sx)::DOUBLE AS dx,
+         (6 * syy - sy * sy)::DOUBLE AS dy
+  FROM sums WHERE wn = 6
+)
+SELECT day, make_timestamp(g_us) AS grid_ts,
+       CASE WHEN dx > 0 AND dy > 0 THEN num / sqrt(dx * dy) END AS corr,
+       num / 36.0 AS cov,
+       CASE WHEN dx > 0 THEN num / dx END AS beta
+FROM d
+"""
+
+
 _EXTRA_QUERIES = {
+    "m4_hourly": q_m4_hourly,
+    "lttb": q_lttb,
+    "rolling_corr": q_rolling_corr,
     "interp_grid": q_interp_grid,
     "time_weighted": q_time_weighted,
     "counter_resets": q_counter_resets,
@@ -6024,6 +6210,9 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "m4_hourly": SQL_M4_HOURLY,
+    "lttb": SQL_LTTB,
+    "rolling_corr": SQL_ROLLING_CORR,
     "interp_grid": SQL_INTERP_GRID,
     "time_weighted": SQL_TIME_WEIGHTED,
     "counter_resets": SQL_COUNTER_RESETS,
