@@ -6141,7 +6141,175 @@ FROM d
 """
 
 
+def _hourly_count_series(spark, sf_dir):
+    """Dense 24-hour count series per (event_type, day): the fixed-n
+    input ESD's lambda ladder and SAX's PAA both require — zero-filled
+    from a literal 0..23 spine joined on the counts shuffle key."""
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.hour("ts").alias("hr"),
+    )
+    counts = ev.groupBy("event_type", "day", "hr").agg(
+        F.count("*").alias("c")
+    )
+    spine = (
+        ev.select("event_type", "day").distinct()
+        .select(
+            "event_type", "day",
+            F.explode(F.sequence(F.lit(0), F.lit(23))).alias("hr"),
+        )
+    )
+    return spine.join(counts, ["event_type", "day", "hr"], "left").select(
+        "event_type", "day", "hr",
+        F.coalesce("c", F.lit(0)).cast("long").alias("c"),
+    )
+
+
+_SQL_HOURLY_SERIES = """
+ev AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+              extract(hour FROM ts) AS hr
+       FROM events),
+cnt AS (SELECT event_type, day, hr, count(*) AS c FROM ev GROUP BY 1, 2, 3),
+spine AS (SELECT DISTINCT event_type, day, h.hr
+          FROM ev, unnest(generate_series(0, 23)) AS h(hr)),
+series AS (
+  SELECT s.event_type, s.day, s.hr, coalesce(c.c, 0)::BIGINT AS c
+  FROM spine s LEFT JOIN cnt c
+    ON c.event_type = s.event_type AND c.day = s.day AND c.hr = s.hr)
+"""
+
+
+def q_esd_outliers(spark, sf_dir):
+    """Generalized ESD (Rosner 1983) over the dense 24-hour count
+    series per (event_type, day), k=3 at alpha=0.05: the removal
+    recurrence unrolls into 3 window passes on one series-key shuffle,
+    and the lambda ladder is three driver-side t-quantile literals
+    shared verbatim with the oracle. NaN trap (regression-tested):
+    active counts are DYNAMIC and the guard is var > 0 — Spark orders
+    NaN above all numbers, so a sqrt(negative) std would silently pass
+    a std > 0 guard and remove garbage rows."""
+    from chronoxtract_spark.operators.anomaly import esd_outliers
+
+    return esd_outliers(
+        _hourly_count_series(spark, sf_dir),
+        keys=["event_type", "day"], order_col="hr", value_col="c",
+        series_n=24, k=3, alpha=0.05,
+    )
+
+
+def _sql_esd_outliers():
+    from chronoxtract_spark.kernel.tdist import esd_lambdas
+
+    lams = esd_lambdas(24, 3, 0.05)
+    rounds = []
+    prev = "r0"
+    for i in (1, 2, 3):
+        rounds.append(f"""
+s{i} AS (
+  SELECT *,
+    sum(CASE WHEN rm IS NULL THEN 1 END)
+      OVER (PARTITION BY event_type, day)::DOUBLE AS ma,
+    sum(CASE WHEN rm IS NULL THEN v END)
+      OVER (PARTITION BY event_type, day) AS sx,
+    sum(CASE WHEN rm IS NULL THEN v * v END)
+      OVER (PARTITION BY event_type, day) AS sxx
+  FROM {prev}),
+d{i} AS (
+  SELECT * EXCLUDE (ma, sx, sxx),
+    CASE WHEN rm IS NULL THEN abs(v - sx / ma) END AS dev,
+    (sxx - sx * sx / ma) / (ma - 1.0) AS var
+  FROM s{i}),
+p{i} AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, day
+                       ORDER BY dev DESC NULLS LAST, hr) AS pick
+  FROM d{i}),
+r{i} AS (
+  SELECT event_type, day, hr, v,
+    CASE WHEN pick = 1 AND rm IS NULL AND var > 0
+         THEN {i} ELSE rm END AS rm,
+    CASE WHEN pick = 1 AND rm IS NULL AND var > 0
+         THEN dev / sqrt(var) ELSE r_stat END AS r_stat
+  FROM p{i})""")
+        prev = f"r{i}"
+    # CAST('..' AS DOUBLE): a bare decimal literal parses as DECIMAL
+    # in DuckDB and the decimal->double cast can land 1 ulp off the
+    # Python float; string->double is strtod, correctly rounded
+    lam_case = " ".join(
+        f"WHEN rm = {i + 1} THEN CAST('{lam!r}' AS DOUBLE)"
+        for i, lam in enumerate(lams)
+    )
+    return f"""
+WITH {_SQL_HOURLY_SERIES.strip().rstrip(')')}),
+r0 AS (
+  SELECT event_type, day, hr, c::DOUBLE AS v,
+         NULL::INT AS rm, NULL::DOUBLE AS r_stat
+  FROM series),
+{','.join(rounds)},
+fin AS (
+  SELECT *, CASE {lam_case} END AS lam,
+    max(CASE WHEN r_stat > (CASE {lam_case} END) THEN rm END)
+      OVER (PARTITION BY event_type, day) AS n_out
+  FROM r3)
+SELECT event_type, day, hr, v AS value, rm::BIGINT AS round, r_stat, lam
+FROM fin WHERE rm IS NOT NULL AND rm <= n_out
+"""
+
+
+def q_sax_words(spark, sf_dir):
+    """SAX word (Lin/Keogh 2003) per (event_type, day): the dense
+    24-hour count series z-normalized (population std), PAA into 6
+    segments of 4 hours, letters through alphabet-4 equiprobable
+    N(0,1) breakpoints (driver-side erf-bisection literals shared
+    with the oracle). One key shuffle; segment sums and series
+    moments come from the same exact-integer partials; strict
+    breakpoint comparison pins boundary letters; zero-variance days
+    read 'bbbbbb'."""
+    from chronoxtract_spark.operators.symbolic import sax_words
+
+    return sax_words(
+        _hourly_count_series(spark, sf_dir),
+        keys=["event_type", "day"], order_col="hr", value_col="c",
+        series_n=24, word_len=6, alphabet=4,
+    )
+
+
+def _sql_sax_words():
+    from chronoxtract_spark.kernel.tdist import sax_breakpoints
+
+    bps = sax_breakpoints(4)
+    z = "(CASE WHEN std > 0 THEN (s1 / 4.0 - mean) / std ELSE 0.0 END)"
+    idx = " + ".join(
+        f"(CASE WHEN CAST('{b!r}' AS DOUBLE) < {z} THEN 1 ELSE 0 END)"
+        for b in bps
+    )
+    return f"""
+WITH {_SQL_HOURLY_SERIES.strip().rstrip(')')}),
+segs AS (
+  SELECT event_type, day, hr // 4 AS seg,
+         sum(c::DOUBLE) AS s1, sum(c::DOUBLE * c::DOUBLE) AS s2
+  FROM series GROUP BY 1, 2, 3),
+stats AS (
+  SELECT event_type, day,
+         sum(s1) / 24.0 AS mean,
+         sqrt((sum(s2) - sum(s1) * sum(s1) / 24.0) / 24.0) AS std
+  FROM segs GROUP BY 1, 2),
+lettered AS (
+  SELECT g.event_type, g.day, g.seg, t.mean, t.std,
+         substr('abcd', ({idx}) + 1, 1) AS sym
+  FROM segs g JOIN stats t
+    ON t.event_type = g.event_type AND t.day = g.day)
+SELECT event_type, day,
+       string_agg(sym, '' ORDER BY seg) AS word,
+       any_value(mean) AS mean, any_value(std) AS std
+FROM lettered GROUP BY 1, 2
+"""
+
+
 _EXTRA_QUERIES = {
+    "esd_outliers": q_esd_outliers,
+    "sax_words": q_sax_words,
     "m4_hourly": q_m4_hourly,
     "lttb": q_lttb,
     "rolling_corr": q_rolling_corr,
@@ -6210,6 +6378,8 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "esd_outliers": _sql_esd_outliers(),
+    "sax_words": _sql_sax_words(),
     "m4_hourly": SQL_M4_HOURLY,
     "lttb": SQL_LTTB,
     "rolling_corr": SQL_ROLLING_CORR,

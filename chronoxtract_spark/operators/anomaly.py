@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from chronoxtract_spark.kernel.tdist import esd_lambdas
+
 
 def _arr_median(arr: Column) -> Column:
     """Exact median of an array expression: sorted, middle element for
@@ -177,5 +179,123 @@ def change_points(
             ((F.col("t1") - F.col("s1")).cast("double")
              / (F.col("n") - F.col("rn")).cast("double")).alias("right_mean"),
             (F.col("sse_tot") - F.col("sse")).alias("gain"),
+        )
+    )
+
+
+def esd_outliers(
+    df: DataFrame,
+    keys: list[str] | str,
+    order_col: str,
+    value_col: str,
+    series_n: int,
+    k: int = 3,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Generalized ESD outlier test (Rosner 1983, the test inside
+    Twitter's S-H-ESD): per fixed-length-``series_n`` series, remove
+    the most-studentized sample ``k`` times, then declare the first
+    ``max{i : R_i > lambda_i}`` removals outliers. The critical values
+    ``lambda_i`` depend only on (n, k, alpha), so they are computed
+    ONCE driver-side (kernel/tdist.py) and embedded as literals —
+    identically in the oracle SQL, making parity by construction.
+
+    Scale shape: the removal recurrence unrolls into ``k`` window
+    passes over ONE series-key shuffle (conditional sums over active
+    rows + a row_number argmax per round; Catalyst chains the window
+    operators on the same partitioning — extra sorts, no extra
+    exchanges). Series whose row count differs from ``series_n`` are
+    dropped (the lambda ladder is n-specific; the query instance
+    guarantees n via a dense zero-filled spine).
+
+    Determinism: values are integer counts, so the conditional sums
+    are exact; mean/std/R are one shared IEEE chain in both engines,
+    and the argmax pins ties by (deviation DESC, order ASC). A round
+    with zero variance removes nothing (R undefined), and later
+    rounds of such a series cannot remove either. Returns the outlier
+    rows: ``keys..., order_col, value, round, r_stat, lam``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    lambdas = esd_lambdas(series_n, k, alpha)
+    wp = Window.partitionBy(*keys)
+
+    cur = (
+        df.select(
+            *keys,
+            F.col(order_col).alias("ord"),
+            F.col(value_col).cast("double").alias("v"),
+        )
+        .withColumn("_n", F.count("*").over(wp))
+        .where(F.col("_n") == series_n)
+        .drop("_n")
+        .withColumn("rm", F.lit(None).cast("int"))
+        .withColumn("r_stat", F.lit(None).cast("double"))
+    )
+    for i in range(1, k + 1):
+        act = F.col("rm").isNull()
+        # dynamic active count: a zero-variance round removes nothing,
+        # so a hardcoded n-i+1 would poison later rounds' variance
+        # (negative -> NaN std; Spark orders NaN ABOVE all numbers, so
+        # a NaN guard comparison silently passes — use var > 0, never
+        # std > 0 over a possibly-NaN sqrt)
+        ma = F.col("ma_i")
+        mean = F.col("sx_i") / ma
+        var = (F.col("sxx_i") - F.col("sx_i") * F.col("sx_i") / ma) / (
+            ma - F.lit(1.0)
+        )
+        wr = Window.partitionBy(*keys).orderBy(
+            F.desc_nulls_last("dev_i"), F.asc("ord")
+        )
+        cur = (
+            cur.withColumn(
+                "ma_i",
+                F.sum(F.when(act, F.lit(1))).over(wp).cast("double"),
+            )
+            .withColumn("sx_i", F.sum(F.when(act, F.col("v"))).over(wp))
+            .withColumn(
+                "sxx_i",
+                F.sum(F.when(act, F.col("v") * F.col("v"))).over(wp),
+            )
+            .withColumn("dev_i", F.when(act, F.abs(F.col("v") - mean)))
+            .withColumn("var_i", var)
+            .withColumn("pick_i", F.row_number().over(wr))
+            .withColumn(
+                "take_i",
+                (F.col("pick_i") == 1)
+                & F.col("rm").isNull()
+                & (F.col("var_i") > 0),
+            )
+            .withColumn(
+                "r_stat",
+                F.when(
+                    F.col("take_i"),
+                    F.col("dev_i") / F.sqrt(F.col("var_i")),
+                ).otherwise(F.col("r_stat")),
+            )
+            .withColumn(
+                "rm",
+                F.when(F.col("take_i"), F.lit(i)).otherwise(F.col("rm")),
+            )
+            .drop("ma_i", "sx_i", "sxx_i", "dev_i", "var_i", "pick_i",
+                  "take_i")
+        )
+
+    lam = F.element_at(
+        F.array(*[F.lit(float(x)) for x in lambdas]), F.col("rm")
+    )
+    n_out = F.max(
+        F.when(F.col("r_stat") > F.col("lam"), F.col("rm"))
+    ).over(wp)
+    return (
+        cur.withColumn("lam", lam)
+        .withColumn("n_out", n_out)
+        .where(F.col("rm").isNotNull() & (F.col("rm") <= F.col("n_out")))
+        .select(
+            *keys,
+            F.col("ord").alias(order_col),
+            F.col("v").alias("value"),
+            F.col("rm").cast("long").alias("round"),
+            "r_stat",
+            "lam",
         )
     )
