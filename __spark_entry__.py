@@ -6307,7 +6307,100 @@ FROM lettered GROUP BY 1, 2
 """
 
 
+_BM25_QUERIES = [
+    ("q1", "hash join table"),
+    ("q2", "window sort spark"),
+    ("q3", "fast scan value"),
+]
+
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 top-10 per query over documents (Lucene idf
+    variant): one corpus shuffle (doc length rides the tf group key
+    through the explode — no doc-keyed rejoin), query terms / doc
+    freqs / corpus stats all broadcast. Scores round to 6 before
+    ranking, ties by doc_id — the tfidf_terms convention."""
+    from chronoxtract_spark.operators.retrieval import bm25_scores
+
+    return bm25_scores(
+        _documents(spark, sf_dir), _BM25_QUERIES, top_k=10
+    )
+
+
+def _sql_bm25():
+    qvals = ", ".join(
+        f"('{qid}', '{t}')"
+        for qid, qtext in _BM25_QUERIES
+        for t in dict.fromkeys(qtext.lower().split())
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, len(toklist) AS dl, unnest(toklist) AS term
+  FROM (SELECT doc_id,
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                            'g'), ' ') AS toklist
+        FROM documents)),
+tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
+stats AS (
+  SELECT count(*)::BIGINT AS n_docs,
+         sum(dl)::DOUBLE / count(*)::DOUBLE AS avgdl
+  FROM (SELECT doc_id, max(dl) AS dl FROM tf GROUP BY 1)),
+docfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+qterms(query_id, term) AS (VALUES {qvals}),
+scored AS (
+  SELECT q.query_id, t.doc_id,
+         round(sum(
+           ln(1.0 + (s.n_docs - d.doc_freq + 0.5) / (d.doc_freq + 0.5))
+           * t.tf::DOUBLE * (1.2 + 1.0)
+           / (t.tf::DOUBLE + 1.2 * (1.0 - 0.75
+              + 0.75 * t.dl::DOUBLE / s.avgdl))), 6) AS score,
+         count(*)::BIGINT AS n_terms
+  FROM tf t
+  JOIN qterms q ON q.term = t.term
+  JOIN docfreq d ON d.term = t.term
+  CROSS JOIN stats s
+  GROUP BY 1, 2)
+SELECT query_id, doc_id, score, n_terms,
+       row_number() OVER (PARTITION BY query_id
+                          ORDER BY score DESC, doc_id)::BIGINT AS rank
+FROM scored
+QUALIFY rank <= 10
+"""
+
+
+def q_profile(spark, sf_dir):
+    """Exact per-column profile of the documents table: one
+    aggregation pass to a single row (count/min/max map-side
+    combinable; exact distincts are the stated cost), stack()-unpivot
+    to per-column rows. All outputs exact: integer counts, pinned
+    string renderings, integer-sum means."""
+    from chronoxtract_spark.operators.profile import profile_table
+
+    return profile_table(_documents(spark, sf_dir))
+
+
+def _sql_profile():
+    parts = []
+    for c, kind in [("doc_id", "int"), ("text", "str"), ("lang", "str"),
+                    ("source", "str"), ("n_chars", "int")]:
+        if kind == "int":
+            mn, mx = f"min({c})::VARCHAR", f"max({c})::VARCHAR"
+            mean = f"avg({c}::DOUBLE)"
+        else:
+            mn, mx = f"substr(min({c}), 1, 40)", f"substr(max({c}), 1, 40)"
+            mean = f"avg(length({c}))"
+        parts.append(f"""
+SELECT '{c}' AS "column", count(*)::BIGINT AS n_rows,
+       (count(*) - count({c}))::BIGINT AS n_null,
+       count(DISTINCT {c})::BIGINT AS n_distinct,
+       {mn} AS min_str, {mx} AS max_str, {mean}::DOUBLE AS mean
+FROM documents""")
+    return "\nUNION ALL\n".join(parts)
+
+
 _EXTRA_QUERIES = {
+    "bm25": q_bm25,
+    "profile": q_profile,
     "esd_outliers": q_esd_outliers,
     "sax_words": q_sax_words,
     "m4_hourly": q_m4_hourly,
@@ -6378,6 +6471,8 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "bm25": _sql_bm25(),
+    "profile": _sql_profile(),
     "esd_outliers": _sql_esd_outliers(),
     "sax_words": _sql_sax_words(),
     "m4_hourly": SQL_M4_HOURLY,

@@ -1,0 +1,108 @@
+"""Tests: BM25 retrieval and exact table profiling."""
+
+import math
+
+import pytest
+
+
+def _bm25_reference(docs, query_terms, k1=1.2, b=0.75):
+    """Straight-loop BM25 (Lucene idf) over tokenized docs."""
+    toks = {d: t.lower().split() for d, t in docs}
+    n = len(docs)
+    avgdl = sum(len(v) for v in toks.values()) / n
+    dfreq = {}
+    for ts in toks.values():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    out = {}
+    for d, ts in toks.items():
+        s = 0.0
+        hit = 0
+        for t in dict.fromkeys(query_terms):
+            tf = ts.count(t)
+            if tf == 0:
+                continue
+            hit += 1
+            idf = math.log(1 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(ts) / avgdl))
+        if hit:
+            out[d] = (round(s, 6), hit)
+    return out
+
+
+class TestBm25:
+    DOCS = [
+        (1, "spark shuffle join hash join"),
+        (2, "sort merge join window"),
+        (3, "hash table scan scan scan"),
+        (4, "completely unrelated words here"),
+        (5, "join join join join join"),
+    ]
+
+    def test_matches_reference(self, spark):
+        from chronoxtract_spark.operators.retrieval import bm25_scores
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = bm25_scores(df, [("q", "hash join")], top_k=10).collect()
+        ref = _bm25_reference(self.DOCS, ["hash", "join"])
+        got = {r.doc_id: (r.score, r.n_terms) for r in out}
+        assert set(got) == set(ref)
+        for d in ref:
+            assert got[d][0] == pytest.approx(ref[d][0], abs=2e-6)
+            assert got[d][1] == ref[d][1]
+        # ranks follow (score desc, doc asc)
+        ranked = sorted(out, key=lambda r: r.rank)
+        resorted = sorted(out, key=lambda r: (-r.score, r.doc_id))
+        assert [r.doc_id for r in ranked] == [r.doc_id for r in resorted]
+
+    def test_no_match_absent_and_topk(self, spark):
+        from chronoxtract_spark.operators.retrieval import bm25_scores
+
+        df = spark.createDataFrame(self.DOCS, "doc_id long, text string")
+        out = bm25_scores(df, [("q", "join")], top_k=2).collect()
+        assert len(out) == 2
+        assert all(r.doc_id != 4 for r in out)
+
+    def test_rare_term_outscores_common(self, spark):
+        from chronoxtract_spark.operators.retrieval import bm25_scores
+
+        docs = [(i, "common filler words") for i in range(1, 9)]
+        docs.append((9, "common rare"))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = {r.doc_id: r.score for r in
+               bm25_scores(df, [("q", "common rare")], top_k=9).collect()}
+        assert out[9] == max(out.values())
+
+
+class TestProfile:
+    def test_counts_nulls_distincts(self, spark):
+        from chronoxtract_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame(
+            [(1, "aa", 2.0), (2, None, 4.0), (3, "bb", None), (4, "aa", 8.0)],
+            "id long, s string, x double",
+        )
+        out = {r.column: r for r in profile_table(df).collect()}
+        assert set(out) == {"id", "s", "x"}
+        assert all(r.n_rows == 4 for r in out.values())
+        assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+        assert out["x"].n_null == 1 and out["x"].n_distinct == 3
+        assert out["id"].n_null == 0
+        assert (out["id"].min_str, out["id"].max_str) == ("1", "4")
+        assert out["id"].mean == pytest.approx(2.5)
+        assert out["s"].mean == pytest.approx(2.0)  # avg length
+        assert out["x"].mean == pytest.approx((2 + 4 + 8) / 3)
+
+    def test_string_preview_truncated(self, spark):
+        from chronoxtract_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame([("z" * 100,)], "s string")
+        r = profile_table(df, preview_chars=10).collect()[0]
+        assert r.min_str == "z" * 10
+
+    def test_column_subset(self, spark):
+        from chronoxtract_spark.operators.profile import profile_table
+
+        df = spark.createDataFrame([(1, "a")], "id long, s string")
+        out = profile_table(df, columns=["s"]).collect()
+        assert len(out) == 1 and out[0].column == "s"
