@@ -6398,7 +6398,244 @@ FROM documents""")
     return "\nUNION ALL\n".join(parts)
 
 
+def q_holt(spark, sf_dir):
+    """Holt linear-trend smoothing of each (event_type, day) 24-hour
+    count series with 3-step forecasts. alpha=0.5 / beta=0.25 are
+    chosen binary-exact so every literal is identical in both engines
+    with no decimal-parse edge. The coupled 2-state recurrence is
+    irreducibly sequential per series -> Arrow kernel on one key
+    shuffle; the oracle replays the identical update order as a
+    recursive CTE. Bit-exact, unrounded."""
+    from chronoxtract_spark.operators.holt import holt_forecast
+
+    series = _hourly_count_series(spark, sf_dir).select(
+        F.concat_ws("|", "event_type", "day").alias("k"), "hr", "c"
+    )
+    return holt_forecast(
+        series, key_col="k", order_col="hr", value_col="c",
+        alpha=0.5, beta=0.25, horizon=3,
+    )
+
+
+SQL_HOLT = f"""
+WITH RECURSIVE {_SQL_HOURLY_SERIES.strip().rstrip(')')}),
+keyed AS (
+  SELECT event_type || '|' || day AS key, hr, c::DOUBLE AS v FROM series),
+pts AS (
+  SELECT key, v, row_number() OVER (PARTITION BY key ORDER BY hr) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM keyed),
+rec(key, t, n, lev, trd, sse) AS (
+  SELECT p1.key, 2, p1.n,
+         0.5 * p2.v + 0.5 * (p1.v + (p2.v - p1.v)),
+         0.25 * ((0.5 * p2.v + 0.5 * (p1.v + (p2.v - p1.v))) - p1.v)
+           + 0.75 * (p2.v - p1.v),
+         (p2.v - (p1.v + (p2.v - p1.v))) * (p2.v - (p1.v + (p2.v - p1.v)))
+  FROM pts p1 JOIN pts p2 ON p2.key = p1.key AND p2.rn = 2
+  WHERE p1.rn = 1
+  UNION ALL
+  SELECT r.key, r.t + 1, r.n,
+         x.new_lev,
+         0.25 * (x.new_lev - r.lev) + 0.75 * r.trd,
+         r.sse + (p.v - (r.lev + r.trd)) * (p.v - (r.lev + r.trd))
+  FROM rec r
+  JOIN pts p ON p.key = r.key AND p.rn = r.t + 1
+  CROSS JOIN LATERAL (
+    SELECT 0.5 * p.v + 0.5 * (r.lev + r.trd) AS new_lev) x
+  WHERE r.t < r.n)
+SELECT key, h.h::BIGINT AS h, lev + h.h * trd AS forecast,
+       lev AS level, trd AS trend, sse
+FROM rec, unnest(generate_series(1, 3)) AS h(h)
+WHERE t = n
+"""
+
+
+def q_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel per user: step times are
+    chained conditional window minima over ONE user-key shuffle (no
+    k-way self-join), strictly-increasing timestamps pinned. Reach
+    counts exact; conversion and mean seconds are single divisions of
+    exact integer sums."""
+    from chronoxtract_spark.operators.funnel import funnel_steps
+
+    return funnel_steps(
+        _events(spark, sf_dir), entity_col="user_id",
+        type_col="event_type", ts_col="ts",
+        steps=["view", "click", "purchase"],
+    )
+
+
+SQL_FUNNEL = """
+WITH e AS (
+  SELECT user_id AS ent, event_type AS typ, epoch_us(ts) AS t_us FROM events),
+w1 AS (
+  SELECT *, min(CASE WHEN typ = 'view' THEN t_us END)
+              OVER (PARTITION BY ent) AS t1
+  FROM e),
+w2 AS (
+  SELECT *, min(CASE WHEN typ = 'click' AND t_us > t1 THEN t_us END)
+              OVER (PARTITION BY ent) AS t2
+  FROM w1),
+w3 AS (
+  SELECT *, min(CASE WHEN typ = 'purchase' AND t_us > t2 THEN t_us END)
+              OVER (PARTITION BY ent) AS t3
+  FROM w2),
+per_ent AS (
+  SELECT ent, max(t1) AS t1, max(t2) AS t2, max(t3) AS t3
+  FROM w3 GROUP BY ent),
+agg AS (
+  SELECT count(t1)::BIGINT AS n1, count(t2)::BIGINT AS n2,
+         count(t3)::BIGINT AS n3,
+         sum(t1 - t1) AS d1, sum(t2 - t1) AS d2, sum(t3 - t1) AS d3
+  FROM per_ent)
+SELECT 1::BIGINT AS step, 'view' AS event_type, n1 AS n_reached,
+       n1::DOUBLE / n1::DOUBLE AS conversion,
+       d1::DOUBLE / n1::DOUBLE / 1e6 AS mean_s_from_first FROM agg
+UNION ALL
+SELECT 2, 'click', n2, n2::DOUBLE / n1::DOUBLE,
+       d2::DOUBLE / n2::DOUBLE / 1e6 FROM agg
+UNION ALL
+SELECT 3, 'purchase', n3, n3::DOUBLE / n1::DOUBLE,
+       d3::DOUBLE / n3::DOUBLE / 1e6 FROM agg
+"""
+
+
+def q_value_hist(spark, sf_dir):
+    """Fixed-width exact histogram of event values per type: map-side
+    bin projection (one shared floor((v-lo)/width) tree) + one
+    (key, bin) combinable aggregation. [0, 500) x 25 bins covers the
+    sf corpus (0.01..490); out-of-range rows are a pushed filter."""
+    from chronoxtract_spark.operators.histogram import value_histogram
+
+    return value_histogram(
+        _events(spark, sf_dir), keys="event_type", value_col="value",
+        lo=0.0, hi=500.0, n_bins=25,
+    )
+
+
+SQL_VALUE_HIST = """
+WITH b AS (
+  SELECT event_type, floor((value - 0.0) / 20.0)::BIGINT AS bin
+  FROM events WHERE value >= 0.0 AND value < 500.0
+)
+SELECT event_type, bin, 0.0 + bin * 20.0 AS bin_lo,
+       0.0 + (bin + 1) * 20.0 AS bin_hi, count(*)::BIGINT AS n
+FROM b GROUP BY 1, 2
+"""
+
+
+def q_top_props(spark, sf_dir):
+    """Exact top-5 most frequent props payloads per event type —
+    two-stage heavy hitters: (key, item) counts in one shuffle, rank
+    window over the count table, ties by item ascending."""
+    from chronoxtract_spark.operators.histogram import top_items
+
+    return top_items(
+        _events(spark, sf_dir), keys="event_type", item_col="props", k=5
+    )
+
+
+SQL_TOP_PROPS = """
+WITH c AS (
+  SELECT event_type, props AS item, count(*)::BIGINT AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, item, n,
+       row_number() OVER (PARTITION BY event_type
+                          ORDER BY n DESC, item)::BIGINT AS rank
+FROM c QUALIFY rank <= 5
+"""
+
+
+def q_cohort_retention(spark, sf_dir):
+    """User retention matrix: cohort = first active day, cells =
+    (cohort_day, day_offset) active counts + retained fraction. One
+    entity shuffle (dedup + first-day min co-located), one cell
+    aggregation; exact counts, one exact-integer division."""
+    from chronoxtract_spark.operators.cohort import cohort_retention
+
+    return cohort_retention(
+        _events(spark, sf_dir), entity_col="user_id", ts_col="ts",
+        max_offset=30,
+    )
+
+
+SQL_COHORT = """
+WITH active AS (
+  SELECT DISTINCT user_id AS ent, strftime(ts, '%Y-%m-%d') AS day
+  FROM events),
+firsts AS (SELECT ent, min(day) AS cohort_day FROM active GROUP BY 1),
+joined AS (
+  SELECT a.ent, f.cohort_day,
+         date_diff('day', strptime(f.cohort_day, '%Y-%m-%d')::DATE,
+                   strptime(a.day, '%Y-%m-%d')::DATE)::BIGINT AS day_offset
+  FROM active a JOIN firsts f ON f.ent = a.ent),
+cells AS (
+  SELECT cohort_day, day_offset, count(*)::BIGINT AS n_active
+  FROM joined WHERE day_offset <= 30 GROUP BY 1, 2),
+sizes AS (
+  SELECT cohort_day, count(*)::BIGINT AS cohort_size
+  FROM firsts GROUP BY 1)
+SELECT c.cohort_day, c.day_offset, c.n_active, s.cohort_size,
+       c.n_active::DOUBLE / s.cohort_size::DOUBLE AS retention
+FROM cells c JOIN sizes s ON s.cohort_day = c.cohort_day
+"""
+
+
+def q_corr_matrix(spark, sf_dir):
+    """Pairwise Pearson between all 5 event-type hourly count series
+    on one shared dense grid: the k^2/2 pair moments come from a
+    time-key co-located self-join of the (name, grid) counts — never
+    a raw-event cross join. Exact BIGINT sums, bit-exact corr."""
+    from chronoxtract_spark.operators.cohort import corr_matrix
+
+    return corr_matrix(
+        _events(spark, sf_dir), name_col="event_type", ts_col="ts",
+        step_s=3600,
+    )
+
+
+SQL_CORR_MATRIX = """
+WITH base AS (
+  SELECT event_type AS name,
+         epoch_us(ts) - epoch_us(ts) % 3600000000 AS g_us
+  FROM events),
+counts AS (SELECT name, g_us, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+span AS (SELECT min(g_us) AS g_lo, max(g_us) AS g_hi FROM counts),
+names AS (SELECT DISTINCT name FROM counts),
+spine AS (
+  SELECT n.name, g.g_us
+  FROM names n, span s,
+       unnest(generate_series(s.g_lo, s.g_hi, 3600000000)) AS g(g_us)),
+grid AS (
+  SELECT s.name, s.g_us, coalesce(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c ON c.name = s.name AND c.g_us = s.g_us),
+pairs AS (
+  SELECT a.name AS name1, b.name AS name2, a.c AS x, b.c AS y
+  FROM grid a JOIN grid b ON b.g_us = a.g_us AND a.name < b.name),
+sums AS (
+  SELECT name1, name2, count(*)::BIGINT AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx,
+         sum(y * y) AS syy, sum(x * y) AS sxy
+  FROM pairs GROUP BY 1, 2)
+SELECT name1, name2, n,
+       CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+             AND (n * syy - sy * sy)::DOUBLE > 0
+            THEN (n * sxy - sx * sy)::DOUBLE
+                 / sqrt((n * sxx - sx * sx)::DOUBLE
+                        * (n * syy - sy * sy)::DOUBLE)
+       END AS corr
+FROM sums
+"""
+
+
 _EXTRA_QUERIES = {
+    "value_hist": q_value_hist,
+    "top_props": q_top_props,
+    "cohort_retention": q_cohort_retention,
+    "corr_matrix": q_corr_matrix,
+    "holt": q_holt,
+    "funnel": q_funnel,
     "bm25": q_bm25,
     "profile": q_profile,
     "esd_outliers": q_esd_outliers,
@@ -6471,6 +6708,12 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "value_hist": SQL_VALUE_HIST,
+    "top_props": SQL_TOP_PROPS,
+    "cohort_retention": SQL_COHORT,
+    "corr_matrix": SQL_CORR_MATRIX,
+    "holt": SQL_HOLT,
+    "funnel": SQL_FUNNEL,
     "bm25": _sql_bm25(),
     "profile": _sql_profile(),
     "esd_outliers": _sql_esd_outliers(),
@@ -6559,20 +6802,26 @@ _PRIORITY_ORDER = [
     "chunk_layout", "retention_expiry", "gapfill_spans",
     # LLM-pipeline operators
     "contamination", "pack_sequences", "redactions", "sessionize",
-    "turn_latency", "hash_split", "stratified_sample", "dedup_exact",
+    "turn_latency", "stratified_sample", "dedup_exact",
     "ngram_jaccard", "minhash_lsh", "simhash", "dup_clusters",
     "embedding_near_dups", "knn_brute", "lsh_ann", "ivf_ann",
-    "quality_filter", "token_stats", "lang_id_pred", "lang_counts",
-    "doc_fingerprint", "media_features", "audio_features",
+    "quality_filter", "media_features", "audio_features",
     "repetition_stats", "tfidf_terms", "lang_mixture", "asof_join",
     "ewma_irregular",
     # newly oracled this round
     "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
     "enhanced_peak_stats",
-    # parity core
-    "summary_stats", "quantiles", "mode", "hjorth", "slope_shape",
-    "fvar", "variability_timescale", "rolling_mean", "rolling_variance",
-    "expanding_sum",
+    # round-4 operator surfaces: resample/counter/anomaly/downsample/
+    # retrieval — the highest-value NEW coverage for the driver's 50
+    # (token_stats/lang_id_pred/lang_counts/doc_fingerprint rotate out:
+    # simple column exprs, green in the r2+r3 driver artifacts)
+    "interp_grid", "time_weighted", "counter_resets", "state_durations",
+    "heartbeat_uptime", "hampel_outliers", "change_points",
+    "esd_outliers", "sax_words", "m4_hourly", "lttb", "rolling_corr",
+    "bm25", "profile", "bigram_lm",
+    # parity core stays OUT of the 50-cap: every one of these also has
+    # a bit-exact reference fixture (tests/test_kernel_*.py), so the
+    # driver slots go to operators whose only evidence is the oracle
 ]
 
 

@@ -151,6 +151,11 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "repetition_stats",
         "asof_join",
         "ewma_irregular",
+        "esd_outliers",
+        "lttb",
+        "m4_hourly",
+        "interp_grid",
+        "bm25",
     ]
     for name in bench_queries:
         t0 = time.time()

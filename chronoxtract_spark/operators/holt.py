@@ -1,0 +1,108 @@
+"""Holt linear-trend (double) exponential smoothing with h-step
+forecasts — the level+trend recurrence every capacity-planning tier
+runs over its rollup series (Holt 1957; the ETS(A,A,N) shape).
+
+The reference repo's EMA (kernel/rolling.py) is the single-state
+version; Holt adds the coupled trend state, which makes the recurrence
+a 2-state linear system:
+
+    l_t = alpha*y_t + (1-alpha)*(l_{t-1} + b_{t-1})
+    b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+with the standard init l_1 = y_1, b_1 = y_2 - y_1, and forecast
+``l_n + h*b_n``.
+
+Scale shape: the recurrence is irreducibly sequential PER SERIES (the
+ewma_irregular blocked-prefix trick does not extend to the coupled
+2x2 system with two distinct decay rates), so it runs as a per-series
+Arrow kernel via ``applyInPandas`` — one key shuffle, a float loop
+over the series inside the batch, O(series length) state. Series are
+bounded by construction (fixed-length rollup windows), which is the
+honest precondition: an unbounded series would need the block-matrix
+scan treatment.
+
+Oracle determinism: the kernel applies the update expressions in
+EXACTLY the order the oracle's recursive-CTE replay does (one shared
+IEEE tree per state update); inputs are integer counts, so l/b stay
+short float chains and both engines produce identical doubles. The
+one-step-ahead SSE accumulates in the same sequential order in both.
+Outputs are left unrounded.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType, LongType, StringType, StructField, StructType,
+)
+
+
+def holt_forecast(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    horizon: int = 3,
+) -> DataFrame:
+    """Fit Holt's linear method per series and emit ``horizon``
+    forecast rows per key plus the fitted terminal state.
+
+    Series shorter than 2 points yield no rows (the init needs two).
+    Returns ``key, h, forecast, level, trend, sse`` — ``h`` in
+    ``1..horizon``; ``level``/``trend``/``sse`` repeat the terminal
+    fit on every row (flat columns beat a second output shape).
+    """
+    if not (0.0 < alpha <= 1.0 and 0.0 <= beta <= 1.0):
+        raise ValueError("alpha in (0,1], beta in [0,1]")
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("h", LongType()),
+            StructField("forecast", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("sse", DoubleType()),
+        ]
+    )
+    a, bt, hz = float(alpha), float(beta), int(horizon)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ord", kind="mergesort")
+        y = pdf["v"].to_numpy(dtype=float)
+        if len(y) < 2:
+            return pd.DataFrame(
+                columns=["key", "h", "forecast", "level", "trend", "sse"]
+            ).astype(
+                {"key": str, "h": "int64", "forecast": float,
+                 "level": float, "trend": float, "sse": float}
+            )
+        key = pdf["key"].iloc[0]
+        # update order mirrored verbatim in the oracle's recursive CTE
+        lev = float(y[0])
+        trd = float(y[1]) - float(y[0])
+        sse = 0.0
+        for t in range(1, len(y)):
+            pred = lev + trd
+            err = float(y[t]) - pred
+            sse = sse + err * err
+            new_lev = a * float(y[t]) + (1.0 - a) * (lev + trd)
+            trd = bt * (new_lev - lev) + (1.0 - bt) * trd
+            lev = new_lev
+        rows = [
+            {"key": key, "h": h, "forecast": lev + h * trd,
+             "level": lev, "trend": trd, "sse": sse}
+            for h in range(1, hz + 1)
+        ]
+        return pd.DataFrame(rows)
+
+    base = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return base.groupBy("key").applyInPandas(kernel, out_schema)

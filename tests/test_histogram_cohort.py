@@ -1,0 +1,120 @@
+"""Tests: value histograms, exact heavy hitters, cohort retention,
+correlation matrices."""
+
+import numpy as np
+import pytest
+
+
+class TestHistogram:
+    def test_bins_and_clipping(self, spark):
+        from chronoxtract_spark.operators.histogram import value_histogram
+
+        vals = [0.0, 0.5, 9.99, 10.0, 25.0, -1.0, 100.0]  # last two clip
+        df = spark.createDataFrame(
+            [("k", v) for v in vals], "k string, v double"
+        )
+        out = {r.bin: r for r in
+               value_histogram(df, "k", "v", 0.0, 100.0, 10).collect()}
+        assert out[0].n == 3 and out[1].n == 1 and out[2].n == 1
+        assert out[0].bin_lo == 0.0 and out[0].bin_hi == 10.0
+        assert sum(r.n for r in out.values()) == 5  # -1 and 100 clipped
+
+    def test_matches_numpy(self, spark):
+        from chronoxtract_spark.operators.histogram import value_histogram
+
+        rng = np.random.RandomState(17)
+        v = rng.uniform(0, 50, 500)
+        df = spark.createDataFrame(
+            [("k", float(x)) for x in v], "k string, v double"
+        )
+        out = {r.bin: r.n for r in
+               value_histogram(df, "k", "v", 0.0, 50.0, 10).collect()}
+        ref, _ = np.histogram(v, bins=10, range=(0, 50))
+        for i, n in enumerate(ref):
+            assert out.get(i, 0) == n
+
+    def test_validation(self, spark):
+        from chronoxtract_spark.operators.histogram import value_histogram
+
+        df = spark.createDataFrame([("k", 1.0)], "k string, v double")
+        with pytest.raises(ValueError):
+            value_histogram(df, "k", "v", 5.0, 5.0, 10)
+
+
+class TestTopItems:
+    def test_rank_and_ties(self, spark):
+        from chronoxtract_spark.operators.histogram import top_items
+
+        rows = [("g", x) for x in
+                ["a"] * 5 + ["b"] * 3 + ["c"] * 3 + ["d"] * 1]
+        df = spark.createDataFrame(rows, "g string, item string")
+        out = sorted(top_items(df, "g", "item", k=3).collect(),
+                     key=lambda r: r.rank)
+        assert [(r.item, r.n) for r in out] == [("a", 5), ("b", 3), ("c", 3)]
+
+
+class TestCohort:
+    def test_retention_matrix(self, spark):
+        from chronoxtract_spark.operators.cohort import cohort_retention
+
+        rows = [
+            # cohort 01-01: u1 (days 0, 1), u2 (day 0 only)
+            (1, "2024-01-01 10:00:00"), (1, "2024-01-02 09:00:00"),
+            (2, "2024-01-01 23:59:59"),
+            # cohort 01-02: u3 (days 0 and 2)
+            (3, "2024-01-02 01:00:00"), (3, "2024-01-04 01:00:00"),
+            # duplicate activity same day must not double count
+            (1, "2024-01-01 11:00:00"),
+        ]
+        df = spark.createDataFrame(rows, "u long, ts string")
+        out = {(r.cohort_day, r.day_offset): r for r in
+               cohort_retention(df, "u", "ts").collect()}
+        assert out[("2024-01-01", 0)].n_active == 2
+        assert out[("2024-01-01", 0)].cohort_size == 2
+        assert out[("2024-01-01", 1)].n_active == 1
+        assert out[("2024-01-01", 1)].retention == pytest.approx(0.5)
+        assert out[("2024-01-02", 2)].n_active == 1
+        assert ("2024-01-02", 1) not in out
+
+    def test_max_offset(self, spark):
+        from chronoxtract_spark.operators.cohort import cohort_retention
+
+        rows = [(1, "2024-01-01 10:00:00"), (1, "2024-03-01 10:00:00")]
+        df = spark.createDataFrame(rows, "u long, ts string")
+        out = cohort_retention(df, "u", "ts", max_offset=7).collect()
+        assert {r.day_offset for r in out} == {0}
+
+
+class TestCorrMatrix:
+    def test_pairs_and_values(self, spark):
+        from chronoxtract_spark.operators.cohort import corr_matrix
+
+        # a fires every minute 0-9; b fires with a (perfect corr);
+        # c fires only when a doesn't (anti)
+        rows = []
+        for m in range(10):
+            n_a = 3 if m % 2 == 0 else 1
+            for _ in range(n_a):
+                rows.append(("a", f"2024-01-01 00:{m:02d}:00"))
+                rows.append(("b", f"2024-01-01 00:{m:02d}:30"))
+            for _ in range(4 - n_a):
+                rows.append(("c", f"2024-01-01 00:{m:02d}:10"))
+        df = spark.createDataFrame(rows, "name string, ts string")
+        out = {(r.name1, r.name2): r for r in
+               corr_matrix(df, "name", "ts", step_s=60).collect()}
+        assert set(out) == {("a", "b"), ("a", "c"), ("b", "c")}
+        assert all(r.n == 10 for r in out.values())
+        assert out[("a", "b")].corr == pytest.approx(1.0)
+        assert out[("a", "c")].corr == pytest.approx(-1.0)
+
+    def test_constant_series_null(self, spark):
+        from chronoxtract_spark.operators.cohort import corr_matrix
+
+        rows = []
+        for m in range(5):
+            rows.append(("x", f"2024-01-01 00:{m:02d}:00"))  # constant 1
+            for _ in range(m + 1):
+                rows.append(("y", f"2024-01-01 00:{m:02d}:00"))
+        df = spark.createDataFrame(rows, "name string, ts string")
+        r = corr_matrix(df, "name", "ts", step_s=60).collect()[0]
+        assert r.corr is None
