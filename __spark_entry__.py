@@ -6629,7 +6629,137 @@ FROM sums
 """
 
 
+def q_pmi(spark, sf_dir):
+    """Top-50 term pairs by document-co-occurrence PMI, vocabulary
+    bounded UP FRONT to the 100 most document-frequent terms
+    (broadcast) so the pair explosion is O(vocab^2) per doc, never
+    O(L^2) raw. PMI rounds to 6 before ranking, (t1, t2) tie pin."""
+    from chronoxtract_spark.operators.corpus_lm import pmi_pairs
+
+    return pmi_pairs(
+        _documents(spark, sf_dir), vocab_k=100, min_pair_docs=5, top_k=50
+    )
+
+
+SQL_PMI = """
+WITH toks AS (
+  SELECT doc_id AS doc,
+         unnest(list_distinct(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+           AS term
+  FROM documents),
+docfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
+vocab AS (
+  SELECT term, df FROM (
+    SELECT *, row_number() OVER (ORDER BY df DESC, term) AS vrank
+    FROM docfreq)
+  WHERE vrank <= 100),
+kept AS (SELECT t.doc, t.term, v.df FROM toks t JOIN vocab v USING (term)),
+pairs AS (
+  SELECT a.term AS t1, a.df AS df1, b.term AS t2, b.df AS df2
+  FROM kept a JOIN kept b ON b.doc = a.doc AND a.term < b.term),
+counts AS (
+  SELECT t1, t2, df1, df2, count(*)::BIGINT AS n_docs_pair
+  FROM pairs GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5),
+n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+scored AS (
+  SELECT t1, t2, n_docs_pair, df1::BIGINT AS df1, df2::BIGINT AS df2,
+         round(ln(n.n_docs::DOUBLE * n_docs_pair::DOUBLE
+                  / (df1::DOUBLE * df2::DOUBLE)), 6) AS pmi
+  FROM counts, n)
+SELECT *, row_number() OVER (ORDER BY pmi DESC, t1, t2)::BIGINT AS rank
+FROM scored QUALIFY rank <= 50
+"""
+
+
+def q_zipf(spark, sf_dir):
+    """Zipf rank-frequency OLS over the top-200 terms: one token
+    shuffle, a vocabulary-sized rank window, one driver-sized
+    aggregation for the ln-ln fit. Exact ranks/counts; coefficients
+    round to 6 (ln + sum association noise)."""
+    from chronoxtract_spark.operators.corpus_lm import zipf_fit
+
+    return zipf_fit(_documents(spark, sf_dir), top_n=200)
+
+
+SQL_ZIPF = """
+WITH toks AS (
+  SELECT unnest(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  FROM documents),
+freq AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
+ranked AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (ORDER BY freq DESC, term) AS rank
+    FROM freq)
+  WHERE rank <= 200),
+fit AS (
+  SELECT count(*)::BIGINT AS n_terms,
+         sum(ln(rank::DOUBLE)) AS sx, sum(ln(freq::DOUBLE)) AS sy,
+         sum(ln(rank::DOUBLE) * ln(rank::DOUBLE)) AS sxx,
+         sum(ln(freq::DOUBLE) * ln(freq::DOUBLE)) AS syy,
+         sum(ln(rank::DOUBLE) * ln(freq::DOUBLE)) AS sxy,
+         sum(freq)::BIGINT AS total_tokens
+  FROM ranked)
+SELECT n_terms,
+       round(CASE WHEN n_terms * sxx - sx * sx > 0
+             THEN (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx)
+             END, 6) AS slope,
+       round(CASE WHEN n_terms * sxx - sx * sx > 0
+             THEN (sy - ((n_terms * sxy - sx * sy)
+                         / (n_terms * sxx - sx * sx)) * sx) / n_terms
+             END, 6) AS intercept,
+       round(CASE WHEN n_terms * sxx - sx * sx > 0
+                   AND n_terms * syy - sy * sy > 0
+             THEN ((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy))
+                  / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy))
+             END, 6) AS r2,
+       total_tokens
+FROM fit
+"""
+
+
+def q_seasonal_anomaly(spark, sf_dir):
+    """Hour-of-day seasonal baselining: each (event_type, hour) slot
+    learns mean/population-std over the month's days from exact
+    integer sums (one combinable aggregation), observations join back
+    on the SAME (key, slot) grouping and flag |z| > 3. Bit-exact —
+    single float chains over exact integers, no rounding."""
+    from chronoxtract_spark.operators.baseline import seasonal_anomalies
+
+    return seasonal_anomalies(
+        _hourly_count_series(spark, sf_dir),
+        keys="event_type", slot_col="hr", order_col="day", value_col="c",
+        z_threshold=3.0,
+    )
+
+
+SQL_SEASONAL_ANOMALY = f"""
+WITH {_SQL_HOURLY_SERIES.strip().rstrip(')')}),
+prof AS (
+  SELECT event_type, hr AS slot, count(*)::BIGINT AS n_obs,
+         sum(c::DOUBLE) AS s1, sum(c::DOUBLE * c::DOUBLE) AS s2
+  FROM series GROUP BY 1, 2),
+p2 AS (
+  SELECT event_type, slot, n_obs,
+         s1 / n_obs::DOUBLE AS mean,
+         sqrt((s2 - s1 * s1 / n_obs::DOUBLE) / n_obs::DOUBLE) AS std
+  FROM prof),
+j AS (
+  SELECT s.event_type, s.hr AS slot, s.day, s.c::DOUBLE AS v,
+         p.mean, p.std,
+         CASE WHEN p.std > 0 THEN (s.c::DOUBLE - p.mean) / p.std END AS z
+  FROM series s JOIN p2 p ON p.event_type = s.event_type AND p.slot = s.hr)
+SELECT event_type, slot, day, v AS value, mean AS slot_mean,
+       std AS slot_std, z
+FROM j WHERE abs(z) > 3.0
+"""
+
+
 _EXTRA_QUERIES = {
+    "pmi": q_pmi,
+    "zipf": q_zipf,
+    "seasonal_anomaly": q_seasonal_anomaly,
     "value_hist": q_value_hist,
     "top_props": q_top_props,
     "cohort_retention": q_cohort_retention,
@@ -6708,6 +6838,9 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "pmi": SQL_PMI,
+    "zipf": SQL_ZIPF,
+    "seasonal_anomaly": SQL_SEASONAL_ANOMALY,
     "value_hist": SQL_VALUE_HIST,
     "top_props": SQL_TOP_PROPS,
     "cohort_retention": SQL_COHORT,
