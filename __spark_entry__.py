@@ -6756,7 +6756,45 @@ FROM j WHERE abs(z) > 3.0
 """
 
 
+def q_skew_report(spark, sf_dir):
+    """Key-skew pre-flight over the user_id activity distribution:
+    one raw-row count aggregation, then rank + Gini + exact ceil(p*n)
+    order statistics on the key-size table (the small side). The
+    0.99 percentile literal is CAST('0.99' AS DOUBLE) in the oracle —
+    DuckDB's bare-decimal arithmetic would ceil a different product
+    than Spark's double path. Bit-exact, no rounding."""
+    from chronoxtract_spark.operators.skew import skew_report
+
+    return skew_report(_events(spark, sf_dir), keys="user_id", top_k=5)
+
+
+SQL_SKEW_REPORT = """
+WITH sizes AS (SELECT user_id, count(*) AS c FROM events GROUP BY 1),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c, user_id) AS i,
+         count(*) OVER () AS nk
+  FROM sizes),
+agg AS (
+  SELECT max(nk)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
+         max(c)::BIGINT AS max_key_rows, sum(i * c) AS swx,
+         sum(CASE WHEN i > nk - 5 THEN c END)::BIGINT AS top_rows,
+         max(CASE WHEN i = ceil(CAST('0.5' AS DOUBLE) * nk) THEN c
+             END)::BIGINT AS p50_key_rows,
+         max(CASE WHEN i = ceil(CAST('0.99' AS DOUBLE) * nk) THEN c
+             END)::BIGINT AS p99_key_rows
+  FROM ranked)
+SELECT n_rows, n_keys, max_key_rows,
+       top_rows::DOUBLE / n_rows::DOUBLE AS top_share,
+       p50_key_rows, p99_key_rows,
+       p99_key_rows::DOUBLE / p50_key_rows::DOUBLE AS p99_p50_ratio,
+       2.0 * swx::DOUBLE / (n_keys::DOUBLE * n_rows::DOUBLE)
+         - (n_keys::DOUBLE + 1.0) / n_keys::DOUBLE AS gini
+FROM agg
+"""
+
+
 _EXTRA_QUERIES = {
+    "skew_report": q_skew_report,
     "pmi": q_pmi,
     "zipf": q_zipf,
     "seasonal_anomaly": q_seasonal_anomaly,
@@ -6838,6 +6876,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "skew_report": SQL_SKEW_REPORT,
     "pmi": SQL_PMI,
     "zipf": SQL_ZIPF,
     "seasonal_anomaly": SQL_SEASONAL_ANOMALY,

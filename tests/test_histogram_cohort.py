@@ -118,3 +118,31 @@ class TestCorrMatrix:
         df = spark.createDataFrame(rows, "name string, ts string")
         r = corr_matrix(df, "name", "ts", step_s=60).collect()[0]
         assert r.corr is None
+
+
+class TestSkewReport:
+    def test_uniform_keys(self, spark):
+        from chronoxtract_spark.operators.skew import skew_report
+
+        rows = [(f"k{i}", j) for i in range(10) for j in range(4)]
+        df = spark.createDataFrame(rows, "k string, x long")
+        r = skew_report(df, "k", top_k=2).collect()[0]
+        assert (r.n_rows, r.n_keys, r.max_key_rows) == (40, 10, 4)
+        assert r.top_share == pytest.approx(8 / 40)
+        assert r.p50_key_rows == 4 and r.p99_key_rows == 4
+        assert r.gini == pytest.approx(0.0)
+
+    def test_mega_key(self, spark):
+        from chronoxtract_spark.operators.skew import skew_report
+
+        rows = [("mega", j) for j in range(96)]
+        rows += [(f"k{i}", 0) for i in range(4)]
+        df = spark.createDataFrame(rows, "k string, x long")
+        r = skew_report(df, "k", top_k=1).collect()[0]
+        assert r.max_key_rows == 96
+        assert r.top_share == pytest.approx(0.96)
+        # gini vs a straight-loop reference
+        sizes = sorted([96, 1, 1, 1, 1])
+        n, tot = len(sizes), sum(sizes)
+        swx = sum((i + 1) * c for i, c in enumerate(sizes))
+        assert r.gini == pytest.approx(2 * swx / (n * tot) - (n + 1) / n)

@@ -44,6 +44,17 @@ EXPECTED_FLAGS = {
     "tfidf_terms": "BNLJ = broadcast of the 1-row corpus-size scalar "
     "(N for the idf denominator) onto the tf table; the term "
     "document-frequency join is a broadcast hash equi-join",
+    "bigram_lm": "BNLJ = broadcast of the 1-row corpus vocabulary-size "
+    "scalar (V for add-one smoothing) onto the vocab-sized bigram "
+    "model; the bigram joins are broadcast hash equi-joins",
+    "bm25": "BNLJ = broadcast of the 1-row (N, avgdl) corpus-stats "
+    "scalar onto matched tf rows; query terms and doc freqs are "
+    "broadcast hash equi-joins",
+    "pmi": "BNLJ = broadcast of the 1-row corpus-size scalar (N in "
+    "the PMI numerator) onto the bounded pair-count table",
+    "corr_matrix": "BNLJ = broadcast of the 1-row global (g_lo, g_hi) "
+    "span onto the handful of series names to build the dense spine; "
+    "the pair moments come from a time-key hash equi-join",
 }
 
 
