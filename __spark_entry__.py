@@ -6793,7 +6793,67 @@ FROM agg
 """
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per (event_type, day) 24-hour count
+    series: exact median of all pairwise slopes (each ONE division of
+    exact integers), then exact median of intercept residuals. The
+    O(n^2) pair set is a per-series constant (n=24) — the documented
+    boundary of the estimator; the self-join is co-located on the
+    series key. Bit-exact, no rounding."""
+    from chronoxtract_spark.operators.robust import theil_sen
+
+    return theil_sen(
+        _hourly_count_series(spark, sf_dir),
+        keys=["event_type", "day"], order_col="hr", value_col="c",
+    )
+
+
+SQL_THEIL_SEN = f"""
+WITH {_SQL_HOURLY_SERIES.strip().rstrip(')')}),
+base AS (
+  -- hr is the dense 0..23 index, so row_number()-1 == hr
+  SELECT event_type, day, hr AS x, c::DOUBLE AS y FROM series),
+pairs AS (
+  SELECT a.event_type, a.day,
+         (b.y - a.y) / (b.x - a.x)::DOUBLE AS s
+  FROM base a JOIN base b
+    ON b.event_type = a.event_type AND b.day = a.day AND b.x > a.x),
+sr AS (
+  SELECT event_type, day, s,
+         row_number() OVER (PARTITION BY event_type, day ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM pairs),
+slopes AS (
+  SELECT event_type, day, sum(s) / count(*) AS med_s
+  FROM sr
+  WHERE rn = floor((n + 1) / 2.0) OR rn = floor((n + 2) / 2.0)
+  GROUP BY 1, 2),
+resid AS (
+  SELECT b.event_type, b.day, b.y - sl.med_s * b.x::DOUBLE AS r
+  FROM base b JOIN slopes sl
+    ON sl.event_type = b.event_type AND sl.day = b.day),
+rr AS (
+  SELECT event_type, day, r,
+         row_number() OVER (PARTITION BY event_type, day ORDER BY r) AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM resid),
+intercepts AS (
+  SELECT event_type, day, sum(r) / count(*) AS med_r
+  FROM rr
+  WHERE rn = floor((n + 1) / 2.0) OR rn = floor((n + 2) / 2.0)
+  GROUP BY 1, 2),
+counts AS (
+  SELECT event_type, day, count(*)::BIGINT AS n FROM base GROUP BY 1, 2)
+SELECT c.event_type, c.day, c.n, sl.med_s AS slope, ic.med_r AS intercept
+FROM counts c
+JOIN slopes sl ON sl.event_type = c.event_type AND sl.day = c.day
+JOIN intercepts ic ON ic.event_type = c.event_type AND ic.day = c.day
+WHERE c.n >= 2
+"""
+
+
 _EXTRA_QUERIES = {
+    "theil_sen": q_theil_sen,
     "skew_report": q_skew_report,
     "pmi": q_pmi,
     "zipf": q_zipf,
@@ -6876,6 +6936,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "theil_sen": SQL_THEIL_SEN,
     "skew_report": SQL_SKEW_REPORT,
     "pmi": SQL_PMI,
     "zipf": SQL_ZIPF,

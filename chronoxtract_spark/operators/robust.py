@@ -1,0 +1,94 @@
+"""Robust trend estimation: the Theil–Sen slope — the median of all
+pairwise slopes — per series, with its intercept (median of
+``y - slope*x``). The breakdown-resistant alternative to the OLS
+slope the repo already serves (kernel/shape.py slope features,
+paired.py rolling beta): a single mega-spike moves OLS arbitrarily
+but shifts Theil–Sen by one rank.
+
+Scale shape: the pairwise slope set is O(n^2) PER SERIES by
+definition, so the operator is bounded to fixed-length series (the
+tier's rollup windows — 24h days, 60m hours), where n^2 is a
+constant: one series-key shuffle, a self-join co-located on that key,
+and an exact-median rank pass. For unbounded series you would swap in
+the repeated-median or a sampled estimator; that trade-off is the
+documented boundary.
+
+Oracle determinism: x is the integer order index and y integer
+counts, so every pairwise slope is ONE division of exact integers —
+identical doubles in both engines. The exact median (sorted, mean of
+the two middles on even counts) compares and averages those identical
+doubles: bit-exact, no rounding. Slope ties are harmless (equal
+values, any order) and the median-of-intercepts reuses the same
+machinery.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _exact_median(df: DataFrame, keys: list[str], val: str) -> DataFrame:
+    """Exact median of ``val`` per key: sorted rank pass, middle
+    element or mean of the two middles."""
+    w = Window.partitionBy(*keys).orderBy(F.asc(val))
+    ranked = df.select(
+        *keys, F.col(val),
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy(*keys)).alias("n"),
+    )
+    lo = (F.col("n") + 1) / 2
+    hi = (F.col("n") + 2) / 2
+    picked = ranked.where(
+        (F.col("rn") == F.floor(lo)) | (F.col("rn") == F.floor(hi))
+    )
+    return picked.groupBy(*keys).agg(
+        (F.sum(val) / F.count("*")).alias(f"med_{val}")
+    )
+
+
+def theil_sen(
+    df: DataFrame,
+    keys: list[str] | str,
+    order_col: str,
+    value_col: str,
+) -> DataFrame:
+    """Theil–Sen estimator per series: ``slope`` = exact median of
+    ``(y_j - y_i) / (x_j - x_i)`` over all pairs ``x_j > x_i`` (x =
+    the dense 0-based order index), ``intercept`` = exact median of
+    ``y_i - slope * x_i``. Series need >= 2 points.
+
+    Returns ``keys..., n, slope, intercept``.
+    """
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    wo = Window.partitionBy(*keys).orderBy(order_col)
+    base = df.select(
+        *keys,
+        (F.row_number().over(wo) - 1).alias("x"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+    a = base.select(*keys, F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = base.select(*keys, F.col("x").alias("xj"), F.col("y").alias("yj"))
+    pairs = a.join(b, keys).where(F.col("xj") > F.col("xi")).select(
+        *keys,
+        ((F.col("yj") - F.col("yi"))
+         / (F.col("xj") - F.col("xi")).cast("double")).alias("s"),
+    )
+    slopes = _exact_median(pairs, keys, "s")
+    n = base.groupBy(*keys).agg(F.count("*").cast("long").alias("n"))
+    resid = base.join(slopes, keys).select(
+        *keys,
+        (F.col("y") - F.col("med_s") * F.col("x").cast("double"))
+        .alias("r"),
+    )
+    intercepts = _exact_median(resid, keys, "r")
+    return (
+        n.join(slopes, keys)
+        .join(intercepts, keys)
+        .where(F.col("n") >= 2)
+        .select(
+            *keys, "n",
+            F.col("med_s").alias("slope"),
+            F.col("med_r").alias("intercept"),
+        )
+    )

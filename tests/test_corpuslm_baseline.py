@@ -102,3 +102,48 @@ class TestSeasonalBaseline:
         rows = [("k", 0, d, 5) for d in range(10)]
         df = spark.createDataFrame(rows, "k string, hr int, day long, c long")
         assert seasonal_anomalies(df, "k", "hr", "day", "c").count() == 0
+
+
+class TestTheilSen:
+    def test_clean_line_with_outlier(self, spark):
+        from chronoxtract_spark.operators.robust import theil_sen
+
+        # y = 3x + 2 with one mega-outlier: Theil-Sen shrugs it off
+        vals = [3.0 * x + 2.0 for x in range(12)]
+        vals[6] = 500.0
+        df = spark.createDataFrame(
+            [("s", i, v) for i, v in enumerate(vals)],
+            "k string, i long, v double",
+        )
+        r = theil_sen(df, "k", "i", "v").collect()[0]
+        assert r.n == 12
+        assert r.slope == pytest.approx(3.0)
+        assert r.intercept == pytest.approx(2.0)
+
+    def test_matches_reference_loop(self, spark):
+        from chronoxtract_spark.operators.robust import theil_sen
+
+        rng = np.random.RandomState(41)
+        y = rng.randint(0, 40, size=15).astype(float)
+        slopes = sorted(
+            (y[j] - y[i]) / (j - i)
+            for i in range(15) for j in range(i + 1, 15)
+        )
+        m = len(slopes)
+        med = (slopes[(m - 1) // 2] + slopes[m // 2]) / 2
+        resid = sorted(y[i] - med * i for i in range(15))
+        med_i = (resid[7] + resid[7]) / 2  # odd count: middle element
+        df = spark.createDataFrame(
+            [("s", i, float(v)) for i, v in enumerate(y)],
+            "k string, i long, v double",
+        )
+        r = theil_sen(df, "k", "i", "v").collect()[0]
+        assert r.slope == pytest.approx(med, abs=0)
+        assert r.intercept == pytest.approx(med_i, abs=0)
+
+    def test_single_point_no_row(self, spark):
+        from chronoxtract_spark.operators.robust import theil_sen
+
+        df = spark.createDataFrame([("s", 0, 1.0)],
+                                   "k string, i long, v double")
+        assert theil_sen(df, "k", "i", "v").count() == 0
