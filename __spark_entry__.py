@@ -6852,7 +6852,177 @@ WHERE c.n >= 2
 """
 
 
+def q_ops_health(spark, sf_dir):
+    """END-TO-END serving-tier composition (the curate_corpus pattern
+    for the observability stack): ONE shared dense hourly series feeds
+    five round-4 operators — volume/peak stats, Theil-Sen trend,
+    generalized-ESD outlier count, the best single change point, and
+    seasonal-baseline anomaly count — joined into a per-(event_type,
+    day) health row. Every constituent is independently oracle-exact;
+    the composite oracle chains the identical formulas over the same
+    series CTE, so the composition is exact end-to-end. All joins are
+    tiny per-(type, day) aggregates co-located on the series key."""
+    from chronoxtract_spark.operators.anomaly import (
+        change_points, esd_outliers,
+    )
+    from chronoxtract_spark.operators.baseline import seasonal_anomalies
+    from chronoxtract_spark.operators.robust import theil_sen
+
+    series = _hourly_count_series(spark, sf_dir)
+    keys = ["event_type", "day"]
+
+    wp = W.partitionBy(*keys).orderBy(
+        F.desc("c"), F.asc("hr")
+    )
+    vol = (
+        series.withColumn("pk", F.row_number().over(wp))
+        .groupBy(*keys)
+        .agg(
+            F.sum("c").cast("long").alias("n_events"),
+            F.max(F.when(F.col("pk") == 1, F.col("hr")))
+            .cast("long").alias("peak_hour"),
+            F.max(F.when(F.col("pk") == 1, F.col("c")))
+            .cast("long").alias("peak_count"),
+        )
+    )
+    trend = theil_sen(series, keys, "hr", "c").select(
+        *keys, F.col("slope").alias("ts_slope")
+    )
+    esd = (
+        esd_outliers(series, keys, "hr", "c", series_n=24, k=3)
+        .groupBy(*keys)
+        .agg(F.count("*").cast("long").alias("n_esd_outliers"))
+    )
+    cp = change_points(series, keys, "hr", "c").select(
+        *keys,
+        F.col("split_at").cast("long").alias("cp_split_at"),
+        F.col("gain").alias("cp_gain"),
+    )
+    seas = (
+        seasonal_anomalies(series, "event_type", "hr", "day", "c",
+                           z_threshold=3.0)
+        .groupBy(*keys)
+        .agg(F.count("*").cast("long").alias("n_seasonal_anomalies"))
+    )
+    out = (
+        vol.join(trend, keys, "left")
+        .join(esd, keys, "left")
+        .join(cp, keys, "left")
+        .join(seas, keys, "left")
+        .select(
+            *keys, "n_events", "peak_hour", "peak_count", "ts_slope",
+            F.coalesce("n_esd_outliers", F.lit(0)).cast("long")
+            .alias("n_esd_outliers"),
+            "cp_split_at", "cp_gain",
+            F.coalesce("n_seasonal_anomalies", F.lit(0)).cast("long")
+            .alias("n_seasonal_anomalies"),
+        )
+    )
+    return out
+
+
+def _sql_ops_health():
+    # every block below re-states a constituent's already-oracle-exact
+    # formula over the SAME shared series CTE (theil_sen / esd /
+    # change_points / seasonal_anomaly query oracles), re-keyed to the
+    # health-row grouping. The ESD round ladder is spliced verbatim
+    # from its own oracle (r0..fin), so the two can never drift.
+    esd_sql = _sql_esd_outliers()
+    esd_rounds = esd_sql[esd_sql.index("r0 AS"):
+                         esd_sql.index("SELECT event_type, day, hr, v AS value")]
+    esd_rounds = esd_rounds.rstrip().rstrip(",")
+    return f"""
+WITH {_SQL_HOURLY_SERIES.strip().rstrip(')')}),
+vol AS (
+  SELECT event_type, day, sum(c)::BIGINT AS n_events,
+         max(CASE WHEN pk = 1 THEN hr END)::BIGINT AS peak_hour,
+         max(CASE WHEN pk = 1 THEN c END)::BIGINT AS peak_count
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY c DESC, hr) AS pk
+        FROM series)
+  GROUP BY 1, 2),
+tsbase AS (SELECT event_type, day, hr AS x, c::DOUBLE AS y FROM series),
+tspairs AS (
+  SELECT a.event_type, a.day, (b.y - a.y) / (b.x - a.x)::DOUBLE AS s
+  FROM tsbase a JOIN tsbase b
+    ON b.event_type = a.event_type AND b.day = a.day AND b.x > a.x),
+tsr AS (
+  SELECT event_type, day, s,
+         row_number() OVER (PARTITION BY event_type, day ORDER BY s) AS rn,
+         count(*) OVER (PARTITION BY event_type, day) AS n
+  FROM tspairs),
+trend AS (
+  SELECT event_type, day, sum(s) / count(*) AS ts_slope
+  FROM tsr
+  WHERE rn = floor((n + 1) / 2.0) OR rn = floor((n + 2) / 2.0)
+  GROUP BY 1, 2),
+{esd_rounds},
+esd AS (
+  SELECT event_type, day, count(*)::BIGINT AS n_esd_outliers
+  FROM fin WHERE rm IS NOT NULL AND rm <= n_out GROUP BY 1, 2),
+cp1 AS (
+  SELECT event_type, day, hr, c::BIGINT AS v,
+         row_number() OVER w AS rn,
+         sum(c::BIGINT) OVER (PARTITION BY event_type, day ORDER BY hr
+                              ROWS UNBOUNDED PRECEDING) AS s1,
+         sum(c::BIGINT * c::BIGINT)
+           OVER (PARTITION BY event_type, day ORDER BY hr
+                 ROWS UNBOUNDED PRECEDING) AS s2
+  FROM series
+  WINDOW w AS (PARTITION BY event_type, day ORDER BY hr)),
+cp2 AS (
+  SELECT *,
+         count(*) OVER (PARTITION BY event_type, day) AS n,
+         max_by(s1, rn) OVER (PARTITION BY event_type, day) AS t1,
+         max_by(s2, rn) OVER (PARTITION BY event_type, day) AS t2
+  FROM cp1),
+cpc AS (
+  SELECT event_type, day, hr, rn, n,
+         (s2::DOUBLE - (s1::DOUBLE * s1::DOUBLE) / rn::DOUBLE)
+         + ((t2 - s2)::DOUBLE
+            - ((t1 - s1)::DOUBLE * (t1 - s1)::DOUBLE)
+              / (n::DOUBLE - rn::DOUBLE)) AS sse,
+         t2::DOUBLE - (t1::DOUBLE * t1::DOUBLE) / n::DOUBLE AS sse_tot
+  FROM cp2 WHERE rn < n),
+cp AS (
+  SELECT event_type, day, hr::BIGINT AS cp_split_at,
+         sse_tot - sse AS cp_gain
+  FROM (SELECT *, row_number() OVER (PARTITION BY event_type, day
+                                     ORDER BY sse, rn) AS pick
+        FROM cpc)
+  WHERE pick = 1),
+sprof AS (
+  SELECT event_type, hr AS slot, count(*)::BIGINT AS n_obs,
+         sum(c::DOUBLE) AS s1, sum(c::DOUBLE * c::DOUBLE) AS s2
+  FROM series GROUP BY 1, 2),
+sp2 AS (
+  SELECT event_type, slot,
+         s1 / n_obs::DOUBLE AS mean,
+         sqrt((s2 - s1 * s1 / n_obs::DOUBLE) / n_obs::DOUBLE) AS std
+  FROM sprof),
+seas AS (
+  SELECT s.event_type, s.day, count(*)::BIGINT AS n_seasonal_anomalies
+  FROM series s JOIN sp2 p
+    ON p.event_type = s.event_type AND p.slot = s.hr
+  WHERE p.std > 0
+    AND abs((s.c::DOUBLE - p.mean) / p.std) > 3.0
+  GROUP BY 1, 2)
+SELECT v.event_type, v.day, v.n_events, v.peak_hour, v.peak_count,
+       t.ts_slope,
+       coalesce(e.n_esd_outliers, 0)::BIGINT AS n_esd_outliers,
+       c.cp_split_at, c.cp_gain,
+       coalesce(se.n_seasonal_anomalies, 0)::BIGINT
+         AS n_seasonal_anomalies
+FROM vol v
+LEFT JOIN trend t ON t.event_type = v.event_type AND t.day = v.day
+LEFT JOIN esd e ON e.event_type = v.event_type AND e.day = v.day
+LEFT JOIN cp c ON c.event_type = v.event_type AND c.day = v.day
+LEFT JOIN seas se ON se.event_type = v.event_type AND se.day = v.day
+"""
+
+
 _EXTRA_QUERIES = {
+    "ops_health": q_ops_health,
     "theil_sen": q_theil_sen,
     "skew_report": q_skew_report,
     "pmi": q_pmi,
@@ -6936,6 +7106,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "ops_health": _sql_ops_health(),
     "theil_sen": SQL_THEIL_SEN,
     "skew_report": SQL_SKEW_REPORT,
     "pmi": SQL_PMI,
@@ -7030,12 +7201,13 @@ _BASE_QUERIES = queries
 # and the queries newly oracled each round. The full registry is
 # recorded every round by tools/check_oracle.py --json (CORRECTNESS_local.json).
 _PRIORITY_ORDER = [
-    # flagship composition + rollup engine
-    "curate_corpus", "rollup_tiers", "rollup_1d", "rollup_quantiles",
+    # flagship compositions + rollup engine
+    "curate_corpus", "ops_health", "rollup_tiers", "rollup_1d",
+    "rollup_quantiles",
     "chunk_layout", "retention_expiry", "gapfill_spans",
     # LLM-pipeline operators
     "contamination", "pack_sequences", "redactions", "sessionize",
-    "turn_latency", "stratified_sample", "dedup_exact",
+    "turn_latency", "stratified_sample",
     "ngram_jaccard", "minhash_lsh", "simhash", "dup_clusters",
     "embedding_near_dups", "knn_brute", "lsh_ann", "ivf_ann",
     "quality_filter", "media_features", "audio_features",
