@@ -156,6 +156,8 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "m4_hourly",
         "interp_grid",
         "bm25",
+        "ops_health",
+        "theil_sen",
     ]
     for name in bench_queries:
         t0 = time.time()
