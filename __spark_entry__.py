@@ -7021,7 +7021,129 @@ LEFT JOIN seas se ON se.event_type = v.event_type AND se.day = v.day
 """
 
 
+def q_locf_grid(spark, sf_dir):
+    """LOCF resampling onto the 1h grid (TimescaleDB ``locf``, the
+    step-function sibling of interp_grid): same single-shuffle union +
+    backward ignorenulls window, no forward pass. Bit-exact by
+    construction — the output IS an input value."""
+    from chronoxtract_spark.operators.resample import locf_grid
+
+    return locf_grid(
+        _events(spark, sf_dir), keys="event_type", ts_col="ts",
+        value_col="value", step_s=3600,
+    )
+
+
+SQL_LOCF_GRID = """
+WITH obs AS (
+  SELECT event_type, epoch_us(ts) AS t_us, min(value) AS v
+  FROM events GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(t_us) AS t_lo, max(t_us) AS t_hi FROM obs GROUP BY 1
+),
+grid AS (
+  SELECT event_type, g.t_us
+  FROM span, unnest(generate_series(
+    ((t_lo + 3599999999) // 3600000000) * 3600000000,
+    (t_hi // 3600000000) * 3600000000, 3600000000)) AS g(t_us)
+),
+u AS (
+  SELECT event_type, t_us, 0 AS is_grid, v FROM obs
+  UNION ALL
+  SELECT event_type, t_us, 1 AS is_grid, NULL FROM grid
+)
+SELECT event_type, make_timestamp(t_us) AS grid_ts,
+       last_value(v IGNORE NULLS)
+         OVER (PARTITION BY event_type ORDER BY t_us, is_grid
+               ROWS UNBOUNDED PRECEDING) AS value
+FROM u QUALIFY is_grid = 1
+"""
+
+
+def q_ohlc(spark, sf_dir):
+    """Candlestick bars (open/high/low/close + exact sum) per
+    (event_type, 1h bar) — the finance-standard projection of the M4
+    rank-column plan. Open/close pinned by (t, v) order; exact."""
+    from chronoxtract_spark.operators.downsample import ohlc_bars
+
+    return ohlc_bars(
+        _events(spark, sf_dir), keys="event_type", ts_col="ts",
+        value_col="value", bar_s=3600,
+    )
+
+
+SQL_OHLC = """
+WITH b AS (
+  SELECT event_type, epoch_us(ts) AS t_us, value AS v,
+         epoch_us(ts) // 3600000000 AS bar
+  FROM events
+),
+r AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY event_type, bar ORDER BY t_us, v) AS rf,
+    row_number() OVER (PARTITION BY event_type, bar
+                       ORDER BY t_us DESC, v DESC) AS rl
+  FROM b
+)
+SELECT event_type, make_timestamp(bar * 3600000000) AS bar_ts,
+       count(*)::BIGINT AS n,
+       max(CASE WHEN rf = 1 THEN v END) AS open,
+       max(v) AS high, min(v) AS low,
+       max(CASE WHEN rl = 1 THEN v END) AS close,
+       sum(v) AS sum_v
+FROM r GROUP BY event_type, bar
+"""
+
+
+def q_rate_1h(spark, sf_dir):
+    """Prometheus-style per-hour rate: counter_agg re-keyed to
+    (event_type, day, hour) buckets plus one rate = increase/3600
+    division — the windowed face of counter reset semantics."""
+    from chronoxtract_spark.operators.counters import counter_agg
+
+    ev = _events(spark, sf_dir).withColumn(
+        "day", F.date_format("ts", "yyyy-MM-dd")
+    ).withColumn("hr", F.hour("ts"))
+    agg = counter_agg(
+        ev, keys=["event_type", "day", "hr"], ts_col="ts",
+        value_col="value", tie_cols=["value", "event_id"],
+    )
+    return agg.withColumn(
+        "rate_per_s", F.col("total_delta") / F.lit(3600.0)
+    )
+
+
+SQL_RATE_1H = """
+WITH s AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+         extract(hour FROM ts) AS hr, value AS v,
+         row_number() OVER w AS rn,
+         value - lag(value) OVER w AS delta
+  FROM events
+  WINDOW w AS (PARTITION BY event_type, strftime(ts, '%Y-%m-%d'),
+               extract(hour FROM ts)
+               ORDER BY ts, value, event_id)
+),
+agg AS (
+  SELECT event_type, day, hr,
+         max(rn)::BIGINT AS n_obs,
+         sum(CASE WHEN delta < 0 THEN 1 ELSE 0 END)::BIGINT AS n_resets,
+         round(sum(CASE WHEN delta IS NULL THEN 0.0
+                        WHEN delta < 0 THEN v ELSE delta END), 4)
+           AS total_delta,
+         min_by(v, rn) AS first_value,
+         max_by(v, rn) AS last_value,
+         max(v) AS max_value
+  FROM s GROUP BY 1, 2, 3)
+SELECT *, total_delta / 3600.0 AS rate_per_s FROM agg
+"""
+
+
 _EXTRA_QUERIES = {
+    "locf_grid": q_locf_grid,
+    "ohlc": q_ohlc,
+    "rate_1h": q_rate_1h,
     "ops_health": q_ops_health,
     "theil_sen": q_theil_sen,
     "skew_report": q_skew_report,
@@ -7106,6 +7228,9 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "locf_grid": SQL_LOCF_GRID,
+    "ohlc": SQL_OHLC,
+    "rate_1h": SQL_RATE_1H,
     "ops_health": _sql_ops_health(),
     "theil_sen": SQL_THEIL_SEN,
     "skew_report": SQL_SKEW_REPORT,

@@ -176,7 +176,12 @@ def lttb_downsample(
             lo, hi = starts[i] + 1, ends[i] + 1  # series index range
             if i < nb - 1:
                 nlo, nhi = starts[i + 1] + 1, ends[i + 1] + 1
-                tb = float(np.sum(t[nlo:nhi], dtype=np.float64) / (nhi - nlo))
+                # exact integer sum, round to double, THEN divide —
+                # the oracle's sum(t_us)::DOUBLE / count order. Partial
+                # float64 sums of epoch-us values exceed 2^53 within ~6
+                # elements, and Python's one-step int/int division
+                # rounds differently than double(S)/n by up to 1 ulp.
+                tb = float(float(int(np.sum(t[nlo:nhi]))) / (nhi - nlo))
                 vb = float(np.sum(v[nlo:nhi]) / (nhi - nlo))
             else:
                 tb, vb = float(t[-1]), float(v[-1])
@@ -203,4 +208,50 @@ def lttb_downsample(
         "key", "sel_idx",
         F.timestamp_micros("t_us").alias("ts"),
         "value",
+    )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    keys: list[str] | str,
+    ts_col: str,
+    value_col: str,
+    bar_s: int,
+) -> DataFrame:
+    """Candlestick resampling: open/high/low/close per epoch-aligned
+    ``bar_s``-second bar — the finance-standard projection of the M4
+    machinery (open/close by (t, v) order pins, high/low as plain
+    extremes), plus ``n`` and the exact value sum. One (key, bar)
+    shuffle, same rank-column plan as ``m4_downsample``.
+
+    Returns ``keys..., bar_ts, n, open, high, low, close, sum_v``.
+    """
+    keys = _keylist(keys)
+    bar_us = int(bar_s) * 1_000_000
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        *keys, t_us.alias("t_us"), F.col(value_col).alias("v")
+    ).withColumn("bar", F.expr(f"t_us DIV {bar_us}"))
+    wb = Window.partitionBy(*keys, "bar")
+    r_first = F.row_number().over(wb.orderBy("t_us", "v"))
+    r_last = F.row_number().over(wb.orderBy(F.desc("t_us"), F.desc("v")))
+    ranked = base.select(
+        *keys, "bar", "t_us", "v",
+        r_first.alias("rf"), r_last.alias("rl"),
+    )
+    return (
+        ranked.groupBy(*keys, "bar")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.max(F.when(F.col("rf") == 1, F.col("v"))).alias("open"),
+            F.max("v").alias("high"),
+            F.min("v").alias("low"),
+            F.max(F.when(F.col("rl") == 1, F.col("v"))).alias("close"),
+            F.sum("v").alias("sum_v"),
+        )
+        .select(
+            *keys,
+            F.timestamp_micros(F.col("bar") * bar_us).alias("bar_ts"),
+            "n", "open", "high", "low", "close", "sum_v",
+        )
     )

@@ -200,3 +200,64 @@ def time_weighted_avg(
             ).alias("twa"),
         )
     )
+
+
+def locf_grid(
+    df: DataFrame,
+    keys: list[str] | str,
+    ts_col: str,
+    value_col: str,
+    step_s: int,
+) -> DataFrame:
+    """Last-observation-carried-forward resampling onto the same
+    epoch-aligned grid ``interpolate_grid`` uses (TimescaleDB
+    ``locf``): each grid instant takes the most recent observation at
+    or before it. Same single-shuffle union + backward-ignorenulls
+    window plan as the lerp variant — no forward pass needed, so it is
+    strictly cheaper. Duplicate timestamps collapse to MIN value
+    first (same pin); grid instants are bounded to the observed span,
+    so a carried value always exists. Bit-exact by construction: the
+    output IS an input value, no arithmetic at all.
+
+    Returns ``keys..., grid_ts, value``.
+    """
+    keys = _keylist(keys)
+    step_us = int(step_s) * 1_000_000
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+    obs = (
+        df.select(*keys, t_us.alias("t_us"), F.col(value_col).alias("v"))
+        .groupBy(*keys, "t_us")
+        .agg(F.min("v").alias("v"))
+    )
+    span = obs.groupBy(*keys).agg(
+        F.min("t_us").alias("t_lo"), F.max("t_us").alias("t_hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.expr(f"((t_lo + {step_us - 1}) DIV {step_us}) * {step_us}"),
+                F.expr(f"(t_hi DIV {step_us}) * {step_us}"),
+                F.lit(step_us),
+            )
+        ).alias("t_us"),
+    )
+    u = obs.select(*keys, "t_us", F.lit(0).alias("is_grid"), "v").unionByName(
+        grid.select(*keys, "t_us", F.lit(1).alias("is_grid"),
+                    F.lit(None).cast(obs.schema["v"].dataType).alias("v"))
+    )
+    w = Window.partitionBy(*keys).orderBy("t_us", "is_grid")
+    wb = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        u.select(
+            *keys, "t_us", "is_grid",
+            F.last("v", True).over(wb).alias("vp"),
+        )
+        .where(F.col("is_grid") == 1)
+        .select(
+            *keys,
+            F.timestamp_micros(F.col("t_us")).alias("grid_ts"),
+            F.col("vp").alias("value"),
+        )
+    )

@@ -87,7 +87,7 @@ class TestLttb:
             idxs = np.nonzero(b == i)[0] + 1
             if i < nb - 1:
                 nxt = np.nonzero(b == i + 1)[0] + 1
-                tb = int(np.sum(t[nxt])) / len(nxt)
+                tb = float(int(np.sum(t[nxt]))) / len(nxt)
                 vb = float(np.sum(v[nxt])) / len(nxt)
             else:
                 tb, vb = float(t[-1]), float(v[-1])
@@ -186,3 +186,45 @@ class TestAlignedRollingCorr:
         )
         for r in rolling_corr(dfc, "day", "i", "x", "y", window=3).collect():
             assert r.corr is None and r.beta is None
+
+
+class TestOhlc:
+    def test_candle(self, spark):
+        from chronoxtract_spark.operators.downsample import ohlc_bars
+
+        df = spark.createDataFrame(
+            [("a", _ts(0, 5), 3.0), ("a", _ts(0, 10), 9.0),
+             ("a", _ts(0, 20), 1.0), ("a", _ts(0, 50), 4.0)],
+            "k string, ts string, v double",
+        )
+        r = ohlc_bars(df, "k", "ts", "v", bar_s=60).collect()[0]
+        assert (r.open, r.high, r.low, r.close) == (3.0, 9.0, 1.0, 4.0)
+        assert r.n == 4 and r.sum_v == pytest.approx(17.0)
+
+
+class TestLocf:
+    def test_carries_forward(self, spark):
+        from chronoxtract_spark.operators.resample import locf_grid
+
+        df = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:03", 7.0),
+             ("a", "2024-01-01 00:00:21", 2.0)],
+            "k string, ts string, v double",
+        )
+        out = {r.grid_ts.second: r.value
+               for r in locf_grid(df, "k", "ts", "v", step_s=5).collect()}
+        # grid 5..20; 7.0 carries until the 21s obs (after the span end)
+        assert out == {5: 7.0, 10: 7.0, 15: 7.0, 20: 7.0}
+
+    def test_exact_instant_takes_observation(self, spark):
+        from chronoxtract_spark.operators.resample import locf_grid
+
+        df = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", 1.0),
+             ("a", "2024-01-01 00:00:05", 9.0),
+             ("a", "2024-01-01 00:00:07", 3.0)],
+            "k string, ts string, v double",
+        )
+        out = {r.grid_ts.second: r.value
+               for r in locf_grid(df, "k", "ts", "v", step_s=5).collect()}
+        assert out[5] == 9.0  # the coinciding observation, not 1.0
