@@ -450,3 +450,47 @@ def stateful_moment_state(
         outputMode="Update",
         timeMode="None",
     )
+
+
+def watermarked_heartbeats(
+    events: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    liveness_s: int = 900,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming counterpart of operators.counters.heartbeat_agg's
+    island pass: heartbeats within ``liveness_s`` of each other merge
+    into liveness islands via native ``session_window`` (gap =
+    liveness), emitting one final row per closed island in append
+    mode — ``key, island_start, n_hb, first_s, last_s, extent_s``
+    with ``extent_s = last - first + liveness`` (the batch operator's
+    full-trailing-credit extent).
+
+    Boundary divergence (same class as watermarked_session_stats): a
+    heartbeat landing EXACTLY at ``prev + liveness`` stays in-island
+    in batch (strict ``>`` starts islands) but splits here
+    (half-open session windows) — implementation-defined at the
+    boundary, identical everywhere else.
+    """
+    return (
+        events.withWatermark(ts_col, watermark)
+        .groupBy(
+            F.col(key_col),
+            F.session_window(
+                F.col(ts_col), f"{int(liveness_s)} seconds"
+            ).alias("w"),
+        )
+        .agg(
+            F.count("*").cast("long").alias("n_hb"),
+            F.min(F.unix_timestamp(F.col(ts_col))).alias("first_s"),
+            F.max(F.unix_timestamp(F.col(ts_col))).alias("last_s"),
+        )
+        .select(
+            key_col,
+            F.col("w.start").alias("island_start"),
+            "n_hb", "first_s", "last_s",
+            (F.col("last_s") - F.col("first_s") + F.lit(int(liveness_s)))
+            .alias("extent_s"),
+        )
+    )

@@ -374,3 +374,50 @@ class TestStreamingChunks:
         tr.unpersist()
         sh.rmtree(io.root, ignore_errors=True)
         sh.rmtree(io2.root, ignore_errors=True)
+
+
+class TestStreamingHeartbeats:
+    def test_islands_match_batch_heartbeat_agg(self, spark, dirs):
+        src, ckpt = dirs
+        rows = [
+            # key a: hbs at 0, 10, 20 min (merge at 15-min liveness),
+            # then 60 min (own island)
+            ("a", 0, "2026-01-01T00:00:00"),
+            ("a", 1, "2026-01-01T00:10:00"),
+            ("a", 2, "2026-01-01T00:20:00"),
+            ("a", 3, "2026-01-01T01:00:00"),
+            ("b", 0, "2026-01-01T00:05:00"),
+            # sentinel closes every real island's window
+            ("z", 0, "2026-01-01T12:00:00"),
+        ]
+        _rows(spark, rows).write.mode("append").parquet(src)
+        out = live.watermarked_heartbeats(
+            _read_stream(spark, src), liveness_s=900
+        )
+        name = live.run_to_memory(out, "wm_heartbeats", ckpt)
+        got = spark.table(name).filter(F.col("conv_id") != "z")
+        islands = {
+            (r.conv_id, r.first_s): (r.n_hb, r.extent_s)
+            for r in got.collect()
+        }
+        assert islands == {
+            ("a", 1767225600): (3, 1200 + 900),
+            ("a", 1767229200): (1, 900),
+            ("b", 1767225900): (1, 900),
+        }
+
+        # per-key rollup of streamed islands == batch heartbeat_agg
+        from chronoxtract_spark.operators.counters import heartbeat_agg
+
+        batch = {
+            r.conv_id: (r.n_heartbeats, r.n_live_segments, r.uptime_s)
+            for r in heartbeat_agg(
+                _rows(spark, rows).filter(F.col("conv_id") != "z"),
+                keys="conv_id", ts_col="ts", liveness_s=900,
+            ).collect()
+        }
+        streamed = {}
+        for r in got.collect():
+            n, seg, up = streamed.get(r.conv_id, (0, 0, 0.0))
+            streamed[r.conv_id] = (n + r.n_hb, seg + 1, up + r.extent_s)
+        assert streamed == batch
