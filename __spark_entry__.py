@@ -5853,8 +5853,7 @@ md AS (
 SELECT event_type, day, minute, cnt,
        med AS window_median, mad AS window_mad
 FROM md
-WHERE (mad = 0.0 AND abs(cnt::DOUBLE - med) > 0.0)
-   OR abs(cnt::DOUBLE - med) > 3.0 * 1.4826 * mad
+WHERE abs(cnt::DOUBLE - med) > 3.0 * 1.4826 * mad
 """
 
 
@@ -6337,8 +6336,9 @@ def _sql_bm25():
 WITH toks AS (
   SELECT doc_id, len(toklist) AS dl, unnest(toklist) AS term
   FROM (SELECT doc_id,
-               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
-                            'g'), ' ') AS toklist
+               list_filter(
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ',
+                              'g'), ' '), x -> x <> '') AS toklist
         FROM documents)),
 tf AS (SELECT doc_id, dl, term, count(*) AS tf FROM toks GROUP BY 1, 2, 3),
 stats AS (
@@ -6644,8 +6644,9 @@ def q_pmi(spark, sf_dir):
 SQL_PMI = """
 WITH toks AS (
   SELECT doc_id AS doc,
-         unnest(list_distinct(string_split(
-           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')))
+         unnest(list_distinct(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           x -> x <> '')))
            AS term
   FROM documents),
 docfreq AS (SELECT term, count(*) AS df FROM toks GROUP BY 1),
@@ -6684,8 +6685,9 @@ def q_zipf(spark, sf_dir):
 
 SQL_ZIPF = """
 WITH toks AS (
-  SELECT unnest(string_split(
-    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS term
+  SELECT unnest(list_filter(string_split(
+    regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+    x -> x <> '')) AS term
   FROM documents),
 freq AS (SELECT term, count(*) AS freq FROM toks GROUP BY 1),
 ranked AS (
@@ -6776,7 +6778,8 @@ ranked AS (
   FROM sizes),
 agg AS (
   SELECT max(nk)::BIGINT AS n_keys, sum(c)::BIGINT AS n_rows,
-         max(c)::BIGINT AS max_key_rows, sum(i * c) AS swx,
+         max(c)::BIGINT AS max_key_rows,
+         sum(i::HUGEINT * c::HUGEINT) AS swx,
          sum(CASE WHEN i > nk - 5 THEN c END)::BIGINT AS top_rows,
          max(CASE WHEN i = ceil(CAST('0.5' AS DOUBLE) * nk) THEN c
              END)::BIGINT AS p50_key_rows,

@@ -37,6 +37,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from chronoxtract_spark.operators._util import keylist as _keylist
+
 from chronoxtract_spark.kernel.tdist import esd_lambdas
 
 
@@ -71,7 +73,7 @@ def hampel_outliers(
     Returns only the flagged rows: ``keys..., order_col, value,
     window_median, window_mad``.
     """
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    keys = _keylist(keys)
     w = (
         Window.partitionBy(*keys)
         .orderBy(order_col)
@@ -89,10 +91,9 @@ def hampel_outliers(
         df.select(*keys, order_col, value_col, win.alias("win"))
         .withColumn("med", med)
         .withColumn("mad", mad)
-        .where(
-            (F.col("mad") == 0.0) & (dev > 0.0)
-            | (dev > F.lit(float(k)) * F.lit(1.4826) * F.col("mad"))
-        )
+        # when mad == 0, k*1.4826*0 == 0 and the threshold reduces to
+        # dev > 0 — the zero-MAD branch is the same predicate
+        .where(dev > F.lit(float(k)) * F.lit(1.4826) * F.col("mad"))
         .select(
             *keys, order_col, value_col,
             F.col("med").alias("window_median"),
@@ -118,7 +119,7 @@ def change_points(
     (``split_idx`` = size of the left segment, ``split_at`` = the
     ``order_col`` of its last row).
     """
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    keys = _keylist(keys)
     wo = Window.partitionBy(*keys).orderBy("ord")
     wc = wo.rowsBetween(Window.unboundedPreceding, 0)
     wfull = Window.partitionBy(*keys).rowsBetween(
@@ -215,7 +216,7 @@ def esd_outliers(
     rounds of such a series cannot remove either. Returns the outlier
     rows: ``keys..., order_col, value, round, r_stat, lam``.
     """
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    keys = _keylist(keys)
     lambdas = esd_lambdas(series_n, k, alpha)
     wp = Window.partitionBy(*keys)
 

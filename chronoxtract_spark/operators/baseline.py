@@ -23,6 +23,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from chronoxtract_spark.operators._util import keylist as _keylist
+
 
 def seasonal_profile(
     counts: DataFrame,
@@ -32,7 +34,7 @@ def seasonal_profile(
 ) -> DataFrame:
     """Per (key, slot): observation count, exact mean, population std
     of ``value_col``. Returns ``keys..., slot, n_obs, mean, std``."""
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    keys = _keylist(keys)
     v = F.col(value_col).cast("double")
     g = counts.groupBy(*keys, F.col(slot_col).alias("slot")).agg(
         F.count("*").cast("long").alias("n_obs"),
@@ -64,7 +66,7 @@ def seasonal_anomalies(
     Returns ``keys..., slot, order_col, value, slot_mean, slot_std,
     z`` for flagged rows only; zero-variance slots never flag.
     """
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    keys = _keylist(keys)
     prof = seasonal_profile(counts, keys, slot_col, value_col)
     v = F.col(value_col).cast("double")
     joined = counts.select(

@@ -52,7 +52,12 @@ def pmi_pairs(
     toks = df.select(
         F.col(key_col).alias("doc"),
         F.explode(
-            F.array_distinct(F.split(normalized_text(text_col), " "))
+            F.array_distinct(
+                F.filter(
+                    F.split(normalized_text(text_col), " "),
+                    lambda t: t != "",
+                )
+            )
         ).alias("term"),
     )
     docfreq = toks.groupBy("term").agg(F.count("*").alias("df"))
@@ -109,7 +114,11 @@ def zipf_fit(
     intercept, r2, total_tokens`` (slope/intercept/r2 rounded to 6).
     """
     toks = df.select(
-        F.explode(F.split(normalized_text(text_col), " ")).alias("term")
+        F.explode(
+            F.filter(
+                F.split(normalized_text(text_col), " "), lambda t: t != ""
+            )
+        ).alias("term")
     )
     freq = toks.groupBy("term").agg(F.count("*").alias("freq"))
     ranked = freq.withColumn(

@@ -40,8 +40,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _keylist(keys: list[str] | str) -> list[str]:
-    return [keys] if isinstance(keys, str) else list(keys)
+from chronoxtract_spark.operators._util import keylist as _keylist
 
 
 def counter_agg(

@@ -46,8 +46,7 @@ from pyspark.sql.types import (
 )
 
 
-def _keylist(keys: list[str] | str) -> list[str]:
-    return [keys] if isinstance(keys, str) else list(keys)
+from chronoxtract_spark.operators._util import keylist as _keylist
 
 
 def m4_downsample(
@@ -166,6 +165,12 @@ def lttb_downsample(
         # interior points 1..n-2 -> buckets j*nb // (n-2), j = idx-1
         j = np.arange(n - 2, dtype=np.int64)
         b = (j * nb) // (n - 2)
+        # split timestamps for overflow-free exact sums: an int64 sum
+        # of epoch-us values (~1.7e15 each) wraps past ~5400 elements,
+        # silently poisoning the centroid on large buckets. High/low
+        # partial sums stay far under int64 range at any bucket size
+        # and recombine into an exact Python int.
+        t_hi, t_lo_part = t >> 20, t & ((1 << 20) - 1)
         sel_t = np.empty(n_out, dtype=np.int64)
         sel_v = np.empty(n_out, dtype=np.float64)
         sel_t[0], sel_v[0] = t[0], v[0]
@@ -176,12 +181,15 @@ def lttb_downsample(
             lo, hi = starts[i] + 1, ends[i] + 1  # series index range
             if i < nb - 1:
                 nlo, nhi = starts[i + 1] + 1, ends[i + 1] + 1
-                # exact integer sum, round to double, THEN divide —
-                # the oracle's sum(t_us)::DOUBLE / count order. Partial
-                # float64 sums of epoch-us values exceed 2^53 within ~6
-                # elements, and Python's one-step int/int division
+                # exact integer sum (recombined from the split partial
+                # sums), round to double, THEN divide — the oracle's
+                # sum(t_us)::DOUBLE / count order. A float64 sum loses
+                # bits past 2^53 and Python's one-step int/int division
                 # rounds differently than double(S)/n by up to 1 ulp.
-                tb = float(float(int(np.sum(t[nlo:nhi]))) / (nhi - nlo))
+                t_sum = (int(np.sum(t_hi[nlo:nhi])) << 20) + int(
+                    np.sum(t_lo_part[nlo:nhi])
+                )
+                tb = float(float(t_sum) / (nhi - nlo))
                 vb = float(np.sum(v[nlo:nhi]) / (nhi - nlo))
             else:
                 tb, vb = float(t[-1]), float(v[-1])

@@ -44,8 +44,59 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def _keylist(keys: list[str] | str) -> list[str]:
-    return [keys] if isinstance(keys, str) else list(keys)
+from chronoxtract_spark.operators._util import keylist as _keylist
+
+
+def _grid_union(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    step_s: int,
+):
+    """Shared scaffold for grid resamplers: null-valued rows dropped
+    up front (a null is no observation — carrying its timestamp into
+    the bracket columns while ignorenulls skips its value would desync
+    bracket time and bracket value), duplicate timestamps collapsed to
+    their MIN value (pinned), per-key epoch-aligned grid instants via
+    sequence()+explode bounded by the observed span, and the
+    observation/grid union ordered so an observation sorts BEFORE a
+    coinciding grid row. Returns the union frame
+    ``keys..., t_us, is_grid, v``."""
+    step_us = int(step_s) * 1_000_000
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+
+    obs = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*keys, t_us.alias("t_us"), F.col(value_col).alias("v"))
+        .groupBy(*keys, "t_us")
+        .agg(F.min("v").alias("v"))
+    )
+
+    # per-key grid: ceil(min) .. floor(max) in step_us multiples.
+    # Exact integer DIV (epoch_us is positive, so truncation == floor
+    # and the +step-1 trick gives ceil) — a double round-trip would
+    # lose microsecond precision above 2^53.
+    span = obs.groupBy(*keys).agg(
+        F.min("t_us").alias("t_lo"), F.max("t_us").alias("t_hi")
+    )
+    grid = span.select(
+        *keys,
+        F.explode(
+            F.sequence(
+                F.expr(f"((t_lo + {step_us - 1}) DIV {step_us}) * {step_us}"),
+                F.expr(f"(t_hi DIV {step_us}) * {step_us}"),
+                F.lit(step_us),
+            )
+        ).alias("t_us"),
+    )
+    return obs.select(
+        *keys, "t_us", F.lit(0).alias("is_grid"), "v"
+    ).unionByName(
+        grid.select(*keys, "t_us", F.lit(1).alias("is_grid"),
+                    F.lit(None).cast(obs.schema["v"].dataType).alias("v"))
+    )
+
 
 
 def interpolate_grid(
@@ -68,41 +119,8 @@ def interpolate_grid(
     value``.
     """
     keys = _keylist(keys)
-    step_us = int(step_s) * 1_000_000
     # session TZ is UTC (session.py), so the NTZ->LTZ cast is identity
-    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-
-    obs = (
-        df.select(*keys, t_us.alias("t_us"), F.col(value_col).alias("v"))
-        .groupBy(*keys, "t_us")
-        .agg(F.min("v").alias("v"))
-    )
-
-    # per-key grid: ceil(min) .. floor(max) in step_us multiples.
-    # Exact integer DIV (epoch_us is positive, so truncation == floor
-    # and the +step-1 trick gives ceil) — a double round-trip would
-    # lose microsecond precision above 2^53.
-    span = obs.groupBy(*keys).agg(
-        F.min("t_us").alias("t_lo"), F.max("t_us").alias("t_hi")
-    )
-    grid = span.select(
-        *keys,
-        F.explode(
-            F.sequence(
-                F.expr(f"((t_lo + {step_us - 1}) DIV {step_us}) * {step_us}"),
-                F.expr(f"(t_hi DIV {step_us}) * {step_us}"),
-                F.lit(step_us),
-            )
-        ).alias("t_us"),
-    )
-
-    # union; observations sort BEFORE the grid row at the same instant
-    # so the backward bracket of a coinciding grid point is that
-    # observation itself (=> exact reproduction).
-    u = obs.select(*keys, "t_us", F.lit(0).alias("is_grid"), "v").unionByName(
-        grid.select(*keys, "t_us", F.lit(1).alias("is_grid"),
-                    F.lit(None).cast(obs.schema["v"].dataType).alias("v"))
-    )
+    u = _grid_union(df, keys, ts_col, value_col, step_s)
     w = Window.partitionBy(*keys).orderBy("t_us", "is_grid")
     wb = w.rowsBetween(Window.unboundedPreceding, 0)
     wf = w.rowsBetween(0, Window.unboundedFollowing)
@@ -222,31 +240,7 @@ def locf_grid(
     Returns ``keys..., grid_ts, value``.
     """
     keys = _keylist(keys)
-    step_us = int(step_s) * 1_000_000
-    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-
-    obs = (
-        df.select(*keys, t_us.alias("t_us"), F.col(value_col).alias("v"))
-        .groupBy(*keys, "t_us")
-        .agg(F.min("v").alias("v"))
-    )
-    span = obs.groupBy(*keys).agg(
-        F.min("t_us").alias("t_lo"), F.max("t_us").alias("t_hi")
-    )
-    grid = span.select(
-        *keys,
-        F.explode(
-            F.sequence(
-                F.expr(f"((t_lo + {step_us - 1}) DIV {step_us}) * {step_us}"),
-                F.expr(f"(t_hi DIV {step_us}) * {step_us}"),
-                F.lit(step_us),
-            )
-        ).alias("t_us"),
-    )
-    u = obs.select(*keys, "t_us", F.lit(0).alias("is_grid"), "v").unionByName(
-        grid.select(*keys, "t_us", F.lit(1).alias("is_grid"),
-                    F.lit(None).cast(obs.schema["v"].dataType).alias("v"))
-    )
+    u = _grid_union(df, keys, ts_col, value_col, step_s)
     w = Window.partitionBy(*keys).orderBy("t_us", "is_grid")
     wb = w.rowsBetween(Window.unboundedPreceding, 0)
     return (

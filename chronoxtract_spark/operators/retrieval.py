@@ -51,9 +51,14 @@ def bm25_scores(
     rank`` where ``n_terms`` is how many distinct query terms hit.
     """
     spark = docs.sparkSession
+    # empty/whitespace-only docs: split('') yields [''] — filter the
+    # empty token BEFORE dl, or such docs get dl=1 and '' becomes a
+    # corpus term skewing avgdl and every idf denominator
     toks = docs.select(
         F.col(key_col),
-        F.split(normalized_text(text_col), " ").alias("_toks"),
+        F.filter(
+            F.split(normalized_text(text_col), " "), lambda t: t != ""
+        ).alias("_toks"),
     ).select(
         key_col,
         F.size("_toks").alias("dl"),

@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from chronoxtract_spark.operators._util import keylist as _keylist
+
 
 def _exact_median(df: DataFrame, keys: list[str], val: str) -> DataFrame:
     """Exact median of ``val`` per key: sorted rank pass, middle
@@ -60,7 +62,7 @@ def theil_sen(
 
     Returns ``keys..., n, slope, intercept``.
     """
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    keys = _keylist(keys)
     wo = Window.partitionBy(*keys).orderBy(order_col)
     base = df.select(
         *keys,

@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from chronoxtract_spark.operators._util import keylist as _keylist
+
 
 def skew_report(
     df: DataFrame,
@@ -36,7 +38,7 @@ def skew_report(
     ``top_k`` largest keys), exact ``p50_key_rows / p99_key_rows``
     order statistics, ``p99_p50_ratio``, and ``gini`` of key sizes
     (0 = uniform, -> 1 = one mega-key)."""
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    keys = _keylist(keys)
     sizes = df.groupBy(*keys).agg(F.count("*").alias("c"))
     w = Window.orderBy(F.asc("c"), *[F.asc(k) for k in keys])
     wall = Window.partitionBy()
@@ -47,7 +49,15 @@ def skew_report(
         F.max("nk").cast("long").alias("n_keys"),
         F.sum("c").cast("long").alias("n_rows"),
         F.max("c").cast("long").alias("max_key_rows"),
-        F.sum(F.col("i") * F.col("c")).alias("swx"),
+        # decimal accumulation: sum(i*c) ~ avg_c * n_keys^2 / 2 blows
+        # past int64 near a billion keys — exactly the advertised
+        # scale. DECIMAL(38,0) stays exact to 1e38 (the oracle's
+        # HUGEINT mirror is exact to 1e38 too), and only the final
+        # gini expression drops to double.
+        F.sum(
+            F.col("i").cast("decimal(38,0)")
+            * F.col("c").cast("decimal(38,0)")
+        ).alias("swx"),
         F.sum(
             F.when(F.col("i") > F.col("nk") - F.lit(int(top_k)), F.col("c"))
         ).cast("long").alias("top_rows"),

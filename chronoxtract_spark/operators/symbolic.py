@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from chronoxtract_spark.operators._util import keylist as _keylist
+
 from chronoxtract_spark.kernel.tdist import sax_breakpoints
 
 _ALPHA_CHARS = "abcdefghijklmnopqrstuvwxyz"
@@ -54,7 +56,7 @@ def sax_words(
     both rounded columns left exact — they are short float chains
     over exact integer sums).
     """
-    keys = [keys] if isinstance(keys, str) else list(keys)
+    keys = _keylist(keys)
     if series_n % word_len != 0:
         raise ValueError("word_len must divide series_n")
     if not 2 <= alphabet <= 26:

@@ -55,10 +55,16 @@ def read_table(spark: SparkSession, table: str) -> DataFrame:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of Exchange (shuffle) operators in the executed plan —
-    the assertion surface for bucketed-join tests and audits."""
+    """Number of SHUFFLE Exchange operators in the executed plan —
+    the assertion surface for bucketed-join tests and audits.
+    BroadcastExchange and ReusedExchange are excluded: a broadcast
+    ships no shuffle, so counting it would fail a ==0 assertion on a
+    genuinely shuffle-free bucketed join whenever Spark picks a
+    broadcast strategy."""
     plan = df._jdf.queryExecution().executedPlan().toString()
     return sum(
-        1 for line in plan.splitlines() if "Exchange" in line
+        1 for line in plan.splitlines()
+        if "Exchange" in line
         and "ReusedExchange" not in line
+        and "BroadcastExchange" not in line
     )

@@ -228,3 +228,47 @@ class TestLocf:
         out = {r.grid_ts.second: r.value
                for r in locf_grid(df, "k", "ts", "v", step_s=5).collect()}
         assert out[5] == 9.0  # the coinciding observation, not 1.0
+
+
+class TestLttbOverflowRegression:
+    def test_large_bucket_centroid_exact(self, spark):
+        """int64 sums of epoch-us timestamps wrap past ~5400 elements;
+        the split-sum centroid must agree with a Python-int reference
+        on a 6000-point bucket (raw sum ~1e19 > int64 max)."""
+        from chronoxtract_spark.operators.downsample import lttb_downsample
+
+        n, n_out = 12002, 4  # nb=2 -> bucket 1 has ~6000 points
+        rng = np.random.RandomState(13)
+        v = rng.randint(0, 1000, size=n).astype(float)
+        t0 = 1_700_000_000_000_000
+        t = t0 + np.arange(n, dtype=np.int64) * 60_000_000
+
+        nb = n_out - 2
+        j = np.arange(n - 2)
+        b = (j * nb) // (n - 2)
+        sel = [0]
+        for i in range(nb):
+            idxs = np.nonzero(b == i)[0] + 1
+            if i < nb - 1:
+                nxt = np.nonzero(b == i + 1)[0] + 1
+                assert int(sum(int(x) for x in t[nxt])) > 2**63  # overflow zone
+                tb = float(sum(int(x) for x in t[nxt])) / len(nxt)
+                vb = float(np.sum(v[nxt])) / len(nxt)
+            else:
+                tb, vb = float(t[-1]), float(v[-1])
+            ta, va = float(t[sel[-1]]), float(v[sel[-1]])
+            areas = np.abs((ta - tb) * (v[idxs] - va)
+                           - (ta - t[idxs]) * (vb - va))
+            sel.append(int(idxs[int(np.argmax(areas))]))
+        sel.append(n - 1)
+
+        df = spark.createDataFrame(
+            [("a", int(ti), float(vi)) for ti, vi in zip(t, v)],
+            "k string, t_us long, v double",
+        ).select("k", F.timestamp_micros("t_us").alias("ts"), "v")
+        out = sorted(
+            lttb_downsample(df, "k", "ts", "v", n_out=n_out).collect(),
+            key=lambda r: r.sel_idx,
+        )
+        assert [int(r.ts.timestamp() * 1e6) for r in out] == \
+            [int(t[i]) for i in sel]

@@ -284,3 +284,36 @@ class TestBigramLm:
         df = spark.createDataFrame(docs, "doc_id long, text string")
         out = {r.doc_id: r.bits_per_gram for r in bigram_lm_bits(df).collect()}
         assert out[99] > out[0]
+
+
+class TestNullObservationRegression:
+    def test_interpolate_ignores_null_values(self, spark):
+        """A null-valued row is no observation: it must not become a
+        bracket timestamp (which would desync bracket time from the
+        ignorenulls-carried value and 'reproduce' a stale value)."""
+        from chronoxtract_spark.operators.resample import interpolate_grid
+
+        df = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", 10.0),
+             ("a", "2024-01-01 00:02:00", None),
+             ("a", "2024-01-01 00:04:00", 30.0)],
+            "k string, ts string, v double",
+        )
+        out = {r.grid_ts.minute: r.value
+               for r in interpolate_grid(df, "k", "ts", "v", 60).collect()}
+        # lerp between the two REAL observations: 10 + (30-10)*m/4
+        assert out[2] == pytest.approx(20.0)
+        assert out[1] == pytest.approx(15.0)
+
+    def test_locf_ignores_null_values(self, spark):
+        from chronoxtract_spark.operators.resample import locf_grid
+
+        df = spark.createDataFrame(
+            [("a", "2024-01-01 00:00:00", 7.0),
+             ("a", "2024-01-01 00:02:00", None),
+             ("a", "2024-01-01 00:03:30", 2.0)],
+            "k string, ts string, v double",
+        )
+        out = {r.grid_ts.minute: r.value
+               for r in locf_grid(df, "k", "ts", "v", 60).collect()}
+        assert out == {0: 7.0, 1: 7.0, 2: 7.0, 3: 7.0}

@@ -106,3 +106,28 @@ class TestProfile:
         df = spark.createDataFrame([(1, "a")], "id long, s string")
         out = profile_table(df, columns=["s"]).collect()
         assert len(out) == 1 and out[0].column == "s"
+
+
+class TestEmptyDocRegression:
+    def test_empty_docs_do_not_pollute_corpus(self, spark):
+        from chronoxtract_spark.operators.retrieval import bm25_scores
+
+        docs = [(1, "alpha beta"), (2, ""), (3, "   "), (4, "alpha")]
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        out = bm25_scores(df, [("q", "alpha")], top_k=10).collect()
+        assert {r.doc_id for r in out} == {1, 4}
+        # doc 4 (dl=1, pure hit) must outscore doc 2's phantom '' never
+        # entering df: scores identical to a 2-doc-corpus-with-terms run
+        # would require avgdl over REAL tokens only = (2+1)/2... the
+        # operational assertion: no crash, empty docs absent, ranks sane
+        ranked = sorted(out, key=lambda r: r.rank)
+        assert ranked[0].doc_id == 4  # shorter doc, same tf -> higher
+
+    def test_zipf_ignores_empty_docs(self, spark):
+        from chronoxtract_spark.operators.corpus_lm import zipf_fit
+
+        df = spark.createDataFrame(
+            [(1, "a a b"), (2, ""), (3, " ")], "doc_id long, text string"
+        )
+        r = zipf_fit(df, top_n=10).collect()[0]
+        assert r.n_terms == 2 and r.total_tokens == 3
