@@ -158,6 +158,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "bm25",
         "ops_health",
         "theil_sen",
+        "heavy_hitters",
     ]
     for name in bench_queries:
         t0 = time.time()

@@ -1,0 +1,172 @@
+"""Bounded-memory frequent items (heavy hitters) via a mergeable
+Misra-Gries-family summary (the batch "lossy truncate + threshold"
+form of SpaceSaving; Misra & Gries 1982, Metwally et al. 2005).
+
+Why a sketch at all
+-------------------
+The naive top-k (explode → groupBy(term) → rank) is correct but its
+shuffle grows with the VOCABULARY: after map-side combine each map
+partition still emits one row per distinct term it saw, and a web-scale
+token stream has effectively unbounded distinct terms (typos, ids,
+urls, hashes). The summary caps every partition's shuffle contribution
+at ``budget`` rows no matter how many distinct terms it saw — the
+exchange is O(budget × partitions), constant in data volume, and the
+merge is a plain sum-by-key. That is the difference between a top-k
+that survives 100 TB and one that doesn't.
+
+Summary semantics (per partition)
+---------------------------------
+Terms are counted EXACTLY within the partition (vectorized pandas
+``value_counts`` — no per-row Python), then:
+
+- if the partition saw ≤ ``budget`` distinct terms the summary IS the
+  exact count table and its threshold is 0;
+- else it keeps the ``budget`` most frequent terms (count DESC, term
+  ASC pin) with their exact in-partition counts and records
+  ``thr_p`` = the count of the first DROPPED term. For any term ``t``
+  the partition's true count then lies in
+  ``[cnt_p(t), cnt_p(t) + thr_p·[t missing from summary]]``.
+
+Merging across partitions keeps the sandwich: with
+``lb(t) = Σ_present cnt_p(t)`` and
+``ub(t) = lb(t) + Σ_{p: t missing} thr_p``,
+``lb(t) ≤ true(t) ≤ ub(t)``. The query face reports ``freq = lb`` and
+``err_ub = ub − lb``; a term is a GUARANTEED top-k member when its lb
+exceeds the (k+1)-th ub.
+
+Oracle validity bound (documented, like ivf_ann's train-sample bound):
+with ``budget`` ≥ the max per-partition distinct-term count, every
+``thr_p`` is 0, the summary is lossless, ``err_ub`` ≡ 0 and the
+result equals the exact top-k — which is what the DuckDB oracle
+computes. The sf0.01 documents corpus holds 31 distinct terms in
+TOTAL (deliberately tiny synthetic vocabulary), orders of magnitude
+under the 2^17 default budget, so the driver check runs in the
+lossless regime; the truncation path is exercised by its own
+bound-sandwich test at budget=8.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chronoxtract_spark.operators.text import normalized_text
+
+_SUMMARY_SCHEMA = "term string, cnt long, thr long"
+
+
+def _partition_summary(budget: int):
+    """mapInPandas kernel: exact in-partition counts, truncated to
+    ``budget`` survivors + one thr metadata row (term NULL) per
+    partition. Vectorized throughout (value_counts / sort_values)."""
+
+    def summarize(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            # token ARRAYS arrive per document (one Arrow list column);
+            # flattening is one C-level concatenate, counting is one
+            # hash pass — no per-token Python
+            flat = np.concatenate(pdf["toks"].to_numpy())
+            if not flat.size:
+                continue
+            vc = pd.Series(flat).value_counts()
+            acc = vc if acc is None else acc.add(vc, fill_value=0)
+        if acc is None:
+            return
+        tab = acc.astype("int64").rename_axis("term").reset_index(name="cnt")
+        thr = 0
+        if len(tab) > budget:
+            # count DESC, term ASC — the same deterministic pin every
+            # ranked surface in this repo uses, so truncation is stable
+            tab = tab.sort_values(
+                ["cnt", "term"], ascending=[False, True], kind="mergesort"
+            )
+            thr = int(tab["cnt"].iloc[budget])
+            tab = tab.iloc[:budget]
+        # survivor rows carry thr_p so the merge can subtract
+        # Σ_{p: t present} thr_p from the global Σ thr_p; the one
+        # NULL-term metadata row per partition contributes thr_p to
+        # that global sum without a second pass over the data
+        yield pd.DataFrame({"term": tab["term"], "cnt": tab["cnt"], "thr": thr})
+        yield pd.DataFrame({"term": [None], "cnt": [0], "thr": [thr]})
+
+    return summarize
+
+
+def term_summaries(
+    df: DataFrame, text_col: str = "text", budget: int = 1 << 17
+) -> DataFrame:
+    """Per-partition mergeable summaries over the canonical token
+    stream (normalized_text split, empty tokens dropped — identical to
+    zipf/pmi/bm25). Output: ``term (NULL = partition metadata row),
+    cnt, thr``; ≤ budget+1 rows per partition by construction.
+
+    Tokenization stays JVM-side (codegen'd split/filter); documents
+    cross the Arrow boundary once as list<string> — never as exploded
+    per-token rows, which would multiply the transfer by mean doc
+    length."""
+    toks = df.select(
+        F.filter(F.split(normalized_text(text_col), " "), lambda t: t != "").alias(
+            "toks"
+        )
+    )
+    return toks.mapInPandas(_partition_summary(int(budget)), schema=_SUMMARY_SCHEMA)
+
+
+def heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+    budget: int = 1 << 17,
+) -> DataFrame:
+    """Top-``k`` terms by merged lower-bound count with per-term
+    overcount bound. Returns ``rank, term, freq, err_ub`` ranked by
+    (freq DESC, term ASC).
+
+    Plan shape: one mapInPandas over the document scan (no shuffle),
+    ONE sum-by-key exchange over ≤ (budget+1)·P summary rows feeding
+    BOTH the per-term merge and the Σthr scalar (same groupBy subtree
+    on both branches, so Spark reuses the exchange instead of running
+    the token scan twice), a broadcast of the single-row Σthr, and a
+    TakeOrdered top-k — the rank window runs over k rows, never the
+    vocabulary.
+    """
+    summ = term_summaries(df, text_col=text_col, budget=budget)
+    # both consumers (per-term merge + Σthr scalar) read the summary;
+    # without a barrier Catalyst pushes each branch's term-null filter
+    # BELOW the shared aggregation, the exchanges stop being identical,
+    # and the document scan + tokenize runs TWICE — at 100 TB that
+    # doubles the dominant cost. The summary is ≤ (budget+1)·P rows by
+    # construction, so pinning IT is cheap at any scale.
+    summ = summ.persist()
+    agg = summ.groupBy("term").agg(
+        F.sum("cnt").cast("long").alias("freq"),
+        F.sum("thr").cast("long").alias("thr_sum"),
+    )
+    total = agg.where(F.col("term").isNull()).select(
+        F.col("thr_sum").alias("total_thr")
+    )
+    top = (
+        agg.where(F.col("term").isNotNull())
+        .crossJoin(F.broadcast(total))
+        # a partition that kept the term cannot ALSO have dropped it:
+        # its thr_p comes off the global sum, leaving exactly
+        # Σ_{p: t missing} thr_p — the tight MG overcount bound
+        .withColumn("err_ub", (F.col("total_thr") - F.col("thr_sum")))
+        .orderBy(F.desc("freq"), F.asc("term"))
+        .limit(int(k))
+    )
+    # constant partition key: the window runs over the k surviving
+    # rows only (and Spark's "no partition defined" warning is silenced
+    # for a window that is BY DESIGN k-row single-partition)
+    w = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("term"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
+        "rank", "term", "freq", F.col("err_ub").cast("long").alias("err_ub")
+    )
