@@ -1,6 +1,9 @@
-"""Bounded-memory frequent items (heavy hitters) via a mergeable
-Misra-Gries-family summary (the batch "lossy truncate + threshold"
-form of SpaceSaving; Misra & Gries 1982, Metwally et al. 2005).
+"""Mergeable sketches: bounded-memory frequent items (Misra-Gries /
+SpaceSaving) and t-digest quantile rollups.
+
+Part 1 — heavy hitters via a mergeable Misra-Gries-family summary (the
+batch "lossy truncate + threshold" form of SpaceSaving; Misra & Gries
+1982, Metwally et al. 2005).
 
 Why a sketch at all
 -------------------
@@ -169,4 +172,122 @@ def heavy_hitters(
     w = Window.partitionBy(F.lit(0)).orderBy(F.desc("freq"), F.asc("term"))
     return top.withColumn("rank", F.row_number().over(w).cast("long")).select(
         "rank", "term", "freq", F.col("err_ub").cast("long").alias("err_ub")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Part 2 — t-digest quantile rollups (kernel/tdigest.py; the north star
+# names this sketch for tier quantiles: "rolling quantiles via t-digest
+# sketches"). Digest state is two aligned array<double> columns
+# (centroid means ascending + weights), built per fine bucket with ONE
+# applyInPandas over the (key, fine-bucket) groups and re-rolled to the
+# coarse tier by MERGING STATES per coarse key — the coarse tier never
+# re-scans raw points, which is the whole reason a mergeable sketch
+# earns its place at 10^12 turns.
+#
+# Scale shape: both passes group on (key, bucket) — same co-location as
+# every tier aggregation in plans/rollup.py; the merge input is
+# O(compression) floats per fine bucket, so the second shuffle moves
+# sketch state, not data. No per-row Python: the kernel is numpy array
+# ops over Arrow-delivered batches.
+
+
+_DIGEST_SCHEMA = (
+    "key string, bucket_epoch long, n long, "
+    "means array<double>, weights array<double>"
+)
+
+
+def tdigest_bucket_digests(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    val_col: str,
+    bucket_seconds: int = 3600,
+    compression: float = 100.0,
+) -> DataFrame:
+    """One digest per (key, bucket): applyInPandas over the bucket
+    groups, kernel tdigest_build inside (deterministic: the kernel
+    sorts, so arrival order is irrelevant). Null values are dropped."""
+    from chronoxtract_spark.kernel.tdigest import tdigest_build
+
+    comp = float(compression)
+    bsec = int(bucket_seconds)
+
+    slim = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / bsec) * bsec)
+        .cast("long")
+        .alias("bucket_epoch"),
+        F.col(val_col).cast("double").alias("v"),
+    ).where(F.col("v").isNotNull())
+
+    def build(pdf):
+        import pandas as pd
+
+        m, w = tdigest_build(pdf["v"].to_numpy(float), compression=comp)
+        return pd.DataFrame(
+            {
+                "key": [pdf["key"].iloc[0]],
+                "bucket_epoch": [int(pdf["bucket_epoch"].iloc[0])],
+                "n": [int(len(pdf))],
+                "means": [m.tolist()],
+                "weights": [w.tolist()],
+            }
+        )
+
+    return slim.groupBy("key", "bucket_epoch").applyInPandas(
+        build, schema=_DIGEST_SCHEMA
+    )
+
+
+def tdigest_rollup_quantiles(
+    digests: DataFrame,
+    coarse_seconds: int = 86400,
+    qs: tuple = (0.05, 0.25, 0.5, 0.75, 0.95),
+    compression: float = 100.0,
+) -> DataFrame:
+    """Merge fine-bucket digest STATES per (key, coarse bucket) and
+    emit quantile estimates — hierarchical re-aggregation with no raw
+    re-scan (the t-digest face of build_rollup_1d_from_1h's moment-sum
+    pattern). Merge is order-insensitive (kernel re-sorts centroids),
+    so shuffle arrival order cannot change a single output bit."""
+    from chronoxtract_spark.kernel.tdigest import (
+        tdigest_merge,
+        tdigest_quantiles,
+    )
+
+    comp = float(compression)
+    csec = int(coarse_seconds)
+    qlist = [float(q) for q in qs]
+    qcols = [f"q{int(round(q * 100)):02d}" for q in qlist]
+    out_schema = "key string, bucket_epoch long, n long, " + ", ".join(
+        f"{c} double" for c in qcols
+    )
+
+    coarse = digests.withColumn(
+        "coarse_epoch",
+        (F.floor(F.col("bucket_epoch") / csec) * csec).cast("long"),
+    )
+
+    def merge(pdf):
+        import numpy as np
+        import pandas as pd
+
+        parts = [
+            (np.asarray(m, dtype=float), np.asarray(w, dtype=float))
+            for m, w in zip(pdf["means"], pdf["weights"])
+        ]
+        mm, ww = tdigest_merge(parts, compression=comp)
+        row = {
+            "key": pdf["key"].iloc[0],
+            "bucket_epoch": int(pdf["coarse_epoch"].iloc[0]),
+            "n": int(pdf["n"].sum()),
+        }
+        for c, v in zip(qcols, tdigest_quantiles(mm, ww, qlist)):
+            row[c] = v
+        return pd.DataFrame([row])
+
+    return coarse.groupBy("key", "coarse_epoch").applyInPandas(
+        merge, schema=out_schema
     )

@@ -44,6 +44,37 @@ TIERS = ("rollup_1m", "rollup_1h", "rollup_1d")
 LINEAGE_TABLE = "lineage"
 CHUNK_TABLE = "chunks_1m"
 
+_TDIGEST_QAGG = None
+
+
+def _tdigest_qagg_udf():
+    """Arrow grouped-agg UDF: the window's five tier quantiles from a
+    t-digest (kernel/tdigest.py, compression 200 — the same accuracy
+    class as the percentile_approx(200) alternative, but the sketch the
+    north star names, and deterministic: the kernel sorts, so shuffle
+    arrival order cannot change an output bit). Built lazily and cached
+    so importing this module never touches UDF registration."""
+    global _TDIGEST_QAGG
+    if _TDIGEST_QAGG is None:
+        from pyspark.sql.types import ArrayType, DoubleType
+
+        @F.pandas_udf(ArrayType(DoubleType()))
+        def td_q(v: pd.Series) -> list:
+            from chronoxtract_spark.kernel.tdigest import (
+                tdigest_build,
+                tdigest_quantiles,
+            )
+
+            x = v.to_numpy(np.float64)
+            x = x[~np.isnan(x)]
+            if not x.size:
+                return [float("nan")] * 5
+            m, w = tdigest_build(x, compression=200.0)
+            return tdigest_quantiles(m, w, [0.05, 0.25, 0.5, 0.75, 0.95])
+
+        _TDIGEST_QAGG = td_q
+    return _TDIGEST_QAGG
+
 #: per-day lineage metrics ride the write action itself (df.observe)
 #: up to this many day partitions per commit; beyond it the engine
 #: falls back to a post-write read-back aggregation. The cutover is a
@@ -88,8 +119,11 @@ class RollupEngine:
         # windows; 'full' = the whole kernel battery per window
         self.feature_mode = feature_mode
         # 'exact' = sort-based interpolated percentile (windows are
-        # bounded, oracle-checkable); 'approx' = mergeable t-digest-style
-        # sketch for deployments that re-merge window quantiles
+        # bounded, oracle-checkable); 'approx' = Spark's built-in
+        # Greenwald-Khanna percentile_approx; 'tdigest' = the north
+        # star's named sketch (kernel/tdigest.py, Arrow grouped-agg UDF,
+        # deterministic k-space-bucketing construction) for deployments
+        # that re-merge window quantiles across tiers
         self.quantiles = quantiles
         # opt-in audit: after each tier write, re-read the written files
         # and check their per-day checksums against the in-flight
@@ -378,19 +412,36 @@ class RollupEngine:
         keys = ["conv_id", out_bucket]
 
         qprobs = F.array(*[F.lit(q) for q in (0.05, 0.25, 0.5, 0.75, 0.95)])
-        if self.quantiles == "exact":
-            # tier windows are bounded (<= 1440 points), so the exact
-            # sort-based percentile is cheap AND oracle-checkable; the
-            # approx sketch exists for deployments that re-merge window
-            # quantiles across tiers
-            qagg = F.percentile("rate", qprobs)
+        if self.quantiles == "tdigest":
+            # Spark disallows grouped-agg pandas UDFs beside JVM
+            # aggregates in one .agg() (INVALID_PANDAS_UDF_PLACEMENT),
+            # so the digest rides a sibling aggregation joined on the
+            # tier keys — both sides leave their exchange hash-
+            # partitioned on those keys, so the join adds a sort but no
+            # third shuffle of the base
+            state = bucketed.groupBy(*keys).agg(
+                *cxf.moment_state_exprs("rate"),
+                F.first("day").alias("day"),
+            )
+            qdf = bucketed.groupBy(*keys).agg(
+                _tdigest_qagg_udf()("rate").alias("q_sketch")
+            )
+            state = state.join(qdf, keys)
         else:
-            qagg = F.percentile_approx("rate", qprobs, F.lit(200))
-        state = bucketed.groupBy(*keys).agg(
-            *cxf.moment_state_exprs("rate"),
-            qagg.alias("q_sketch"),
-            F.first("day").alias("day"),
-        )
+            if self.quantiles == "exact":
+                # tier windows are bounded (<= 1440 points), so the
+                # exact sort-based percentile is cheap AND
+                # oracle-checkable; the sketch modes exist for
+                # deployments that re-merge window quantiles across
+                # tiers
+                qagg = F.percentile("rate", qprobs)
+            else:
+                qagg = F.percentile_approx("rate", qprobs, F.lit(200))
+            state = bucketed.groupBy(*keys).agg(
+                *cxf.moment_state_exprs("rate"),
+                qagg.alias("q_sketch"),
+                F.first("day").alias("day"),
+            )
         derived = cxf.moments_from_state()
         for name, col in derived.items():
             state = state.withColumn(name, col)

@@ -87,3 +87,140 @@ def test_empty_and_whitespace_docs(spark):
     rows = ["", "   ", "solo", "\t\n"]
     out = heavy_hitters(_corpus(spark, rows, n_parts=2), k=5, budget=64).collect()
     assert [(r["term"], r["freq"], r["err_ub"]) for r in out] == [("solo", 1, 0)]
+
+
+# ---------------------------------------------------------------------------
+# t-digest (kernel/tdigest.py + the sketches.py Spark faces + the
+# rollup quantiles="tdigest" mode)
+
+
+def test_tdigest_singleton_regime_is_hazen():
+    import numpy as np
+
+    from chronoxtract_spark.kernel.tdigest import tdigest_build, tdigest_quantile
+
+    x = np.random.RandomState(11).lognormal(0.0, 2.0, 997)
+    m, w = tdigest_build(x, compression=1e7)
+    assert m.size == x.size  # every point its own centroid
+    for q in (0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99):
+        got = tdigest_quantile(m, w, q)
+        want = float(np.quantile(x, q, method="hazen"))
+        assert got == pytest.approx(want, rel=1e-12), q
+
+
+def test_tdigest_compressed_rank_error_and_determinism():
+    import numpy as np
+
+    from chronoxtract_spark.kernel.tdigest import tdigest_build, tdigest_quantile
+
+    y = np.random.RandomState(5).standard_normal(200_000)
+    m, w = tdigest_build(y, compression=100)
+    assert m.size < 200  # real compression happened
+    for q in (0.01, 0.05, 0.5, 0.95, 0.99):
+        est = tdigest_quantile(m, w, q)
+        rank = float((y < est).mean())
+        assert abs(rank - q) < 5e-3, (q, rank)
+    m2, w2 = tdigest_build(y, compression=100)
+    import numpy.testing as npt
+
+    npt.assert_array_equal(m, m2)
+    npt.assert_array_equal(w, w2)
+
+
+def test_tdigest_merge_order_insensitive_and_accurate():
+    import numpy as np
+
+    from chronoxtract_spark.kernel.tdigest import (
+        tdigest_build,
+        tdigest_merge,
+        tdigest_quantile,
+    )
+
+    y = np.random.RandomState(9).exponential(3.0, 120_000)
+    parts = [tdigest_build(y[i::24], compression=100) for i in range(24)]
+    a = tdigest_merge(parts, compression=100)
+    b = tdigest_merge(list(reversed(parts)), compression=100)
+    np.testing.assert_array_equal(a[0], b[0])
+    np.testing.assert_array_equal(a[1], b[1])
+    for q in (0.05, 0.5, 0.95):
+        est = tdigest_quantile(a[0], a[1], q)
+        rank = float((y < est).mean())
+        assert abs(rank - q) < 5e-3, (q, rank)
+
+
+def test_tdigest_spark_hierarchy_matches_hazen(spark):
+    """Hour digests merged to day (singleton regime) must reproduce the
+    Hazen order statistic computed directly over each day's values."""
+    import numpy as np
+
+    from chronoxtract_spark.operators.sketches import (
+        tdigest_bucket_digests,
+        tdigest_rollup_quantiles,
+    )
+
+    rng = np.random.RandomState(21)
+    rows = []
+    for key in ("a", "b"):
+        for h in range(30):
+            for i in range(rng.randint(1, 40)):
+                rows.append((key, 3600 * h + 60 * i, float(rng.gamma(2.0, 3.0))))
+    df = spark.createDataFrame(rows, "key string, sec long, v double").select(
+        "key", F.timestamp_seconds("sec").alias("ts"), "v"
+    )
+    digests = tdigest_bucket_digests(
+        df, "key", "ts", "v", bucket_seconds=3600, compression=1e6
+    )
+    day = tdigest_rollup_quantiles(
+        digests, coarse_seconds=86400, compression=1e6
+    ).collect()
+    assert day
+    import pandas as pd
+
+    pdf = pd.DataFrame(rows, columns=["key", "sec", "v"])
+    pdf["dayi"] = (pdf["sec"] // 86400) * 86400
+    for r in day:
+        vals = pdf[(pdf["key"] == r["key"]) & (pdf["dayi"] == r["bucket_epoch"])][
+            "v"
+        ].to_numpy()
+        assert r["n"] == vals.size
+        for col, q in (("q05", 0.05), ("q50", 0.5), ("q95", 0.95)):
+            want = float(np.quantile(vals, q, method="hazen"))
+            assert r[col] == pytest.approx(want, rel=1e-12), (r["key"], col)
+
+
+def test_rollup_tdigest_quantile_mode(spark):
+    """quantiles='tdigest' swaps the tier sketch without changing the
+    tier shape; estimates stay inside the exact mode's q05..q95 span
+    and the mode is deterministic run-to-run."""
+    from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
+    from chronoxtract_spark.plans.rollup import RollupEngine
+    from chronoxtract_spark.sources.tableio import temp_warehouse
+    from chronoxtract_spark.synth import synth_transcripts
+
+    tr = synth_transcripts(spark, 6, seed=3)
+    base = gap_fill_minutes(turn_rate_1m(tr.select("conv_id", "ts"))).withColumn(
+        "day", F.date_format("minute_ts", "yyyy-MM-dd")
+    )
+    io = temp_warehouse(spark)
+    keep = ["conv_id", "hour_ts", "n", "median", "q05", "q95"]
+    ex = {
+        (r["conv_id"], r["hour_ts"]): r
+        for r in RollupEngine(spark, io, quantiles="exact")
+        .build_rollup_1h(base).select(keep).collect()
+    }
+    td_rows = (
+        RollupEngine(spark, io, quantiles="tdigest")
+        .build_rollup_1h(base).select(keep).collect()
+    )
+    assert len(td_rows) == len(ex) > 0
+    for r in td_rows:
+        e = ex[(r["conv_id"], r["hour_ts"])]
+        lo, hi = e["q05"], e["q95"]
+        spread = (hi - lo) or 1e-9
+        assert lo - 1e-9 <= r["median"] <= hi + 1e-9
+        assert abs(r["median"] - e["median"]) <= 0.6 * spread + 1e-9
+    td2 = (
+        RollupEngine(spark, io, quantiles="tdigest")
+        .build_rollup_1h(base).select(keep).collect()
+    )
+    assert sorted(map(tuple, td_rows)) == sorted(map(tuple, td2))
