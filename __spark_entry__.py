@@ -7399,6 +7399,39 @@ FROM g
 SQL_TDIGEST_QUANTILES = _sql_tdigest_quantiles()
 
 
+def q_distinct_users(spark, sf_dir):
+    """Per-event-type distinct-user counts via the KMV bottom-k sketch
+    (operators/sketches.py part 3): each partition ships only its k
+    smallest xxhash64(user_id) per group, so the exchange is O(k·P)
+    regardless of how many distinct users the data holds. Oracle-exact
+    under the suite's standard validity bound: k=2^16 far exceeds the
+    sf0.01 user population, the merged sketch holds every distinct
+    hash (saw_all=true) and the count is exact — which the oracle's
+    count(DISTINCT) computes directly. The k-bounded estimator path
+    ((k-1)/u_k) is pinned by its own relative-error test in
+    tests/test_sketches.py."""
+    from chronoxtract_spark.operators.sketches import kmv_distinct
+
+    out = kmv_distinct(
+        _events(spark, sf_dir), "event_type", "user_id", k=1 << 16
+    )
+    return out.select(
+        F.col("g").alias("event_type"),
+        F.col("n_kept").alias("n_distinct"),
+        "saw_all",
+        F.round("est", 6).alias("est"),
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type,
+       count(DISTINCT user_id)::BIGINT AS n_distinct,
+       TRUE AS saw_all,
+       round(count(DISTINCT user_id)::DOUBLE, 6) AS est
+FROM events GROUP BY 1
+"""
+
+
 SQL_HEAVY_HITTERS = """
 WITH toks AS (
   SELECT unnest(list_filter(string_split(
@@ -7418,6 +7451,7 @@ _EXTRA_QUERIES = {
     "heavy_hitters": q_heavy_hitters,
     "chunk_payloads": q_chunk_payloads,
     "tdigest_quantiles": q_tdigest_quantiles,
+    "distinct_users": q_distinct_users,
     "locf_grid": q_locf_grid,
     "ohlc": q_ohlc,
     "rate_1h": q_rate_1h,
@@ -7509,6 +7543,7 @@ _EXTRA_ORACLES = {
     "chunk_payloads": SQL_CHUNK_PAYLOADS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
     "tdigest_quantiles": SQL_TDIGEST_QUANTILES,
+    "distinct_users": SQL_DISTINCT_USERS,
     "locf_grid": SQL_LOCF_GRID,
     "ohlc": SQL_OHLC,
     "rate_1h": SQL_RATE_1H,
@@ -7615,10 +7650,10 @@ _PRIORITY_ORDER = [
     # chunk_payloads hashes the literal hex of every ts/val stream and
     # compression_stats folds zlib's CRC-32 over them in pure DuckDB
     "compression_stats", "chunk_payloads",
-    # round-4 sketches: mergeable Misra-Gries heavy hitters (lossless
-    # at oracle scale by the documented budget bound) and the tiered
-    # t-digest quantile rollup (singleton-regime Hazen closed form)
-    "heavy_hitters", "tdigest_quantiles",
+    # round-4 sketch suite: mergeable Misra-Gries heavy hitters,
+    # tiered t-digest quantile rollup, KMV distinct counts — each
+    # lossless at oracle scale by a documented parameter bound
+    "heavy_hitters", "tdigest_quantiles", "distinct_users",
     # LLM-pipeline operators
     "contamination", "pack_sequences", "redactions", "sessionize",
     "turn_latency", "stratified_sample",
@@ -7636,10 +7671,10 @@ _PRIORITY_ORDER = [
     # simple column exprs, green in the r2+r3 driver artifacts)
     "interp_grid", "time_weighted", "counter_resets", "state_durations",
     "heartbeat_uptime", "hampel_outliers", "change_points",
-    "esd_outliers", "sax_words", "m4_hourly", "lttb",
-    # bigram_lm/profile/rolling_corr/bm25 rotate out for the round-4
-    # additions above (all four are green in CORRECTNESS_local.json
-    # and carry their own pytest evidence)
+    "esd_outliers", "m4_hourly", "lttb",
+    # bigram_lm/profile/rolling_corr/bm25/sax_words rotate out for the
+    # round-4 additions above (all five are green in
+    # CORRECTNESS_local.json and carry their own pytest evidence)
     # parity core stays OUT of the 50-cap: every one of these also has
     # a bit-exact reference fixture (tests/test_kernel_*.py), so the
     # driver slots go to operators whose only evidence is the oracle

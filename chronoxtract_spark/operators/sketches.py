@@ -291,3 +291,95 @@ def tdigest_rollup_quantiles(
     return coarse.groupBy("key", "coarse_epoch").applyInPandas(
         merge, schema=out_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Part 3 — KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et
+# al. 2002; the bottom-k form). Completes the sketch suite: quantiles
+# (t-digest), frequent items (Misra-Gries), distinct counts (KMV).
+#
+# Why: count(DISTINCT x) per group shuffles every distinct value; at
+# web scale (user ids, conv ids, token types) that is again a shuffle
+# that grows with the data. KMV ships only each partition's k smallest
+# 64-bit hashes per group — O(k) rows per (partition, group) no matter
+# how many distinct values the partition saw — and merges by dedupe +
+# global k smallest. Estimator: (k-1)/u_k with u_k the k-th smallest
+# hash mapped to (0,1); when the merged sketch holds FEWER than k
+# hashes it saw every distinct value and the count is exact (modulo
+# 64-bit hash collisions, whose absence on a given dataset the oracle
+# run itself witnesses).
+#
+# Oracle validity bound (the suite's standard pattern): with k ≥ the
+# per-group distinct count the sketch is lossless and the query equals
+# SQL count(DISTINCT ...); the k-bounded estimator path is pinned by
+# its own relative-error test instead.
+
+
+def kmv_group_mins(
+    df: DataFrame, group_col: str, value_col: str, k: int = 1 << 12
+) -> DataFrame:
+    """Per-partition, per-group bottom-k of xxhash64(value). Hashing is
+    JVM-side (codegen); the per-partition bottom-k is one vectorized
+    sort + groupby-head in pandas. Output: (g, h), ≤ k rows per group
+    per partition."""
+    hashed = df.select(
+        F.col(group_col).cast("string").alias("g"),
+        F.xxhash64(F.col(value_col)).alias("h"),
+    ).where(F.col("h").isNotNull())
+
+    kk = int(k)
+
+    def bottomk(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        acc = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            pdf = pdf.drop_duplicates()
+            acc = pdf if acc is None else pd.concat((acc, pdf))
+        if acc is None:
+            return
+        acc = acc.drop_duplicates().sort_values(["g", "h"], kind="mergesort")
+        yield acc.groupby("g", sort=False).head(kk)
+
+    return hashed.mapInPandas(bottomk, schema="g string, h long")
+
+
+def kmv_distinct(
+    df: DataFrame, group_col: str, value_col: str, k: int = 1 << 12
+) -> DataFrame:
+    """Distinct-count sketch per group. Returns
+    ``g, n_kept, saw_all, est`` where ``saw_all`` marks the lossless
+    regime (merged sketch smaller than k ⇒ est is the exact distinct
+    count) and otherwise ``est = (k-1)/u_k`` (KMV estimator over the
+    k-th smallest hash mapped to the unit interval).
+
+    Plan shape: one mapInPandas over the scan (no shuffle), one
+    distinct+window exchange over ≤ k·P rows per group, a tiny final
+    aggregate. The shuffle is constant in the number of distinct
+    values — the point of the sketch."""
+    kk = int(k)
+    mins = kmv_group_mins(df, group_col, value_col, k=kk).dropDuplicates(
+        ["g", "h"]
+    )
+    w = Window.partitionBy("g").orderBy("h")
+    ranked = mins.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= kk
+    )
+    # map int64 hash to the unit interval: u = (h + 2^63) / 2^64
+    u_k = (F.col("kth").cast("double") + F.lit(float(2**63))) / F.lit(
+        float(2**64)
+    )
+    agg = ranked.groupBy("g").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.max(F.when(F.col("rn") == kk, F.col("h"))).alias("kth"),
+    )
+    return agg.select(
+        "g",
+        "n_kept",
+        (F.col("n_kept") < kk).alias("saw_all"),
+        F.when(F.col("n_kept") < kk, F.col("n_kept").cast("double"))
+        .otherwise(F.lit(float(kk - 1)) / u_k)
+        .alias("est"),
+    )

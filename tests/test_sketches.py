@@ -224,3 +224,57 @@ def test_rollup_tdigest_quantile_mode(spark):
         .build_rollup_1h(base).select(keep).collect()
     )
     assert sorted(map(tuple, td_rows)) == sorted(map(tuple, td2))
+
+
+# ---------------------------------------------------------------------------
+# KMV distinct-count sketch
+
+
+def test_kmv_exact_regime_matches_distinct(spark):
+    rows = [(f"g{i % 3}", f"u{i % 37}") for i in range(5000)]
+    df = spark.createDataFrame(rows, "g string, u string").repartition(6)
+    from chronoxtract_spark.operators.sketches import kmv_distinct
+
+    out = {r["g"]: r for r in kmv_distinct(df, "g", "u", k=1 << 10).collect()}
+    import collections
+
+    truth = collections.defaultdict(set)
+    for g, u in rows:
+        truth[g].add(u)
+    assert set(out) == set(truth)
+    for g, r in out.items():
+        assert r["saw_all"] is True
+        assert r["n_kept"] == len(truth[g])
+        assert r["est"] == pytest.approx(float(len(truth[g])))
+
+
+def test_kmv_estimator_regime_relative_error(spark):
+    n_true = 20_000
+    df = (
+        spark.range(n_true * 3)
+        .select(F.lit("g").alias("g"), (F.col("id") % n_true).alias("u"))
+        .repartition(8)
+    )
+    from chronoxtract_spark.operators.sketches import kmv_distinct
+
+    k = 256
+    r = kmv_distinct(df, "g", "u", k=k).collect()[0]
+    assert r["saw_all"] is False and r["n_kept"] == k
+    # KMV relative error ~ 1/sqrt(k) = 6.25%; allow 4 sigma
+    assert abs(r["est"] - n_true) / n_true < 0.25, r["est"]
+    # determinism: hash-based, no RNG
+    r2 = kmv_distinct(df, "g", "u", k=k).collect()[0]
+    assert r2["est"] == r["est"]
+
+
+def test_kmv_partition_rows_capped(spark):
+    from chronoxtract_spark.operators.sketches import kmv_group_mins
+
+    df = (
+        spark.range(50_000)
+        .select(F.lit("g").alias("g"), F.col("id").alias("u"))
+        .repartition(4)
+    )
+    mins = kmv_group_mins(df, "g", "u", k=64)
+    # ≤ k rows per partition per group → ≤ 4*64 total
+    assert mins.count() <= 4 * 64
