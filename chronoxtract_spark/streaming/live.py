@@ -494,3 +494,98 @@ def watermarked_heartbeats(
             .alias("extent_s"),
         )
     )
+
+
+TDIGEST_STATE_SCHEMA = "n long, means array<double>, weights array<double>"
+TDIGEST_OUT_SCHEMA = (
+    "conv_id string, n long, n_centroids int, "
+    "q05 double, q25 double, q50 double, q75 double, q95 double"
+)
+
+
+def stateful_tdigest(
+    values: DataFrame,
+    conv_col: str = "conv_id",
+    value_col: str = "turns",
+    compression: float = 100.0,
+) -> DataFrame:
+    """Per-key streaming t-digest via ``applyInPandasWithState`` — the
+    streaming face of operators.sketches' tiered digest rollup.
+
+    GroupState carries the digest's centroid arrays (means, weights)
+    across micro-batches; each batch is digested with the SAME kernel
+    as the batch path (kernel.tdigest, k-space bucketing) and merged
+    into the state digest, so a restart from checkpoint resumes with
+    the identical sketch. State size is O(compression) floats per key
+    REGARDLESS of stream length — the property that makes a quantile
+    sketch streamable at all (exact quantiles would need unbounded
+    state). Emits the current q05..q95 estimates per batch (update
+    mode).
+
+    Stream ≡ batch: merging per-batch digests is the same operation as
+    merging per-hour digests, so in the singleton regime
+    (compression ≫ πn) the streamed digest's quantiles EQUAL a batch
+    tdigest_build over all values seen — tested exactly, like
+    streaming_chunks' byte-for-byte contract; at production
+    compression the merge carries the paper's error bound (pinned by
+    the kernel tests)."""
+    comp = float(compression)
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        from chronoxtract_spark.kernel.tdigest import (
+            tdigest_build,
+            tdigest_merge,
+            tdigest_quantiles,
+        )
+
+        digest = None
+        n0 = 0
+        if state.exists:
+            n0, means0, weights0 = state.get
+            if means0:
+                digest = (
+                    np.asarray(means0, dtype=float),
+                    np.asarray(weights0, dtype=float),
+                )
+        chunks = []
+        for pdf in pdfs:
+            v = pdf[value_col].to_numpy(np.float64)
+            v = v[~np.isnan(v)]
+            if v.size:
+                chunks.append(v)
+        if chunks:
+            batch = tdigest_build(np.concatenate(chunks), compression=comp)
+            digest = (
+                batch
+                if digest is None
+                else tdigest_merge([digest, batch], compression=comp)
+            )
+            n0 += int(sum(c.size for c in chunks))
+        means = digest[0].tolist() if digest is not None else []
+        weights = digest[1].tolist() if digest is not None else []
+        state.update((int(n0), means, weights))
+        if digest is not None:
+            q = tdigest_quantiles(digest[0], digest[1], [0.05, 0.25, 0.5, 0.75, 0.95])
+        else:
+            q = [None] * 5
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": key[0],
+                    "n": int(n0),
+                    "n_centroids": len(means),
+                    "q05": q[0], "q25": q[1], "q50": q[2],
+                    "q75": q[3], "q95": q[4],
+                }
+            ]
+        )
+
+    return values.groupBy(conv_col).applyInPandasWithState(
+        fn,
+        outputStructType=TDIGEST_OUT_SCHEMA,
+        stateStructType=TDIGEST_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

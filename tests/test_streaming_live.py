@@ -421,3 +421,81 @@ class TestStreamingHeartbeats:
             n, seg, up = streamed.get(r.conv_id, (0, 0, 0.0))
             streamed[r.conv_id] = (n + r.n_hb, seg + 1, up + r.extent_s)
         assert streamed == batch
+
+
+class TestStatefulTdigest:
+    def test_digest_survives_restart_and_equals_batch(self, spark, dirs):
+        """Singleton regime: the streamed digest (built across two
+        separate micro-batch runs with a checkpoint restart between
+        them) must report EXACTLY the quantiles of a one-shot batch
+        digest over all values — same kernel, same merge, so state
+        loss or double-counting would show up as a value diff."""
+        import numpy as np
+
+        from chronoxtract_spark.kernel.tdigest import (
+            tdigest_build,
+            tdigest_quantile,
+        )
+
+        src, ckpt = dirs
+        schema = "conv_id string, minute_ts timestamp, turns double"
+        rng = np.random.RandomState(13)
+        first = [float(x) for x in rng.gamma(2.0, 5.0, 40)]
+        second = [float(x) for x in rng.gamma(2.0, 5.0, 25)]
+
+        def write(vals, t0):
+            rows = [
+                ("a", datetime.fromisoformat(f"2026-01-01T{t0:02d}:{i:02d}:00"), v)
+                for i, v in enumerate(vals[:60])
+            ]
+            spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(src)
+            return live.run_collect(
+                live.stateful_tdigest(stream, compression=1e6),
+                ckpt,
+                output_mode="update",
+            )
+
+        write(first, 0)
+        r1 = {r["conv_id"]: r for r in run()}
+        assert r1["a"]["n"] == len(first)
+        assert r1["a"]["n_centroids"] == len(first)  # singleton regime
+
+        write(second, 1)
+        r2 = {r["conv_id"]: r for r in run()}
+        assert r2["a"]["n"] == len(first) + len(second)
+
+        allv = np.asarray(first + second)
+        m, w = tdigest_build(allv, compression=1e6)
+        for col, q in (("q05", 0.05), ("q25", 0.25), ("q50", 0.5),
+                       ("q75", 0.75), ("q95", 0.95)):
+            assert r2["a"][col] == pytest.approx(
+                tdigest_quantile(m, w, q), rel=1e-12), col
+
+    def test_state_is_bounded_at_production_compression(self, spark, dirs):
+        """At compression=50 the per-key state must compress far below
+        the number of streamed values — the bounded-state property."""
+        import numpy as np
+
+        src, ckpt = dirs
+        schema = "conv_id string, minute_ts timestamp, turns double"
+        rng = np.random.RandomState(3)
+        rows = [
+            ("a", datetime.fromisoformat(
+                f"2026-01-01T{h:02d}:{i:02d}:00"), float(v))
+            for h in range(4)
+            for i, v in enumerate(rng.standard_normal(60))
+        ]
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = {r["conv_id"]: r for r in live.run_collect(
+            live.stateful_tdigest(stream, compression=50),
+            ckpt, output_mode="update")}
+        a = out["a"]
+        assert a["n"] == 240
+        assert a["n_centroids"] <= 30  # ~delta/2 buckets, << 240 values
+        # sane envelope on a standard normal
+        assert -1.0 < a["q50"] < 1.0
+        assert a["q05"] < a["q25"] < a["q50"] < a["q75"] < a["q95"]
