@@ -65,11 +65,41 @@ def _partition_summary(budget: int):
     ``budget`` survivors + one thr metadata row (term NULL) per
     partition. Vectorized throughout (value_counts / sort_values)."""
 
+    def _truncate(acc, budget_):
+        """Keep the budget_ most frequent (count DESC, term ASC — the
+        same deterministic pin every ranked surface in this repo
+        uses); return (kept Series, threshold = largest dropped
+        count)."""
+        import pandas as pd
+
+        tab = acc.rename_axis("term").reset_index(name="cnt")
+        tab = tab.sort_values(
+            ["cnt", "term"], ascending=[False, True], kind="mergesort"
+        )
+        thr = int(tab["cnt"].iloc[budget_])
+        kept = tab.iloc[:budget_]
+        return pd.Series(
+            kept["cnt"].to_numpy(), index=kept["term"], dtype="int64"
+        ), thr
+
     def summarize(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
+        # MEMORY BOUND: the accumulator is compacted to ``budget``
+        # whenever it exceeds 4x budget, so a partition with an
+        # unbounded vocabulary holds at most ~4·budget counters at any
+        # moment — the Manku-Motwani lossy-counting form of the MG
+        # summary. Each compaction can erase at most its threshold
+        # from any term's tally, so Σ thr over compactions stays a
+        # sound per-partition undercount bound for EVERY term; but a
+        # term PRESENT in the final summary may then be undercounted
+        # too, so after any mid-stream compaction the survivors carry
+        # thr=0 (the merge stops subtracting their thr_p and the
+        # global bound falls back to the always-sound lb + Σ thr_p).
         acc = None
+        thr_total = 0
+        compacted = False
         for pdf in batches:
             if not len(pdf):
                 continue
@@ -80,25 +110,33 @@ def _partition_summary(budget: int):
             if not flat.size:
                 continue
             vc = pd.Series(flat).value_counts()
+            # compact BEFORE absorbing the new batch, never after the
+            # last one: a partition whose only overflow is resolved by
+            # the final truncation keeps the tight survivor bound
+            # (thr on survivors), and the accumulator stays bounded at
+            # 4·budget + one Arrow batch's distinct terms
+            if acc is not None and len(acc) > 4 * budget:
+                acc, thr_i = _truncate(acc.astype("int64"), budget)
+                thr_total += thr_i
+                compacted = True
             acc = vc if acc is None else acc.add(vc, fill_value=0)
         if acc is None:
             return
-        tab = acc.astype("int64").rename_axis("term").reset_index(name="cnt")
-        thr = 0
-        if len(tab) > budget:
-            # count DESC, term ASC — the same deterministic pin every
-            # ranked surface in this repo uses, so truncation is stable
-            tab = tab.sort_values(
-                ["cnt", "term"], ascending=[False, True], kind="mergesort"
-            )
-            thr = int(tab["cnt"].iloc[budget])
-            tab = tab.iloc[:budget]
+        acc = acc.astype("int64")
+        if len(acc) > budget:
+            acc, thr_i = _truncate(acc, budget)
+            thr_total += thr_i
+        tab = acc.rename_axis("term").reset_index(name="cnt")
         # survivor rows carry thr_p so the merge can subtract
-        # Σ_{p: t present} thr_p from the global Σ thr_p; the one
-        # NULL-term metadata row per partition contributes thr_p to
-        # that global sum without a second pass over the data
-        yield pd.DataFrame({"term": tab["term"], "cnt": tab["cnt"], "thr": thr})
-        yield pd.DataFrame({"term": [None], "cnt": [0], "thr": [thr]})
+        # Σ_{p: t present} thr_p from the global Σ thr_p — valid ONLY
+        # when the single final truncation was the partition's only
+        # loss event (survivor counts exact); the one NULL-term
+        # metadata row per partition always carries the full Σ thr
+        survivor_thr = 0 if compacted else thr_total
+        yield pd.DataFrame(
+            {"term": tab["term"], "cnt": tab["cnt"], "thr": survivor_thr}
+        )
+        yield pd.DataFrame({"term": [None], "cnt": [0], "thr": [thr_total]})
 
     return summarize
 
@@ -332,16 +370,25 @@ def kmv_group_mins(
     def bottomk(batches: Iterator) -> Iterator:
         import pandas as pd
 
+        # MEMORY BOUND: bottom-k composes losslessly —
+        # bottomk(A ∪ B) = bottomk(bottomk(A) ∪ B) — so the
+        # accumulator is re-truncated to k per group after every
+        # batch and never holds more than k·groups + batch rows
         acc = None
         for pdf in batches:
             if not len(pdf):
                 continue
             pdf = pdf.drop_duplicates()
             acc = pdf if acc is None else pd.concat((acc, pdf))
+            acc = (
+                acc.drop_duplicates()
+                .sort_values(["g", "h"], kind="mergesort")
+                .groupby("g", sort=False)
+                .head(kk)
+            )
         if acc is None:
             return
-        acc = acc.drop_duplicates().sort_values(["g", "h"], kind="mergesort")
-        yield acc.groupby("g", sort=False).head(kk)
+        yield acc
 
     return hashed.mapInPandas(bottomk, schema="g string, h long")
 

@@ -278,3 +278,119 @@ def test_kmv_partition_rows_capped(spark):
     mins = kmv_group_mins(df, "g", "u", k=64)
     # ≤ k rows per partition per group → ≤ 4*64 total
     assert mins.count() <= 4 * 64
+
+
+# ---------------------------------------------------------------------------
+# bounded-memory compaction paths (driven at the generator level — no
+# Spark needed, so the multi-batch shapes are forced deterministically)
+
+
+def _tok_batch(tokens_per_doc):
+    import numpy as np
+    import pandas as pd
+
+    return pd.DataFrame(
+        {"toks": [np.asarray(t, dtype=object) for t in tokens_per_doc]}
+    )
+
+
+def test_mg_midstream_compaction_bounds_hold():
+    from collections import Counter
+
+    from chronoxtract_spark.operators.sketches import _partition_summary
+
+    budget = 4
+    fn = _partition_summary(budget)
+    # batches engineered so distinct terms blow past 4*budget repeatedly;
+    # 'mega' dominates throughout
+    batches, truth = [], Counter()
+    for b in range(6):
+        docs = [["mega"] * 10] + [[f"t{b}_{i}"] for i in range(20)]
+        for d in docs:
+            truth.update(d)
+        batches.append(_tok_batch(docs))
+    out = list(fn(iter(batches)))
+    import pandas as pd
+
+    summ = pd.concat(out, ignore_index=True)
+    meta = summ[summ["term"].isna()]
+    kept = summ[summ["term"].notna()]
+    assert len(kept) <= budget
+    thr_total = int(meta["thr"].iloc[0])
+    assert thr_total > 0
+    # after mid-stream compactions survivors must NOT claim exactness
+    assert (kept["thr"] == 0).all()
+    # lb <= true for kept; true <= lb + thr_total for EVERY term
+    kept_counts = dict(zip(kept["term"], kept["cnt"]))
+    for term, true in truth.items():
+        lb = int(kept_counts.get(term, 0))
+        assert lb <= true <= lb + thr_total, (term, lb, true, thr_total)
+    # the dominating term must survive and lead
+    assert "mega" in kept_counts and kept_counts["mega"] == max(kept_counts.values())
+
+
+def test_mg_accumulator_stays_bounded():
+    from chronoxtract_spark.operators.sketches import _partition_summary
+
+    budget = 8
+    fn = _partition_summary(budget)
+    batches = [
+        _tok_batch([[f"w{b}_{i}"] for i in range(50)]) for b in range(40)
+    ]
+    # 2000 distinct terms stream through; the summary must stay <= budget
+    out = list(fn(iter(batches)))
+    import pandas as pd
+
+    summ = pd.concat(out, ignore_index=True)
+    assert len(summ[summ["term"].notna()]) <= budget
+
+
+def test_mg_single_truncation_keeps_tight_bound():
+    from chronoxtract_spark.operators.sketches import _partition_summary
+
+    budget = 4
+    fn = _partition_summary(budget)
+    # one batch, distinct (9) > budget but < 4*budget: exactly one
+    # final truncation -> survivors keep thr == meta thr (tight bound)
+    docs = [[f"x{i}"] * (9 - i) for i in range(9)]
+    out = list(fn(iter([_tok_batch(docs)])))
+    import pandas as pd
+
+    summ = pd.concat(out, ignore_index=True)
+    meta_thr = int(summ[summ["term"].isna()]["thr"].iloc[0])
+    kept = summ[summ["term"].notna()]
+    assert meta_thr > 0
+    assert (kept["thr"] == meta_thr).all()
+
+
+def test_kmv_batchwise_truncation_is_lossless():
+    """bottomk(A ∪ B) == bottomk(bottomk(A) ∪ B): the per-batch
+    re-truncation kmv_group_mins performs loses nothing and keeps the
+    accumulator at ≤ k rows per group between batches. Mirrors the
+    kernel's exact pandas steps (the Spark-side equivalence is covered
+    by test_kmv_exact_regime_matches_distinct over 6 partitions)."""
+    import pandas as pd
+
+    hashed = [
+        pd.DataFrame(
+            {
+                "g": ["a"] * 30,
+                "h": [(i * 7919) % 1000 for i in range(b * 30, b * 30 + 30)],
+            }
+        )
+        for b in range(5)
+    ]
+    union = pd.concat(hashed).drop_duplicates().sort_values(["g", "h"])
+    want = union.groupby("g").head(10)["h"].tolist()
+
+    acc = None
+    for pdf in hashed:
+        acc = pdf if acc is None else pd.concat((acc, pdf))
+        acc = (
+            acc.drop_duplicates()
+            .sort_values(["g", "h"], kind="mergesort")
+            .groupby("g", sort=False)
+            .head(10)
+        )
+        assert len(acc) <= 10  # bounded between batches
+    assert sorted(acc["h"].tolist()) == sorted(want)

@@ -28,6 +28,10 @@ RED_FLAGS = ("CartesianProduct", "BroadcastNestedLoopJoin")
 #: flags that are deliberate design, with the reason a reviewer needs.
 #: anything NOT listed here that trips a red flag stays red.
 EXPECTED_FLAGS = {
+    "heavy_hitters": "BNLJ = broadcast of the 1-row Σthr scalar (the "
+    "global Misra-Gries overcount budget) onto the ≤ budget·P merged "
+    "summary rows — the standard scalar-attach pattern; the summary "
+    "merge itself is one sum-by-key exchange",
     "dcf_cross": "BNLJ = broadcast of the 1-row series mu/sigma scalar "
     "(dcf.py _series_stats attach); the pair join is the t2 equi-join",
     "acf_eventcount": "same 1-row mu/sigma broadcast as dcf_cross",
