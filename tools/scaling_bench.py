@@ -393,12 +393,17 @@ The pooling key is a byte-hash of the engine source files, so it moves
 on ANY edit to them — including edits that do not change the measured
 job's executed plan. The round-4 sketch-suite commits are exactly that
 case: they ADD an opt-in `quantiles="tdigest"` branch to
-plans/rollup.py that is dead code in the measured pipeline (the legs
-run the default exact mode; tier-parity tests pin that path
-unchanged). Host-window quality dominates the spread below — the same
-engine bytes span 357–1037 s at 2 cores across windows; warm-up
-seconds, the per-run phase breakdown and the bench noise canary are
-the window-quality witnesses, all disclosed per run.
+plans/rollup.py that is dead code in the measured pipeline. That claim
+is CHECKED, not asserted: tools/plan_equiv.py dumps the normalized
+physical plans of exactly the DataFrames the legs execute (observed,
+kernel tier pass, 1m dense base, chunk build) — the d800ca5e703d vs
+56eaf25c9076 diff is EMPTY (397 identical plan lines, canonical dump
+committed as BENCH/MEASURED_PLANS.txt), so the d800ca5e703d pooled
+evidence measures the identical executed job. Host-window quality
+dominates the spread below — the same engine bytes span 357–1037 s at
+2 cores across windows; warm-up seconds, the per-run phase breakdown
+and the bench noise canary are the window-quality witnesses, all
+disclosed per run.
 
 | engine rev | runs | best 2c s | best 8c s | pooled eff | pair median |
 | --- | --- | --- | --- | --- | --- |
