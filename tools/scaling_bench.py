@@ -148,39 +148,80 @@ def run(code: str, cpus: int | None = None) -> str:
     raise RuntimeError(f"run produced no result:\n{out.stderr[-3000:]}")
 
 
-def window_quality_gate(threshold: float = 1.0) -> None:
-    """Pre-flight canary BEFORE any leg starts: the fixed
+#: the bench.noise_canary FFT workload as a standalone subprocess so it
+#: can be pinned to one core and run 8-wide — multi-core contention on
+#: this host is invisible to a single-threaded probe (the disclosed
+#: 04:17/04:28 pair passed a 0.93 s single-thread gate and then lost
+#: ~75% of its 8-core throughput to the hypervisor)
+PAR_CANARY = r"""
+import time
+import numpy as np
+x = np.random.RandomState(0).standard_normal(1 << 21)
+t0 = time.time()
+for _ in range(12):
+    np.fft.rfft(x)
+print(round(time.time() - t0, 3))
+"""
+
+
+def parallel_canary(n: int = 8) -> list[float]:
+    """n concurrent single-thread FFT canaries, each pinned to its own
+    core. Quiet window: every reading ~0.7-0.9 s (the workloads are
+    independent). A hypervisor stealing multi-core capacity inflates
+    the slowest readings while a lone single-thread probe still looks
+    healthy."""
+    procs = [
+        subprocess.Popen(
+            ["taskset", "-c", str(i), sys.executable, "-c", PAR_CANARY],
+            stdout=subprocess.PIPE,
+            text=True,
+        )
+        for i in range(n)
+    ]
+    return sorted(float(p.communicate()[0].strip()) for p in procs)
+
+
+def window_quality_gate(
+    threshold: float = 1.0, par_threshold: float = 1.3
+) -> dict:
+    """Pre-flight canary BEFORE each leg starts: the fixed
     single-threaded numpy workload from bench.noise_canary runs ~0.7 s
-    on this VM when the hypervisor is quiet. A degraded window both
+    on this VM when the hypervisor is quiet, and 8 core-pinned copies
+    run concurrently at ~the same per-copy time. A degraded window both
     wastes ~15 min of leg time AND pollutes the same-window median with
-    a pair that measures host contention, not the engine (the disclosed
-    0.465/0.488 pairs ran in windows where the canary would have read
-    >1.5 s and the 2c warm-up took 133 s vs the quiet-window 28 s).
-    Gating happens before measurement — nothing already measured is
-    ever filtered, so the published pair set stays selection-free.
-    Override with CX_SCALE_FORCE=1."""
+    a pair that measures host contention, not the engine. Gating
+    happens before measurement and keys ONLY on the exogenous canary
+    readings (never on a measured leg time), so nothing already
+    measured is ever filtered and the published run set stays
+    selection-free. Returns the readings so each sidecar record carries
+    its own window witness. Override with CX_SCALE_FORCE=1."""
     if os.environ.get("CX_SCALE_FORCE") == "1":
-        return
+        return {"forced": True}
     sys.path.insert(0, REPO)
     from bench import noise_canary
 
     secs = [noise_canary() for _ in range(3)]
     best = min(secs)
-    print(f"[gate] noise canary: {secs} (best {best:.3f}s, threshold {threshold}s)")
-    if best > threshold:
+    par = parallel_canary(8)
+    worst_par = par[-1]
+    print(
+        f"[gate] noise canary: {secs} (best {best:.3f}s, threshold "
+        f"{threshold}s); 8-wide pinned: {par} (max {worst_par:.3f}s, "
+        f"threshold {par_threshold}s)"
+    )
+    if best > threshold or worst_par > par_threshold:
         print(
-            "[gate] host window degraded — refusing to burn a leg pair "
+            "[gate] host window degraded — refusing to burn a leg "
             "into the disclosed set; re-run when quiet or set "
             "CX_SCALE_FORCE=1"
         )
         sys.exit(3)
+    return {"canary_best": best, "canary_par_max": worst_par}
 
 
 def main():
     n_convs = int(sys.argv[1]) if len(sys.argv) > 1 else 4000
     min_turns = int(sys.argv[2]) if len(sys.argv) > 2 else 4000
-    if int(os.environ.get("CX_SCALE_REPS", "2")) > 0:
-        window_quality_gate()
     if not os.path.exists(os.path.join(INPUT_DIR, "_SUCCESS")):
         print(run(GEN.format(repo=REPO, n_convs=n_convs, min_turns=min_turns,
                              input_dir=INPUT_DIR)))
@@ -188,9 +229,14 @@ def main():
     # without running fresh legs (e.g. after adding analysis fields)
     reps = int(os.environ.get("CX_SCALE_REPS", "2"))
     rev = engine_fingerprint()
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    sidecar = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
     results = {2: None, 8: None}
     all_runs = []
-    for cpus in (2, 8):
+    # the short (8c) leg runs first so it gets the freshest post-gate
+    # window; the gate runs before EACH leg (a window that was quiet at
+    # invocation start can degrade before the second leg)
+    for cpus in (8, 2):
         # best-of-k per leg, same k for both: hypervisor steal is
         # strictly additive noise (it only ever slows a leg down), so
         # the minimum wall time is the estimator closest to the
@@ -198,6 +244,7 @@ def main():
         # 8-core leg by 20% run-to-run
         best = None
         for rep in range(reps):
+            gate = window_quality_gate()
             line = run(
                 RUNNER.format(repo=REPO, cpus=cpus, input_dir=INPUT_DIR),
                 cpus=cpus,
@@ -208,9 +255,18 @@ def main():
             # end-of-invocation stamp would mark legs run ~20 min apart
             # as simultaneous
             r["when"] = time.strftime("%Y-%m-%d %H:%M:%S")
+            r["gate"] = gate
             print(f"local[{cpus}] rep{rep}:", json.dumps(r))
             all_runs.append({"cpus": cpus, "rep": rep, "sec": r["sec"],
                              "warmup_sec": r.get("warmup_sec")})
+            # disclose each run the moment it exists — a mid-invocation
+            # gate refusal (or crash) must not drop an already-measured
+            # leg from the published set
+            rec = dict(r)
+            rec.update({"rev": rev,
+                        "input": f"n={n_convs} min_turns={min_turns}"})
+            with open(sidecar, "a") as f:
+                f.write(json.dumps(rec) + "\n")
             if best is None or r["sec"] < best["sec"]:
                 best = r
             time.sleep(5)
@@ -220,15 +276,6 @@ def main():
     # hypervisor load varies ±30% between windows on this VM, so legs
     # measured in different windows are pooled best-per-leg, with every
     # run disclosed in the sidecar
-    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    sidecar = os.path.join(REPO, "BENCH", "scaling_runs.jsonl")
-    if reps > 0:
-        with open(sidecar, "a") as f:
-            for cpus in (2, 8):
-                rec = dict(results[cpus])
-                rec.update({"rev": rev,
-                            "input": f"n={n_convs} min_turns={min_turns}"})
-                f.write(json.dumps(rec) + "\n")
     pooled_note = []
     same_rev = []
     by_rev: dict = {}
@@ -404,6 +451,20 @@ dominates the spread below — the same engine bytes span 357–1037 s at
 2 cores across windows; warm-up seconds, the per-run phase breakdown
 and the bench noise canary are the window-quality witnesses, all
 disclosed per run.
+
+Window-quality diagnosis for the current-revision rows: every 8c leg
+of this revision to date ran into MULTI-core hypervisor contention
+that a single-threaded canary cannot see — during one such window the
+single-thread canary read 0.886 s (healthy) while 8 core-pinned copies
+of the same workload read 2.2–4.1 s each (~75% of 8-core capacity
+stolen), which is exactly the regime where an 8c leg (598–862 s)
+barely beats a 2c leg and the efficiency ratio measures the host, not
+the engine. The gate therefore now (a) runs an 8-wide core-pinned
+canary alongside the single-thread one, (b) runs before EACH leg
+rather than once per invocation, and (c) stamps its readings into
+every sidecar record, so every future disclosed run carries its own
+window witness. Gating keys only on the exogenous canary — never on a
+measured leg time — so the published run set stays selection-free.
 
 | engine rev | runs | best 2c s | best 8c s | pooled eff | pair median |
 | --- | --- | --- | --- | --- | --- |
