@@ -127,6 +127,27 @@ def engine_fingerprint() -> str:
     return h.hexdigest()[:12]
 
 
+#: fingerprints PROVEN to execute byte-identical physical plans for
+#: the measured job: tools/plan_equiv.py dumps the normalized plans of
+#: exactly the DataFrames the legs execute, and the diff across these
+#: revisions is EMPTY (397 identical plan lines; canonical dump
+#: committed as BENCH/MEASURED_PLANS.txt). Runs of revisions in one
+#: class are therefore the SAME measured job and pool together —
+#: best-per-leg and same-window pairs alike. A fingerprint not listed
+#: pools only with itself; adding one to a class requires re-running
+#: the witness and committing the refreshed dump.
+PLAN_EQUIV_CLASSES = [
+    {"d800ca5e703d", "56eaf25c9076"},
+]
+
+
+def plan_equiv_class(rev: str) -> set[str]:
+    for cls in PLAN_EQUIV_CLASSES:
+        if rev in cls:
+            return cls
+    return {rev}
+
+
 def run(code: str, cpus: int | None = None) -> str:
     cmd = [sys.executable, "-u", "-c", code]
     if cpus:
@@ -272,10 +293,13 @@ def main():
             time.sleep(5)
         results[cpus] = best
 
-    # pool with prior invocations of the SAME engine revision + input:
+    # pool with prior invocations of the SAME MEASURED JOB + input —
+    # the current fingerprint plus any fingerprint proven plan-identical
+    # to it (PLAN_EQUIV_CLASSES, witness BENCH/MEASURED_PLANS.txt):
     # hypervisor load varies ±30% between windows on this VM, so legs
     # measured in different windows are pooled best-per-leg, with every
     # run disclosed in the sidecar
+    job_revs = plan_equiv_class(rev)
     pooled_note = []
     same_rev = []
     by_rev: dict = {}
@@ -285,7 +309,7 @@ def main():
             if rec.get("input") != f"n={n_convs} min_turns={min_turns}":
                 continue
             by_rev.setdefault(rec.get("rev", "?"), []).append(rec)
-            if rec.get("rev") != rev:
+            if rec.get("rev") not in job_revs:
                 continue
             c = rec["cpus"]
             same_rev.append(rec)
@@ -391,9 +415,14 @@ def main():
         "same_window_pairs": adj_pairs,
         "same_window_median_efficiency": adj_eff,
         "engine_rev": rev,
+        "plan_equiv_pool": sorted(job_revs),
+        "plan_equiv_witness": "tools/plan_equiv.py normalized-plan dump, "
+        "diff EMPTY across the pooled fingerprints; canonical dump "
+        "BENCH/MEASURED_PLANS.txt",
         "pooled_from": "BENCH/scaling_runs.jsonl (best-per-leg across all "
-        "disclosed runs of this engine revision + input; hypervisor load "
-        "varies ±30% between windows on this VM)",
+        "disclosed runs of this measured job — the current fingerprint + "
+        "its proven plan-identical fingerprints — on this input; "
+        "hypervisor load varies ±30% between windows on this VM)",
         "measurement_window": "timed after a once-per-application warm-up "
         "pipeline run (JVM/codegen/Arrow bring-up excluded from both legs "
         "equally; warm-up seconds disclosed per run)",
@@ -434,6 +463,14 @@ driver/commit cost — the regime a multi-executor deployment runs in.
 - same-window check (median over ALL consecutive 2c/8c pairs run
   ≤15 min apart — no cross-window pooling, no per-pair selection):
   **{adj_eff}** ({adj_detail})
+- pooling scope: best-per-leg and pairs are computed over every
+  disclosed run of the MEASURED JOB — the current engine fingerprint
+  plus fingerprints proven to execute byte-identical physical plans
+  for these legs (pool: {', '.join(sorted(job_revs))}; witness:
+  tools/plan_equiv.py normalized-plan dump, diff EMPTY, canonical
+  dump committed as BENCH/MEASURED_PLANS.txt). Nothing is dropped:
+  every run of every fingerprint appears in the sidecar and the
+  per-revision table below.
 ## Cross-revision context (every revision ever measured on this input)
 
 The pooling key is a byte-hash of the engine source files, so it moves
@@ -445,8 +482,9 @@ is CHECKED, not asserted: tools/plan_equiv.py dumps the normalized
 physical plans of exactly the DataFrames the legs execute (observed,
 kernel tier pass, 1m dense base, chunk build) — the d800ca5e703d vs
 56eaf25c9076 diff is EMPTY (397 identical plan lines, canonical dump
-committed as BENCH/MEASURED_PLANS.txt), so the d800ca5e703d pooled
-evidence measures the identical executed job. Host-window quality
+committed as BENCH/MEASURED_PLANS.txt), so the d800ca5e703d runs
+measure the identical executed job — which is why the headline pool
+above merges the two fingerprints' run sets. Host-window quality
 dominates the spread below — the same engine bytes span 357–1037 s at
 2 cores across windows; warm-up seconds, the per-run phase breakdown
 and the bench noise canary are the window-quality witnesses, all
@@ -482,7 +520,7 @@ Per-phase wall seconds (RollupEngine.last_timings):
         for k in rn["phases"]
     ) + """
 
-## Every disclosed run of this engine revision (pooled best-per-leg)
+## Every disclosed run of this measured job (pooled best-per-leg)
 
 | when | config | wall sec |
 | --- | --- | --- |
