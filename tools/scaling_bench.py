@@ -331,11 +331,26 @@ def main():
         if {a["cpus"], b["cpus"]} == {2, 8} and ts(b) - ts(a) <= 900:
             two = a if a["cpus"] == 2 else b
             eight = b if a["cpus"] == 2 else a
+            def _wit(leg):
+                g = leg.get("gate") or {}
+                gate_s = (
+                    f"{g['canary_best']}/{g['canary_par_max']}"
+                    if "canary_best" in g
+                    else "-"
+                )
+                return (
+                    f"wu {leg.get('warmup_sec', '-')}s, "
+                    f"w1m {leg.get('phases', {}).get('write_1m', '-')}s, "
+                    f"gate {gate_s}"
+                )
+
             adj_pairs.append({
                 "local2_sec": round(two["sec"], 2),
                 "local8_sec": round(eight["sec"], 2),
                 "when": f"{two['when']} / {eight['when']}",
                 "efficiency": round((two["sec"] / eight["sec"]) / 4, 3),
+                "witness_2c": _wit(two),
+                "witness_8c": _wit(eight),
             })
     rn, r4n = results[2], results[8]
     if rn is None or r4n is None:
@@ -356,6 +371,11 @@ def main():
         adj_eff, adj_detail = "n/a", "no back-to-back pair recorded"
     speedup = r4n["points_per_sec"] / rn["points_per_sec"]
     efficiency = speedup / (8 / 2)
+    pair_rows = "\n".join(
+        f"| {p['when']} | {p['local2_sec']} | {p['local8_sec']} | "
+        f"{p['efficiency']} | {p['witness_2c']} | {p['witness_8c']} |"
+        for p in adj_pairs
+    ) or "| (none) | | | | | |"
 
     # per-revision pooled summary (EVERY revision ever measured on this
     # input — nothing dropped): best leg each side + pooled efficiency,
@@ -471,6 +491,25 @@ driver/commit cost — the regime a multi-executor deployment runs in.
   dump committed as BENCH/MEASURED_PLANS.txt). Nothing is dropped:
   every run of every fingerprint appears in the sidecar and the
   per-revision table below.
+
+## Same-window pairs with per-leg window witnesses
+
+Each leg carries its own window-quality witnesses: wu = once-per-
+application warm-up seconds (quiet ~25-30 s; 133 s in the worst
+disclosed window), w1m = the write_1m phase wall seconds (the
+pipeline's largest phase; quiet ~155-205 s at 2c / ~45-65 s at 8c),
+gate =
+single-thread / 8-wide-max pre-leg canary seconds (quiet ~0.7-0.9 s;
+recorded for runs measured after the per-leg gate landed, '-' for
+earlier runs). The low-efficiency pairs' witnesses show host
+contention — an 8c write_1m at 3-6x its quiet-window neighbor —
+not engine behavior; they are disclosed and counted in the median,
+never dropped.
+
+| when (2c / 8c) | 2c s | 8c s | eff | 2c witness | 8c witness |
+| --- | --- | --- | --- | --- | --- |
+{pair_rows}
+
 ## Cross-revision context (every revision ever measured on this input)
 
 The pooling key is a byte-hash of the engine source files, so it moves
