@@ -7447,7 +7447,94 @@ FROM ranked WHERE rank <= 100
 """
 
 
+def q_interarrival(spark, sf_dir):
+    """Per-user inter-arrival cadence battery (operators.cadence): the
+    Goh-Barabási point-process characterization over each user's event
+    stream — population mean/std of whole-second gaps, CV, burstiness
+    B=(sigma-mu)/(sigma+mu), lag-1 memory coefficient, and the hourly
+    Fano factor with EMPTY spanned hours folded in algebraically
+    (H = last-first+1, so no bin materialization). One window pass +
+    two partial-agg shuffles on user_id, no UDF; every float is a fixed
+    expression tree over exact int64 sums, so the DuckDB oracle running
+    the same tree is bit-exact before round(6)."""
+    from chronoxtract_spark.operators.cadence import interarrival_stats
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+    )
+    return interarrival_stats(ev)
+
+
+SQL_INTERARRIVAL = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), g AS (
+  SELECT conv_id,
+         s - lag(s) OVER w AS gap,
+         lead(s) OVER w - s AS next_gap,
+         row_number() OVER w AS rn
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY s, turn_idx)
+), ga AS (
+  SELECT conv_id,
+         COUNT(*)::BIGINT AS n_events,
+         COUNT(gap)::BIGINT AS n_gaps,
+         SUM(gap)::BIGINT AS sum_g,
+         SUM(gap * gap)::BIGINT AS sum_g2,
+         SUM(gap * next_gap)::BIGINT AS sum_ab,
+         COUNT(gap * next_gap)::BIGINT AS n_pairs,
+         MAX(CASE WHEN rn = 2 THEN gap END)::BIGINT AS g_first,
+         MAX(CASE WHEN next_gap IS NULL THEN gap END)::BIGINT AS g_last
+  FROM g GROUP BY conv_id
+), hb AS (
+  SELECT conv_id, floor(s / 3600) AS h, COUNT(*)::BIGINT AS c
+  FROM t GROUP BY conv_id, floor(s / 3600)
+), ha AS (
+  SELECT conv_id,
+         CAST(MAX(h) - MIN(h) + 1 AS BIGINT) AS span_h,
+         SUM(c)::BIGINT AS n_ev_h,
+         SUM(c * c)::BIGINT AS sum_c2
+  FROM hb GROUP BY conv_id
+), d AS (
+  SELECT ga.*, ha.span_h, ha.n_ev_h, ha.sum_c2,
+         sum_g::DOUBLE / n_gaps::DOUBLE AS mu,
+         sqrt(greatest(sum_g2::DOUBLE / n_gaps::DOUBLE
+              - (sum_g::DOUBLE / n_gaps::DOUBLE)
+              * (sum_g::DOUBLE / n_gaps::DOUBLE), 0.0)) AS sigma,
+         (sum_g - g_last)::DOUBLE / n_pairs::DOUBLE AS ma,
+         (sum_g - g_first)::DOUBLE / n_pairs::DOUBLE AS mb,
+         sqrt(greatest((sum_g2 - g_last * g_last)::DOUBLE / n_pairs::DOUBLE
+              - ((sum_g - g_last)::DOUBLE / n_pairs::DOUBLE)
+              * ((sum_g - g_last)::DOUBLE / n_pairs::DOUBLE), 0.0)) AS sa,
+         sqrt(greatest((sum_g2 - g_first * g_first)::DOUBLE / n_pairs::DOUBLE
+              - ((sum_g - g_first)::DOUBLE / n_pairs::DOUBLE)
+              * ((sum_g - g_first)::DOUBLE / n_pairs::DOUBLE), 0.0)) AS sb,
+         n_ev_h::DOUBLE / span_h::DOUBLE AS mean_c
+  FROM ga JOIN ha USING (conv_id)
+)
+SELECT conv_id, n_events, n_gaps,
+       round(CASE WHEN n_gaps > 0 THEN mu END, 6) AS mean_gap_s,
+       round(CASE WHEN n_gaps > 0 THEN sigma END, 6) AS sigma_gap_s,
+       round(CASE WHEN n_gaps > 0
+             THEN sigma / nullif(mu, 0.0) END, 6) AS cv,
+       round(CASE WHEN n_gaps > 0
+             THEN (sigma - mu) / nullif(sigma + mu, 0.0) END, 6) AS burstiness,
+       round(CASE WHEN n_pairs > 0
+             THEN (sum_ab::DOUBLE / n_pairs::DOUBLE - ma * mb)
+                  / nullif(sa * sb, 0.0) END, 6) AS memory_coef,
+       round((sum_c2::DOUBLE / span_h::DOUBLE - mean_c * mean_c)
+             / mean_c, 6) AS fano_hourly
+FROM d
+"""
+
+
 _EXTRA_QUERIES = {
+    "interarrival": q_interarrival,
     "heavy_hitters": q_heavy_hitters,
     "chunk_payloads": q_chunk_payloads,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -7539,6 +7626,7 @@ _EXTRA_QUERIES = {
 }
 
 _EXTRA_ORACLES = {
+    "interarrival": SQL_INTERARRIVAL,
     "compression_stats": SQL_COMPRESSION_STATS,
     "chunk_payloads": SQL_CHUNK_PAYLOADS,
     "heavy_hitters": SQL_HEAVY_HITTERS,

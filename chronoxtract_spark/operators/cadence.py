@@ -1,0 +1,161 @@
+"""Inter-arrival cadence statistics for event / transcript streams.
+
+Per-key gap statistics over an irregular event stream — the standard
+point-process characterization battery from the human-dynamics
+literature (Goh & Barabási 2008, "Burstiness and memory in complex
+systems", EPL 81):
+
+- ``mean_gap_s`` / ``sigma_gap_s`` — population mean / std-dev of the
+  whole-second inter-arrival gaps.
+- ``cv`` — coefficient of variation sigma/mu (1 for a Poisson process,
+  >1 bursty, <1 regular).
+- ``burstiness`` — B = (sigma - mu)/(sigma + mu), the bounded [-1, 1)
+  re-parameterization of CV (B = -1 perfectly periodic, 0 Poisson,
+  -> 1 extremely bursty).
+- ``memory_coef`` — the lag-1 Pearson correlation between consecutive
+  gaps (g_i, g_{i+1}); positive when long gaps follow long gaps.
+- ``fano_hourly`` — Fano factor (variance/mean) of per-hour event
+  counts over the key's observed span, EMPTY HOURS INCLUDED (1 for a
+  Poisson process; the empty bins are folded in algebraically — with
+  H = last_hour - first_hour + 1 spanned hours, N events and
+  S2 = sum of squared non-empty-bin counts, mean = N/H and
+  var = S2/H - mean^2 — so no bin materialization is ever needed).
+
+The reference repo has no cadence battery; this is engine-native table
+machinery over the transcript/event stream, like sessionize
+(operators/sessions.py). It complements ``variability_timescale``
+(reference src/stats/mod.rs) which characterizes VALUE variability;
+this characterizes ARRIVAL-TIME variability.
+
+Spark-first shape: ONE window pass per key computes gap and next-gap
+from lag/lead of the floored-second timestamp (a single shuffle on the
+key — the same partitioning every other per-key operator uses), then
+one partial-aggregated groupBy reduces each key to exact int64 sums
+(sum g, sum g^2, sum g_i*g_{i+1}, first/last gap) from which every
+statistic above is a closed-form scalar expression; the Fano branch is
+a (key, hour) count groupBy re-aggregated per key. Everything is
+whole-stage-codegen column expressions — no UDF, no Python on the hot
+path — and every float is derived from exact integer sums by a fixed
+expression tree, so a DuckDB oracle evaluating the same tree matches
+bit-for-bit before the final round(6).
+
+At 100 TB: two shuffles keyed on (key) / (key, hour), both with
+map-side partial aggregation; no window state beyond lag/lead depth 1;
+output is one row per key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql.types import NumericType
+
+
+def interarrival_stats(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    bin_s: int = 3600,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """One row per key: n_events, n_gaps, mean_gap_s, sigma_gap_s, cv,
+    burstiness, memory_coef, fano_hourly.
+
+    Gaps are whole-second differences of consecutive events ordered by
+    ``(floor-second ts, *order_cols)`` — the tiebreakers must make the
+    ordering unique so reruns and re-partitionings are deterministic.
+    Keys with a single event carry nulls for every gap statistic;
+    ``memory_coef`` additionally needs >= 3 events (2 gaps) and a
+    nonzero gap variance on both legs of the lag-1 pairing, else null.
+    ``fano_hourly`` is defined for every key (>= 1 event).
+    """
+    if isinstance(df.schema[ts_col].dataType, NumericType):
+        sec = F.col(ts_col).cast("long")
+    else:
+        sec = F.unix_timestamp(F.col(ts_col))
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        sec.alias("_s"),
+        *[F.col(c) for c in order_cols],
+    )
+
+    w = Window.partitionBy("_k").orderBy("_s", *order_cols)
+    g = d.select(
+        "_k",
+        "_s",
+        (F.col("_s") - F.lag("_s").over(w)).alias("gap"),
+        (F.lead("_s").over(w) - F.col("_s")).alias("next_gap"),
+        F.row_number().over(w).alias("rn"),
+    )
+
+    gaps = g.groupBy("_k").agg(
+        F.count("*").cast("long").alias("n_events"),
+        F.count("gap").cast("long").alias("n_gaps"),
+        F.sum("gap").alias("sum_g"),
+        F.sum(F.col("gap") * F.col("gap")).alias("sum_g2"),
+        F.sum(F.col("gap") * F.col("next_gap")).alias("sum_ab"),
+        F.count(F.col("gap") * F.col("next_gap")).cast("long").alias("n_pairs"),
+        F.max(F.when(F.col("rn") == 2, F.col("gap"))).alias("g_first"),
+        F.max(F.when(F.col("next_gap").isNull(), F.col("gap"))).alias("g_last"),
+    )
+
+    hours = (
+        d.groupBy("_k", F.floor(F.col("_s") / F.lit(bin_s)).alias("_h"))
+        .agg(F.count("*").cast("long").alias("c"))
+        .groupBy("_k")
+        .agg(
+            (F.max("_h") - F.min("_h") + F.lit(1)).cast("long").alias("span_h"),
+            F.sum("c").alias("n_ev_h"),
+            F.sum(F.col("c") * F.col("c")).alias("sum_c2"),
+        )
+    )
+
+    j = gaps.join(hours, "_k")
+
+    ng = F.col("n_gaps").cast("double")
+    mu = F.col("sum_g").cast("double") / ng
+    var = F.greatest(
+        F.col("sum_g2").cast("double") / ng - mu * mu, F.lit(0.0)
+    )
+    sigma = F.sqrt(var)
+
+    np_ = F.col("n_pairs").cast("double")
+    sum_a = (F.col("sum_g") - F.col("g_last")).cast("double")
+    sum_a2 = (F.col("sum_g2") - F.col("g_last") * F.col("g_last")).cast("double")
+    sum_b = (F.col("sum_g") - F.col("g_first")).cast("double")
+    sum_b2 = (F.col("sum_g2") - F.col("g_first") * F.col("g_first")).cast("double")
+    ma = sum_a / np_
+    mb = sum_b / np_
+    sa = F.sqrt(F.greatest(sum_a2 / np_ - ma * ma, F.lit(0.0)))
+    sb = F.sqrt(F.greatest(sum_b2 / np_ - mb * mb, F.lit(0.0)))
+    mem = (F.col("sum_ab").cast("double") / np_ - ma * mb) / F.nullif(
+        sa * sb, F.lit(0.0)
+    )
+
+    h = F.col("span_h").cast("double")
+    mean_c = F.col("n_ev_h").cast("double") / h
+    var_c = F.col("sum_c2").cast("double") / h - mean_c * mean_c
+    fano = var_c / mean_c
+
+    # Explicit count guards instead of leaning on greatest()'s
+    # null-skipping (whose NULL semantics differ across engines):
+    # single-event keys get NULL gap stats, not a spurious sigma=0.
+    has_gap = F.col("n_gaps") > 0
+    has_pair = F.col("n_pairs") > 0
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return j.select(
+        F.col("_k").alias(key_col),
+        "n_events",
+        "n_gaps",
+        rnd(F.when(has_gap, mu)).alias("mean_gap_s"),
+        rnd(F.when(has_gap, sigma)).alias("sigma_gap_s"),
+        rnd(F.when(has_gap, sigma / F.nullif(mu, F.lit(0.0)))).alias("cv"),
+        rnd(
+            F.when(has_gap, (sigma - mu) / F.nullif(sigma + mu, F.lit(0.0)))
+        ).alias("burstiness"),
+        rnd(F.when(has_pair, mem)).alias("memory_coef"),
+        rnd(fano).alias("fano_hourly"),
+    )

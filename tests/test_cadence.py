@@ -1,0 +1,136 @@
+"""interarrival_stats must equal a plain-numpy replay of the
+Goh-Barabási battery (CV, burstiness, lag-1 memory, hourly Fano with
+empty bins included) on crafted and randomized irregular series."""
+
+import math
+import random
+
+import numpy as np
+import pytest
+
+from chronoxtract_spark.operators.cadence import interarrival_stats
+
+
+def _ref(ts, bin_s=3600):
+    """Reference: direct numpy on the sorted integer-second series."""
+    s = np.array(sorted(ts), dtype=np.int64)
+    out = {"n_events": len(s)}
+    gaps = np.diff(s).astype(np.float64)
+    out["n_gaps"] = len(gaps)
+    if len(gaps):
+        mu = gaps.mean()
+        sig = gaps.std()  # population
+        out["mean_gap_s"] = mu
+        out["sigma_gap_s"] = sig
+        out["cv"] = sig / mu if mu != 0 else None
+        out["burstiness"] = (sig - mu) / (sig + mu) if sig + mu != 0 else None
+    else:
+        out["mean_gap_s"] = out["sigma_gap_s"] = None
+        out["cv"] = out["burstiness"] = None
+    if len(gaps) >= 2:
+        a, b = gaps[:-1], gaps[1:]
+        den = a.std() * b.std()
+        out["memory_coef"] = (
+            ((a * b).mean() - a.mean() * b.mean()) / den if den != 0 else None
+        )
+    else:
+        out["memory_coef"] = None
+    hrs = s // bin_s
+    span = int(hrs.max() - hrs.min() + 1)
+    counts = np.zeros(span, dtype=np.int64)
+    for h in hrs:
+        counts[int(h - hrs.min())] += 1
+    mc = counts.mean()
+    out["fano_hourly"] = counts.var() / mc  # var is population; mc >= 1/span > 0
+    return out
+
+
+def _run(spark, series, bin_s=3600):
+    rows = [
+        (k, i, int(t))
+        for k, pts in series.items()
+        for i, t in enumerate(pts)
+    ]
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx long, ts long")
+    got = interarrival_stats(df, bin_s=bin_s, round_digits=None).collect()
+    return {r.conv_id: r.asDict() for r in got}
+
+
+def _check(got, want):
+    for k, w in want.items():
+        g = got[k]
+        assert set(g) == {
+            "conv_id", "n_events", "n_gaps", "mean_gap_s", "sigma_gap_s",
+            "cv", "burstiness", "memory_coef", "fano_hourly",
+        }
+        for col, exp in w.items():
+            val = g[col]
+            if exp is None:
+                assert val is None, (k, col, val)
+            else:
+                assert val is not None and math.isclose(
+                    val, exp, rel_tol=1e-12, abs_tol=1e-12
+                ), (k, col, val, exp)
+
+
+def test_edges(spark):
+    series = {
+        "single": [7200],
+        "pair": [0, 100],
+        # perfectly periodic: sigma=0 -> cv 0, B=-1, memory null
+        "periodic": [i * 600 for i in range(12)],
+        # same-second tie broken by turn_idx -> one zero gap
+        "tied": [0, 50, 50, 200],
+    }
+    got = _run(spark, series)
+    _check(got, {k: _ref(v) for k, v in series.items()})
+    p = got["periodic"]
+    assert p["cv"] == 0.0 and p["burstiness"] == -1.0
+    assert p["memory_coef"] is None
+    s = got["single"]
+    assert s["n_gaps"] == 0 and s["mean_gap_s"] is None
+    assert s["fano_hourly"] == 0.0  # one hour, one event: var 0
+    assert got["pair"]["burstiness"] == -1.0  # single gap: sigma 0
+
+
+def test_fano_counts_empty_hours(spark):
+    # 3 events in hour 0, 1 in hour 4; hours 1-3 are empty but spanned.
+    ts = [10, 20, 30, 4 * 3600 + 5]
+    got = _run(spark, {"k": ts})
+    counts = np.array([3, 0, 0, 0, 1], dtype=np.float64)
+    want = counts.var() / counts.mean()
+    assert math.isclose(got["k"]["fano_hourly"], want, rel_tol=1e-12)
+    _check(got, {"k": _ref(ts)})
+
+
+def test_randomized_matches_numpy(spark):
+    rng = random.Random(20260818)
+    series = {}
+    for ki in range(25):
+        n = rng.randrange(2, 60)
+        t = 0
+        pts = []
+        for _ in range(n):
+            t += rng.randrange(0, 5000)
+            pts.append(t)
+        rng.shuffle(pts)  # input order must not matter
+        series[f"u{ki}"] = pts
+    got = _run(spark, series)
+    _check(got, {k: _ref(v) for k, v in series.items()})
+
+
+def test_bursty_vs_regular_signs(spark):
+    rng = random.Random(7)
+    # heavy-tailed gaps -> B > 0; jittered-periodic -> B < 0
+    bursty, t = [], 0
+    for _ in range(200):
+        t += int(math.exp(rng.uniform(0, 9))) + 1
+        bursty.append(t)
+    regular, t = [], 0
+    for _ in range(200):
+        t += 600 + rng.randrange(-30, 31)
+        regular.append(t)
+    got = _run(spark, {"b": bursty, "r": regular})
+    assert got["b"]["burstiness"] > 0.3
+    assert -1.0 <= got["r"]["burstiness"] < -0.7
+    assert got["b"]["cv"] > 1.0 > got["r"]["cv"]
