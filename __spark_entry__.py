@@ -7533,8 +7533,79 @@ FROM d
 """
 
 
+def q_drawdown(spark, sf_dir):
+    """Per-user running-peak battery (operators.extremes): max
+    drawdown / longest under-water run / record-high count of the
+    cumulative value stream. Values are fixed to integer cents before
+    any accumulation, so cumsum, running max, drawdowns and counters
+    are exact int64 — no float order sensitivity anywhere; one window
+    pass + one groupBy shuffle on user_id, no UDF; oracle-exact."""
+    from chronoxtract_spark.operators.extremes import drawdown_stats
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return drawdown_stats(ev)
+
+
+SQL_DRAWDOWN = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), c AS (
+  SELECT conv_id,
+         SUM(v) OVER wrun AS cum,
+         row_number() OVER w AS rn
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY s, turn_idx),
+         wrun AS (PARTITION BY conv_id ORDER BY s, turn_idx
+                  ROWS UNBOUNDED PRECEDING)
+), r AS (
+  SELECT conv_id, rn, cum,
+         MAX(cum) OVER (PARTITION BY conv_id ORDER BY rn
+                        ROWS UNBOUNDED PRECEDING) AS runmax
+  FROM c
+), f AS (
+  SELECT conv_id, rn, cum, runmax,
+         runmax - cum AS dd,
+         CASE WHEN lag(runmax) OVER w2 IS NULL THEN 1
+              WHEN cum > lag(runmax) OVER w2 THEN 1 ELSE 0 END AS is_record,
+         SUM(CASE WHEN cum >= runmax THEN 1 ELSE 0 END)
+           OVER (PARTITION BY conv_id ORDER BY rn
+                 ROWS UNBOUNDED PRECEDING) AS dry_run_id
+  FROM r
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY rn)
+), runs AS (
+  SELECT conv_id, MAX(run_len)::BIGINT AS max_dd_len FROM (
+    SELECT conv_id, dry_run_id, COUNT(*)::BIGINT AS run_len
+    FROM f WHERE dd > 0 GROUP BY conv_id, dry_run_id) q
+  GROUP BY conv_id
+), agg AS (
+  SELECT conv_id, COUNT(*)::BIGINT AS n_obs,
+         SUM(is_record)::BIGINT AS n_records,
+         MAX(dd)::BIGINT AS max_dd_u,
+         MAX(cum)::BIGINT AS peak_u,
+         arg_max(cum, rn)::BIGINT AS final_u
+  FROM f GROUP BY conv_id
+)
+SELECT conv_id, n_obs, n_records,
+       round(max_dd_u::DOUBLE / 100.0, 6) AS max_drawdown,
+       COALESCE(max_dd_len, 0)::BIGINT AS max_drawdown_len,
+       round(final_u::DOUBLE / 100.0, 6) AS final_cum,
+       round(peak_u::DOUBLE / 100.0, 6) AS peak_cum
+FROM agg LEFT JOIN runs USING (conv_id)
+"""
+
+
 _EXTRA_QUERIES = {
     "interarrival": q_interarrival,
+    "drawdown": q_drawdown,
     "heavy_hitters": q_heavy_hitters,
     "chunk_payloads": q_chunk_payloads,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -7627,6 +7698,7 @@ _EXTRA_QUERIES = {
 
 _EXTRA_ORACLES = {
     "interarrival": SQL_INTERARRIVAL,
+    "drawdown": SQL_DRAWDOWN,
     "compression_stats": SQL_COMPRESSION_STATS,
     "chunk_payloads": SQL_CHUNK_PAYLOADS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
