@@ -7533,6 +7533,58 @@ FROM d
 """
 
 
+def q_allan(spark, sf_dir):
+    """Allan (two-sample) variance ladder of the per-event-type arrival
+    rate (operators.cadence.allan_variance): events binned at tau =
+    60s * m for m in {1,4,16,64}, EMPTY spanned bins counted as zero
+    via a sequence() grid explode (linear in span/tau, not events),
+    AVAR = sum of squared consecutive bin-count diffs / 2(K-1). All
+    integer arithmetic until the final divisions — oracle-exact. One
+    shared (key,m,bin) count shuffle for the whole ladder, no UDF."""
+    from chronoxtract_spark.operators.cadence import allan_variance
+
+    return allan_variance(
+        _events(spark, sf_dir), key_col="event_type", ts_col="ts"
+    )
+
+
+SQL_ALLAN = """
+WITH t AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), lad AS (SELECT unnest([1, 4, 16, 64]) AS m),
+bins AS (
+  SELECT event_type, m,
+         CAST(floor(s / (m * 60)) AS BIGINT) AS b,
+         COUNT(*)::BIGINT AS c
+  FROM t CROSS JOIN lad
+  GROUP BY event_type, m, CAST(floor(s / (m * 60)) AS BIGINT)
+), spans AS (
+  SELECT event_type, m, MIN(b) AS b0, MAX(b) AS b1
+  FROM bins GROUP BY event_type, m
+), grid AS (
+  SELECT event_type, m, unnest(generate_series(b0, b1)) AS b FROM spans
+), dense AS (
+  SELECT g.event_type, g.m, g.b, COALESCE(c, 0)::BIGINT AS c
+  FROM grid g LEFT JOIN bins USING (event_type, m, b)
+), diffs AS (
+  SELECT event_type, m, c,
+         c - lag(c) OVER (PARTITION BY event_type, m ORDER BY b) AS d
+  FROM dense
+), agg AS (
+  SELECT event_type, m, COUNT(*)::BIGINT AS n_bins,
+         SUM(c)::BIGINT AS n_events, SUM(d * d)::BIGINT AS sumsq
+  FROM diffs GROUP BY event_type, m
+)
+SELECT event_type, m, CAST(m * 60 AS BIGINT) AS tau_s, n_bins, n_events,
+       round(n_events::DOUBLE / n_bins::DOUBLE, 6) AS mean_per_bin,
+       round(sumsq::DOUBLE
+             / nullif(2.0 * (n_bins - 1)::DOUBLE, 0.0), 6) AS avar,
+       round(sqrt(sumsq::DOUBLE
+             / nullif(2.0 * (n_bins - 1)::DOUBLE, 0.0)), 6) AS adev
+FROM agg
+"""
+
+
 def q_drawdown(spark, sf_dir):
     """Per-user running-peak battery (operators.extremes): max
     drawdown / longest under-water run / record-high count of the
@@ -7606,6 +7658,7 @@ FROM agg LEFT JOIN runs USING (conv_id)
 _EXTRA_QUERIES = {
     "interarrival": q_interarrival,
     "drawdown": q_drawdown,
+    "allan_variance": q_allan,
     "heavy_hitters": q_heavy_hitters,
     "chunk_payloads": q_chunk_payloads,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -7699,6 +7752,7 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "interarrival": SQL_INTERARRIVAL,
     "drawdown": SQL_DRAWDOWN,
+    "allan_variance": SQL_ALLAN,
     "compression_stats": SQL_COMPRESSION_STATS,
     "chunk_payloads": SQL_CHUNK_PAYLOADS,
     "heavy_hitters": SQL_HEAVY_HITTERS,

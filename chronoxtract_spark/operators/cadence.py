@@ -50,6 +50,113 @@ from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import NumericType
 
 
+def _sec(df: DataFrame, ts_col: str):
+    if isinstance(df.schema[ts_col].dataType, NumericType):
+        return F.col(ts_col).cast("long")
+    return F.unix_timestamp(F.col(ts_col))
+
+
+def allan_variance(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    tau0_s: int = 60,
+    ladder: tuple[int, ...] = (1, 4, 16, 64),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Non-overlapping Allan (two-sample) variance of the per-key event
+    RATE at a ladder of averaging times tau = m * tau0.
+
+    The time-and-frequency-metrology stability statistic applied to a
+    point process: bin events into consecutive tau-wide bins x_k over
+    the key's observed span (EMPTY BINS COUNT AS ZERO — they are real
+    observations of the rate), then
+
+        AVAR(tau) = sum_k (x_{k+1} - x_k)^2 / (2 (K - 1)).
+
+    The log-log slope of AVAR over the ladder identifies the noise
+    regime exactly as the hourly Fano factor cannot (white/Poisson
+    arrivals give AVAR ~ rate at every tau; rate random-walk bends the
+    ladder up). Complements ``detrended_fluctuation_analysis``
+    (reference src/seasonality/mod.rs), which needs a regular VALUE
+    series; this works straight off irregular arrivals.
+
+    Output: one row per (key, m): tau_s, n_bins K, total events n,
+    mean_per_bin, avar, adev = sqrt(avar). AVAR needs K >= 2, else
+    null. Everything up to the final divisions is exact int64 (bin
+    counts and squared integer differences summed in any order), so
+    the DuckDB oracle matches bit-for-bit before round().
+
+    Spark-first shape: ONE (key, m, bin) count groupBy for the whole
+    ladder (the ladder is exploded onto the events first, so all m
+    share one shuffle), a per-(key, m) span aggregate whose
+    ``sequence()`` explode materializes the dense grid (linear in
+    span/tau, NOT in events — the only way empty bins can be counted
+    without a driver loop), one left join back, one lag window, one
+    final groupBy. No UDF anywhere.
+    """
+    lad = F.explode(
+        F.array(*[F.lit(int(m)) for m in ladder])
+    ).alias("m")
+    b = df.select(
+        F.col(key_col).alias("_k"), _sec(df, ts_col).alias("_s")
+    ).select(
+        "_k",
+        lad,
+        F.col("_s").alias("_s"),
+    ).select(
+        "_k",
+        "m",
+        F.floor(F.col("_s") / (F.col("m") * F.lit(int(tau0_s))))
+        .cast("long")
+        .alias("b"),
+    )
+    counts = b.groupBy("_k", "m", "b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    spans = counts.groupBy("_k", "m").agg(
+        F.min("b").alias("b0"), F.max("b").alias("b1")
+    )
+    grid = spans.select(
+        "_k", "m", F.explode(F.sequence("b0", "b1")).alias("b")
+    )
+    dense = grid.join(counts, ["_k", "m", "b"], "left").select(
+        "_k", "m", "b", F.coalesce(F.col("c"), F.lit(0)).alias("c")
+    )
+    w = Window.partitionBy("_k", "m").orderBy("b")
+    diffs = dense.select(
+        "_k",
+        "m",
+        "c",
+        (F.col("c") - F.lag("c").over(w)).alias("d"),
+    )
+    agg = diffs.groupBy("_k", "m").agg(
+        F.count("*").cast("long").alias("n_bins"),
+        F.sum("c").cast("long").alias("n_events"),
+        F.sum(F.col("d") * F.col("d")).alias("sumsq"),
+    )
+    km1 = (F.col("n_bins") - F.lit(1)).cast("double")
+    avar = F.col("sumsq").cast("double") / F.nullif(
+        F.lit(2.0) * km1, F.lit(0.0)
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "m",
+        (F.col("m") * F.lit(int(tau0_s))).cast("long").alias("tau_s"),
+        "n_bins",
+        "n_events",
+        rnd(
+            F.col("n_events").cast("double") / F.col("n_bins").cast("double")
+        ).alias("mean_per_bin"),
+        rnd(avar).alias("avar"),
+        rnd(F.sqrt(avar)).alias("adev"),
+    )
+
+
 def interarrival_stats(
     df: DataFrame,
     key_col: str = "conv_id",

@@ -134,3 +134,88 @@ def test_bursty_vs_regular_signs(spark):
     assert got["b"]["burstiness"] > 0.3
     assert -1.0 <= got["r"]["burstiness"] < -0.7
     assert got["b"]["cv"] > 1.0 > got["r"]["cv"]
+
+
+# ---------------- allan_variance ----------------
+
+from chronoxtract_spark.operators.cadence import allan_variance  # noqa: E402
+
+
+def _ref_avar(ts, m, tau0=60):
+    s = np.array(sorted(ts), dtype=np.int64)
+    b = s // (m * tau0)
+    lo, hi = int(b.min()), int(b.max())
+    x = np.zeros(hi - lo + 1, dtype=np.int64)
+    for v in b:
+        x[int(v - lo)] += 1
+    out = {"n_bins": len(x), "n_events": len(s),
+           "mean_per_bin": len(s) / len(x)}
+    if len(x) >= 2:
+        d = np.diff(x).astype(np.float64)
+        out["avar"] = float((d * d).sum()) / (2.0 * (len(x) - 1))
+    else:
+        out["avar"] = None
+    return out
+
+
+def _run_avar(spark, series, ladder=(1, 4, 16)):
+    rows = [(k, int(t)) for k, pts in series.items() for t in pts]
+    df = spark.createDataFrame(rows, "event_type string, ts long")
+    got = allan_variance(
+        df, key_col="event_type", ladder=ladder, round_digits=None
+    ).collect()
+    return {(r.event_type, r.m): r.asDict() for r in got}
+
+
+def test_allan_crafted(spark):
+    # exactly one event per minute: x_k == 1 at m=1 -> AVAR 0; at m=4
+    # every bin holds 4 -> AVAR 0 again (perfectly stable rate)
+    periodic = [i * 60 + 30 for i in range(64)]
+    # single burst: everything lands in one m=16 bin -> n_bins 1, null
+    burst = [i for i in range(50)]
+    got = _run_avar(spark, {"p": periodic, "b": burst})
+    assert got[("p", 1)]["avar"] == 0.0 and got[("p", 4)]["avar"] == 0.0
+    assert got[("b", 16)]["n_bins"] == 1 and got[("b", 16)]["avar"] is None
+    assert got[("b", 1)]["n_bins"] == 1  # 50 s < one minute
+    for (k, m), g in got.items():
+        want = _ref_avar({"p": periodic, "b": burst}[k], m)
+        for col, exp in want.items():
+            if exp is None:
+                assert g[col] is None, (k, m, col)
+            else:
+                assert math.isclose(g[col], exp, rel_tol=1e-12), (
+                    k, m, col, g[col], exp)
+
+
+def test_allan_empty_bins_counted(spark):
+    # events in minutes 0 and 10 only: m=1 grid spans 11 bins with 9
+    # zeros; diffs are [-3, 0x8, 5]
+    ts = [1, 2, 3, 600, 601, 602, 603, 604]
+    got = _run_avar(spark, {"k": ts}, ladder=(1,))
+    g = got[("k", 1)]
+    assert g["n_bins"] == 11
+    want = (3 * 3 + 5 * 5) / (2.0 * 10)
+    assert math.isclose(g["avar"], want, rel_tol=1e-12)
+
+
+def test_allan_randomized(spark):
+    rng = random.Random(99)
+    series = {}
+    for ki in range(8):
+        n = rng.randrange(5, 300)
+        t = rng.randrange(0, 1000)
+        pts = []
+        for _ in range(n):
+            t += rng.randrange(1, 900)
+            pts.append(t)
+        series[f"g{ki}"] = pts
+    got = _run_avar(spark, series)
+    for (k, m), g in got.items():
+        want = _ref_avar(series[k], m)
+        for col, exp in want.items():
+            if exp is None:
+                assert g[col] is None, (k, m, col)
+            else:
+                assert math.isclose(g[col], exp, rel_tol=1e-12), (
+                    k, m, col, g[col], exp)
+        assert g["tau_s"] == m * 60
