@@ -7533,6 +7533,65 @@ FROM d
 """
 
 
+def q_transition_entropy(spark, sf_dir):
+    """First-order Markov entropy battery per user
+    (operators.markov.transition_entropy): conditional entropy rate of
+    the event-type chain, marginal entropy of the conditioning states,
+    and the predictability gain between them. All probabilities are
+    int64 count ratios and both entropy sums are sequential folds over
+    label-sorted term arrays (the energy/quantile sorted-fold
+    contract), so the DuckDB oracle is bit-exact before round(6). One
+    lag window + nested (key,from,to)->(key,from)->(key) groupBys, no
+    UDF."""
+    from chronoxtract_spark.operators.markov import transition_entropy
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        "ts",
+    )
+    return transition_entropy(ev)
+
+
+SQL_TRANSITION_ENTROPY = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         event_type AS st
+  FROM events
+), tr AS (
+  SELECT conv_id,
+         lag(st) OVER (PARTITION BY conv_id ORDER BY s, turn_idx) AS f,
+         st AS tto
+  FROM t
+), p AS (SELECT * FROM tr WHERE f IS NOT NULL),
+cij AS (
+  SELECT conv_id, f, tto, COUNT(*)::BIGINT AS c FROM p GROUP BY 1, 2, 3
+), ci AS (
+  SELECT conv_id, f, SUM(c)::BIGINT AS ci FROM cij GROUP BY 1, 2
+), n AS (SELECT conv_id, SUM(ci)::BIGINT AS n FROM ci GROUP BY 1),
+hc AS (
+  SELECT conv_id,
+         list_sum(list(c::DOUBLE * ln(c::DOUBLE / ci::DOUBLE)
+                       ORDER BY f, tto)) AS sum_cond
+  FROM cij JOIN ci USING (conv_id, f) GROUP BY conv_id
+), hm AS (
+  SELECT conv_id, COUNT(*)::BIGINT AS n_from_states,
+         list_sum(list(ci::DOUBLE * ln(ci::DOUBLE / n::DOUBLE)
+                       ORDER BY f)) AS sum_marg
+  FROM ci JOIN n USING (conv_id) GROUP BY conv_id
+)
+SELECT conv_id, n AS n_transitions, n_from_states,
+       round(-sum_cond / n::DOUBLE, 6) AS entropy_rate_nats,
+       round(-sum_marg / n::DOUBLE, 6) AS marginal_entropy_nats,
+       round((-sum_marg / n::DOUBLE) - (-sum_cond / n::DOUBLE), 6)
+         AS predictability_gain_nats
+FROM n JOIN hc USING (conv_id) JOIN hm USING (conv_id)
+"""
+
+
 def q_allan(spark, sf_dir):
     """Allan (two-sample) variance ladder of the per-event-type arrival
     rate (operators.cadence.allan_variance): events binned at tau =
@@ -7659,6 +7718,7 @@ _EXTRA_QUERIES = {
     "interarrival": q_interarrival,
     "drawdown": q_drawdown,
     "allan_variance": q_allan,
+    "transition_entropy": q_transition_entropy,
     "heavy_hitters": q_heavy_hitters,
     "chunk_payloads": q_chunk_payloads,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -7753,6 +7813,7 @@ _EXTRA_ORACLES = {
     "interarrival": SQL_INTERARRIVAL,
     "drawdown": SQL_DRAWDOWN,
     "allan_variance": SQL_ALLAN,
+    "transition_entropy": SQL_TRANSITION_ENTROPY,
     "compression_stats": SQL_COMPRESSION_STATS,
     "chunk_payloads": SQL_CHUNK_PAYLOADS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
