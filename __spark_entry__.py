@@ -7533,6 +7533,83 @@ FROM d
 """
 
 
+def q_lang_divergence(spark, sf_dir):
+    """Per-language corpus drift (operators.divergence): bounded-
+    vocabulary Jensen-Shannon divergence + total-variation distance of
+    each language's token distribution against the rest of the corpus,
+    on the closed top-20-term support with exact <other> lumping (the
+    sf0.01 vocabulary is 31 terms, so 11 really lump — non-vacuous).
+    The only corpus-sized shuffle is the (lang, term) count; top-k is
+    a distributed TakeOrdered; the divergence folds run over
+    label-sorted bounded arrays — oracle-exact before round(6)."""
+    from chronoxtract_spark.operators.divergence import slice_divergence
+
+    return slice_divergence(
+        _documents(spark, sf_dir), slice_col="lang", vocab_k=20
+    )
+
+
+SQL_LANG_DIVERGENCE = """
+WITH toks AS (
+  SELECT lang AS sl,
+         unnest(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           x -> x <> '')) AS term
+  FROM documents
+), counts AS (
+  SELECT sl, term, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), gl AS (SELECT term, SUM(c)::BIGINT AS ct FROM counts GROUP BY 1),
+vocab AS (SELECT term FROM gl ORDER BY ct DESC, term LIMIT 20),
+c2 AS (
+  SELECT sl,
+         CASE WHEN v.term IS NOT NULL THEN counts.term
+              ELSE '<other>' END AS term,
+         SUM(c)::BIGINT AS c
+  FROM counts LEFT JOIN vocab v ON counts.term = v.term
+  GROUP BY 1, 2
+), ct2 AS (SELECT term, SUM(c)::BIGINT AS ct FROM c2 GROUP BY 1),
+nl AS (SELECT sl, SUM(c)::BIGINT AS n_l FROM c2 GROUP BY 1),
+grand AS (SELECT SUM(n_l)::BIGINT AS n_tot FROM nl),
+grid AS (
+  SELECT nl.sl, ct2.term, nl.n_l, grand.n_tot, ct2.ct,
+         COALESCE(c2.c, 0)::BIGINT AS c
+  FROM nl CROSS JOIN grand CROSS JOIN ct2
+  LEFT JOIN c2 ON c2.sl = nl.sl AND c2.term = ct2.term
+), terms AS (
+  SELECT sl, n_l, n_tot, term,
+         0.5 * (CASE WHEN c > 0
+                     THEN (c::DOUBLE / n_l::DOUBLE)
+                          * ln((c::DOUBLE / n_l::DOUBLE)
+                               / (((c::DOUBLE / n_l::DOUBLE)
+                                   + ((ct - c)::DOUBLE
+                                      / nullif((n_tot - n_l)::DOUBLE, 0.0)))
+                                  / 2.0))
+                     ELSE 0.0 END
+                + CASE WHEN ct > c
+                       THEN ((ct - c)::DOUBLE
+                             / nullif((n_tot - n_l)::DOUBLE, 0.0))
+                            * ln(((ct - c)::DOUBLE
+                                  / nullif((n_tot - n_l)::DOUBLE, 0.0))
+                                 / (((c::DOUBLE / n_l::DOUBLE)
+                                     + ((ct - c)::DOUBLE
+                                        / nullif((n_tot - n_l)::DOUBLE, 0.0)))
+                                    / 2.0))
+                       ELSE 0.0 END) AS j,
+         0.5 * abs((c::DOUBLE / n_l::DOUBLE)
+                   - ((ct - c)::DOUBLE
+                      / nullif((n_tot - n_l)::DOUBLE, 0.0))) AS tv
+  FROM grid
+)
+SELECT sl AS lang, n_l AS n_tokens,
+       (n_tot - n_l)::BIGINT AS n_tokens_rest,
+       COUNT(*)::BIGINT AS n_vocab,
+       round(list_sum(list(j ORDER BY term)), 6) AS jsd_nats,
+       round(list_sum(list(tv ORDER BY term)), 6) AS tv_dist
+FROM terms
+GROUP BY sl, n_l, n_tot
+"""
+
+
 def q_survival(spark, sf_dir):
     """Kaplan-Meier lifetime curve with right-censoring at the
     observation horizon (operators.survival.survival_curve): per-user
@@ -7776,6 +7853,7 @@ _EXTRA_QUERIES = {
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
     "survival": q_survival,
+    "lang_divergence": q_lang_divergence,
     "heavy_hitters": q_heavy_hitters,
     "chunk_payloads": q_chunk_payloads,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -7872,6 +7950,7 @@ _EXTRA_ORACLES = {
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
     "survival": SQL_SURVIVAL,
+    "lang_divergence": SQL_LANG_DIVERGENCE,
     "compression_stats": SQL_COMPRESSION_STATS,
     "chunk_payloads": SQL_CHUNK_PAYLOADS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
