@@ -156,6 +156,98 @@ class ParquetBackend:
                     h.update(f"{fp}|{st.st_size}".encode())
         return h.hexdigest()[:16]
 
+    def file_stats(self, table: str, part_col: str) -> dict:
+        """Driver-side manifest walk: ``{value: (n_files, bytes)}`` of
+        data files per partition — the input to compaction planning.
+        Metadata-only (os.walk), no Spark job."""
+        out = {}
+        base = self._path(table)
+        for v in self.list_partitions(table, part_col):
+            p = os.path.join(base, f"{part_col}={v}")
+            n = b = 0
+            for dirpath, _dirs, files in os.walk(p):
+                for f in files:
+                    if f.startswith(("_", ".")) or f.endswith(".crc"):
+                        continue
+                    n += 1
+                    b += os.stat(os.path.join(dirpath, f)).st_size
+            out[v] = (n, b)
+        return out
+
+    def compact_partitions(
+        self,
+        table: str,
+        part_col: str,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+        values: list[str] | None = None,
+    ) -> list[dict]:
+        """Small-file compaction — the Iceberg ``rewrite_data_files``
+        equivalent. Incremental appends (streaming micro-batches, daily
+        rollup runs) accrete files per partition; scans then pay
+        per-file open/footer costs and lose run-length locality. This
+        rewrites each qualifying partition to
+        ``ceil(bytes / target_file_bytes)`` files.
+
+        Content-preserving BY CONSTRUCTION: the rewrite is a
+        ``coalesce`` (narrow — no shuffle, no row recomputation) of a
+        plain read of the partition's own files, staged to a side
+        directory and swapped in with two ``os.rename`` calls (the
+        module's staging-swap atomicity technique) — readers never see
+        a half-written partition, and a crash leaves either the old or
+        the new complete file set. Lineage checksums are
+        order-insensitive (bit_xor of row hashes), so committed
+        lineage rows remain valid verbatim — compaction needs no
+        lineage rewrite, which is the property that makes it safe to
+        run any time between rollup runs.
+
+        Partitions with fewer than ``min_files`` data files are left
+        untouched. Returns per-partition stats
+        ``{value, files_before, files_after, bytes}``.
+        """
+        import math
+
+        base = self._path(table)
+        stats = self.file_stats(table, part_col)
+        todo = values if values is not None else sorted(stats)
+        out = []
+        for v in todo:
+            n_files, n_bytes = stats.get(v, (0, 0))
+            if n_files < min_files:
+                continue
+            target_n = max(1, math.ceil(n_bytes / target_file_bytes))
+            if target_n >= n_files:
+                continue
+            src = os.path.join(base, f"{part_col}={v}")
+            staging = os.path.join(
+                base, f".cx_compact_{uuid.uuid4().hex}"
+            )
+            (
+                self.spark.read.parquet(src)
+                .coalesce(target_n)
+                .write.mode("overwrite")
+                .parquet(staging)
+            )
+            trash = src + f".cx_old_{uuid.uuid4().hex}"
+            os.rename(src, trash)
+            os.rename(staging, src)
+            shutil.rmtree(trash)
+            # drop Spark's _SUCCESS marker so the partition dir holds
+            # data files only, like every append-written partition
+            marker = os.path.join(src, "_SUCCESS")
+            if os.path.exists(marker):
+                os.remove(marker)
+            after, _ = self.file_stats(table, part_col).get(v, (0, 0))
+            out.append(
+                {
+                    "value": v,
+                    "files_before": n_files,
+                    "files_after": after,
+                    "bytes": n_bytes,
+                }
+            )
+        return out
+
     def drop(self, table: str):
         p = self._path(table)
         if os.path.isdir(p):
@@ -218,6 +310,34 @@ class IcebergBackend:
             "ORDER BY committed_at DESC LIMIT 1"
         ).collect()
         return str(rows[0][0]) if rows else "0"
+
+    def compact_partitions(
+        self,
+        table: str,
+        part_col: str,
+        target_file_bytes: int = 128 << 20,
+        min_files: int = 2,
+        values: list[str] | None = None,
+    ) -> list[dict]:
+        """Iceberg-native small-file compaction: the
+        ``rewrite_data_files`` maintenance procedure with a
+        min-input-files floor, optionally restricted to partitions by a
+        WHERE clause. Same contract as the Parquet backend: content
+        unchanged (a rewrite commits a replace snapshot over identical
+        rows), lineage checksums stay valid verbatim."""
+        where = ""
+        if values is not None:
+            vals = ", ".join(f"'{v}'" for v in values)
+            where = f", where => '{part_col} IN ({vals})'"
+        rows = self.spark.sql(
+            f"CALL {self.catalog}.system.rewrite_data_files("
+            f"table => '{self.namespace}.{table}', "
+            f"options => map("
+            f"'target-file-size-bytes', '{int(target_file_bytes)}', "
+            f"'min-input-files', '{int(min_files)}')"
+            f"{where})"
+        ).collect()
+        return [r.asDict() for r in rows]
 
     def drop(self, table: str):
         self.spark.sql(f"DROP TABLE IF EXISTS {self._fqn(table)}")
