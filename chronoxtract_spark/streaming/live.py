@@ -589,3 +589,110 @@ def stateful_tdigest(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MG_STATE_SCHEMA = "n long, terms array<string>, cnts array<long>, thr long"
+MG_OUT_SCHEMA = (
+    "conv_id string, rank int, term string, n long, "
+    "cnt_lb long, cnt_ub long, thr long"
+)
+
+
+def stateful_heavy_hitters(
+    turns: DataFrame,
+    conv_col: str = "conv_id",
+    text_col: str = "text",
+    budget: int = 1 << 12,
+    k: int = 10,
+) -> DataFrame:
+    """Per-key streaming heavy hitters via ``applyInPandasWithState`` —
+    the streaming face of operators.sketches' Misra-Gries summary,
+    completing the sketch suite's streaming coverage (t-digest:
+    stateful_tdigest; exact distinct: dropDuplicatesWithinWatermark).
+
+    GroupState carries the key's term->count accumulator bounded at
+    ``budget`` counters plus the running truncation threshold; each
+    micro-batch is counted exactly (one vectorized value_counts over
+    the batch's whitespace tokens — same tokenization as the batch
+    sketch), added to the state, and the accumulator is truncated back
+    to ``budget`` (count DESC, term ASC — the repo's deterministic
+    ranked pin) with the largest dropped count accumulated into
+    ``thr``. The lossy-counting invariant is the batch kernel's:
+    every kept count is a LOWER bound and true <= cnt + thr — the
+    per-row sandwich [cnt_lb, cnt_ub] emitted with each top-k row.
+    State is O(budget) REGARDLESS of stream length; with
+    budget >= the key's true vocabulary nothing ever truncates,
+    thr == 0, and the streamed top-k EQUALS the exact batch counts —
+    the stream == batch contract the test pins across a checkpoint
+    restart. Emits the current top-``k`` per batch (update mode)."""
+    bud = int(budget)
+    topk = int(k)
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        n0 = 0
+        acc = None
+        thr = 0
+        if state.exists:
+            n0, terms0, cnts0, thr = state.get
+            if terms0:
+                acc = pd.Series(
+                    np.asarray(cnts0, dtype="int64"), index=list(terms0)
+                )
+        chunks = []
+        for pdf in pdfs:
+            toks = (
+                pdf[text_col]
+                .astype(str)
+                .str.strip()
+                .str.lower()
+                .str.split()
+            )
+            flat = [t for row in toks for t in row]
+            if flat:
+                chunks.append(pd.Series(flat))
+        if chunks:
+            vc = pd.concat(chunks).value_counts().astype("int64")
+            n0 += int(vc.sum())
+            acc = vc if acc is None else acc.add(vc, fill_value=0).astype(
+                "int64"
+            )
+            if len(acc) > bud:
+                tab = acc.rename_axis("term").reset_index(name="cnt")
+                tab = tab.sort_values(
+                    ["cnt", "term"], ascending=[False, True], kind="mergesort"
+                )
+                thr += int(tab["cnt"].iloc[bud])
+                kept = tab.iloc[:bud]
+                acc = pd.Series(
+                    kept["cnt"].to_numpy(), index=kept["term"], dtype="int64"
+                )
+        terms = list(acc.index) if acc is not None else []
+        cnts = [int(x) for x in acc.to_numpy()] if acc is not None else []
+        state.update((int(n0), terms, cnts, int(thr)))
+        if acc is None:
+            return
+        tab = acc.rename_axis("term").reset_index(name="cnt")
+        tab = tab.sort_values(
+            ["cnt", "term"], ascending=[False, True], kind="mergesort"
+        ).head(topk)
+        yield pd.DataFrame(
+            {
+                "conv_id": key[0],
+                "rank": range(1, len(tab) + 1),
+                "term": tab["term"].to_numpy(),
+                "n": int(n0),
+                "cnt_lb": tab["cnt"].to_numpy(),
+                "cnt_ub": tab["cnt"].to_numpy() + int(thr),
+                "thr": int(thr),
+            }
+        )
+
+    return turns.groupBy(conv_col).applyInPandasWithState(
+        fn,
+        outputStructType=MG_OUT_SCHEMA,
+        stateStructType=MG_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

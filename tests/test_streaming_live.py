@@ -499,3 +499,77 @@ class TestStatefulTdigest:
         # sane envelope on a standard normal
         assert -1.0 < a["q50"] < 1.0
         assert a["q05"] < a["q25"] < a["q50"] < a["q75"] < a["q95"]
+
+
+class TestStatefulHeavyHitters:
+    def test_stream_equals_batch_after_restart(self, spark, dirs):
+        """Lossless regime (budget >= vocabulary): after two
+        micro-batch runs with a checkpoint restart between them, the
+        streamed top-k must EQUAL exact batch term counts with thr==0
+        — state loss or double-counting would move a count."""
+        from collections import Counter
+
+        src, ckpt = dirs
+        schema = "conv_id string, minute_ts timestamp, text string"
+        first = ["alpha beta beta", "gamma alpha", "beta"]
+        second = ["alpha alpha", "delta beta gamma gamma"]
+
+        def write(texts, t0):
+            rows = [
+                ("a", datetime.fromisoformat(f"2026-01-01T{t0:02d}:{i:02d}:00"), t)
+                for i, t in enumerate(texts)
+            ]
+            spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+        def run():
+            stream = spark.readStream.schema(schema).parquet(src)
+            return live.run_collect(
+                live.stateful_heavy_hitters(stream, budget=1 << 10, k=5),
+                ckpt,
+                output_mode="update",
+            )
+
+        write(first, 0)
+        r1 = run()
+        assert {r["term"]: r["cnt_lb"] for r in r1} == {
+            "beta": 3, "alpha": 2, "gamma": 1}
+
+        write(second, 1)
+        r2 = sorted(run(), key=lambda r: r["rank"])
+        truth = Counter(
+            t for doc in first + second for t in doc.split())
+        want = sorted(truth.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = [(r["term"], r["cnt_lb"]) for r in r2]
+        assert got == want
+        assert all(r["thr"] == 0 and r["cnt_ub"] == r["cnt_lb"] for r in r2)
+        assert r2[0]["n"] == sum(truth.values())
+
+    def test_truncation_keeps_sandwich(self, spark, dirs):
+        """budget=2 over a 5-term stream: state stays bounded and every
+        surviving count brackets the truth in [cnt_lb, cnt_ub]."""
+        from collections import Counter
+
+        src, ckpt = dirs
+        schema = "conv_id string, minute_ts timestamp, text string"
+        docs = [
+            "t1 t1 t1 t1 t2 t2 t2 rare1",
+            "t1 t1 t2 rare2 rare3",
+            "t1 t1 t1 t2 t2 rare1",
+        ]
+        rows = [
+            ("a", datetime.fromisoformat(f"2026-01-01T00:{i:02d}:00"), t)
+            for i, t in enumerate(docs)
+        ]
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = live.run_collect(
+            live.stateful_heavy_hitters(stream, budget=2, k=2),
+            ckpt, output_mode="update",
+        )
+        truth = Counter(t for doc in docs for t in doc.split())
+        assert out
+        for r in out:
+            assert r["cnt_lb"] <= truth[r["term"]] <= r["cnt_ub"], (
+                r["term"], r["cnt_lb"], r["cnt_ub"], truth[r["term"]])
+        # the two dominant terms survive the budget
+        assert {r["term"] for r in out} == {"t1", "t2"}
