@@ -59,6 +59,15 @@ EXPECTED_FLAGS = {
     "corr_matrix": "BNLJ = broadcast of the 1-row global (g_lo, g_hi) "
     "span onto the handful of series names to build the dense spine; "
     "the pair moments come from a time-key hash equi-join",
+    "survival": "BNLJ = broadcast of the 1-row observation-horizon "
+    "scalar (max ts, the censoring cutoff) onto the per-key lifetime "
+    "table — the standard scalar-attach pattern; everything else is "
+    "groupBys + the single-partition curve window (bounded by "
+    "distinct lifetimes)",
+    "lang_divergence": "BNLJ/cross = the deliberate bounded union "
+    "grid: slices x closed top-k vocabulary (≤ (k+1)·|slices| rows by "
+    "construction) plus the 1-row grand-total scalar attach; the "
+    "corpus-sized work is the single (slice, term) count exchange",
 }
 
 
