@@ -7563,7 +7563,7 @@ vocab AS (SELECT term FROM gl ORDER BY ct DESC, term LIMIT 20),
 c2 AS (
   SELECT sl,
          CASE WHEN v.term IS NOT NULL THEN counts.term
-              ELSE '<other>' END AS term,
+              ELSE '< other >' END AS term,
          SUM(c)::BIGINT AS c
   FROM counts LEFT JOIN vocab v ON counts.term = v.term
   GROUP BY 1, 2

@@ -47,13 +47,8 @@ output is one row per key.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import NumericType
 
-
-def _sec(df: DataFrame, ts_col: str):
-    if isinstance(df.schema[ts_col].dataType, NumericType):
-        return F.col(ts_col).cast("long")
-    return F.unix_timestamp(F.col(ts_col))
+from ._util import epoch_seconds
 
 
 def allan_variance(
@@ -99,7 +94,7 @@ def allan_variance(
         F.array(*[F.lit(int(m)) for m in ladder])
     ).alias("m")
     b = df.select(
-        F.col(key_col).alias("_k"), _sec(df, ts_col).alias("_s")
+        F.col(key_col).alias("_k"), epoch_seconds(df, ts_col).alias("_s")
     ).select(
         "_k",
         lad,
@@ -176,13 +171,9 @@ def interarrival_stats(
     nonzero gap variance on both legs of the lag-1 pairing, else null.
     ``fano_hourly`` is defined for every key (>= 1 event).
     """
-    if isinstance(df.schema[ts_col].dataType, NumericType):
-        sec = F.col(ts_col).cast("long")
-    else:
-        sec = F.unix_timestamp(F.col(ts_col))
     d = df.select(
         F.col(key_col).alias("_k"),
-        sec.alias("_s"),
+        epoch_seconds(df, ts_col).alias("_s"),
         *[F.col(c) for c in order_cols],
     )
 

@@ -14,7 +14,9 @@ yesterday vs today, train vs val...). Reports, per slice value:
 
 Scale-correct closed vocabulary: distributions are restricted to the
 TOP-``vocab_k`` terms by global count (ties broken by term), with all
-remaining mass lumped into one ``<other>`` bucket — so the per-slice
+remaining mass lumped into one ``< other >`` bucket (the sentinel contains
+spaces, which no whitespace-split token can, so a real corpus token
+can never collide with it) — so the per-slice
 fold arrays are bounded by vocab_k + 1 regardless of corpus size, the
 top-k is a distributed TakeOrdered (orderBy + limit), never a global
 sort materialization, and JS stays well-defined on the exact same
@@ -42,7 +44,7 @@ from pyspark.sql import DataFrame, functions as F
 
 from .text import normalized_text
 
-OTHER = "<other>"
+OTHER = "< other >"  # contains spaces: no whitespace-split token can collide
 
 
 def slice_divergence(

@@ -38,7 +38,8 @@ uses.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import NumericType
+
+from ._util import epoch_seconds
 
 
 def drawdown_stats(
@@ -52,14 +53,10 @@ def drawdown_stats(
 ) -> DataFrame:
     """One row per key: n_obs, n_records, max_drawdown,
     max_drawdown_len, final_cum, peak_cum (value units)."""
-    if isinstance(df.schema[ts_col].dataType, NumericType):
-        sec = F.col(ts_col).cast("long")
-    else:
-        sec = F.unix_timestamp(F.col(ts_col))
     unit = 10 ** scale
     d = df.select(
         F.col(key_col).alias("_k"),
-        sec.alias("_s"),
+        epoch_seconds(df, ts_col).alias("_s"),
         F.round(F.col(value_col) * F.lit(unit), 0).cast("long").alias("_v"),
         *[F.col(c) for c in order_cols],
     )

@@ -40,7 +40,8 @@ the only memory dimension (vocabulary-bounded, not stream-bounded).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import NumericType
+
+from ._util import epoch_seconds
 
 
 def transition_entropy(
@@ -51,14 +52,10 @@ def transition_entropy(
     order_cols: tuple[str, ...] = ("turn_idx",),
     round_digits: int | None = 6,
 ) -> DataFrame:
-    if isinstance(df.schema[ts_col].dataType, NumericType):
-        sec = F.col(ts_col).cast("long")
-    else:
-        sec = F.unix_timestamp(F.col(ts_col))
     d = df.select(
         F.col(key_col).alias("_k"),
         F.col(state_col).cast("string").alias("_st"),
-        sec.alias("_s"),
+        epoch_seconds(df, ts_col).alias("_s"),
         *[F.col(c) for c in order_cols],
     )
     w = Window.partitionBy("_k").orderBy("_s", *order_cols)

@@ -36,7 +36,8 @@ lifetimes, not keys.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
-from pyspark.sql.types import NumericType
+
+from ._util import epoch_seconds
 
 
 def survival_curve(
@@ -49,11 +50,7 @@ def survival_curve(
     """One row per distinct death lifetime t: n_risk, n_deaths,
     n_censored (censored AT exactly t), survival S(t), Greenwood
     standard error. Lifetimes are whole seconds."""
-    if isinstance(df.schema[ts_col].dataType, NumericType):
-        sec = F.col(ts_col).cast("long")
-    else:
-        sec = F.unix_timestamp(F.col(ts_col))
-    lives = df.select(F.col(key_col).alias("_k"), sec.alias("_s")).groupBy(
+    lives = df.select(F.col(key_col).alias("_k"), epoch_seconds(df, ts_col).alias("_s")).groupBy(
         "_k"
     ).agg(
         F.min("_s").alias("t0"),

@@ -228,7 +228,12 @@ class ParquetBackend:
                 .write.mode("overwrite")
                 .parquet(staging)
             )
-            trash = src + f".cx_old_{uuid.uuid4().hex}"
+            # trash name MUST be dot-prefixed and NOT carry the
+            # "<part_col>=" prefix: a visible sibling would be
+            # partition-discovered as a bogus extra partition by any
+            # reader (or crash recovery) that runs between the rename
+            # and the rmtree
+            trash = os.path.join(base, f".cx_old_{uuid.uuid4().hex}")
             os.rename(src, trash)
             os.rename(staging, src)
             shutil.rmtree(trash)
@@ -237,7 +242,15 @@ class ParquetBackend:
             marker = os.path.join(src, "_SUCCESS")
             if os.path.exists(marker):
                 os.remove(marker)
-            after, _ = self.file_stats(table, part_col).get(v, (0, 0))
+            # walk only the partition just swapped in — a full
+            # file_stats here would re-walk every partition per
+            # compacted partition (O(P^2) metadata walks)
+            after = sum(
+                1
+                for _dirpath, _dirs, files in os.walk(src)
+                for f in files
+                if not f.startswith(("_", ".")) and not f.endswith(".crc")
+            )
             out.append(
                 {
                     "value": v,
@@ -327,7 +340,13 @@ class IcebergBackend:
         rows), lineage checksums stay valid verbatim."""
         where = ""
         if values is not None:
-            vals = ", ".join(f"'{v}'" for v in values)
+            # the where clause is itself a quoted SQL string literal:
+            # the inner value quotes must be doubled to survive the
+            # outer literal's parsing
+            q2 = "''"
+            vals = ", ".join(
+                q2 + str(v).replace("'", q2 * 2) + q2 for v in values
+            )
             where = f", where => '{part_col} IN ({vals})'"
         rows = self.spark.sql(
             f"CALL {self.catalog}.system.rewrite_data_files("

@@ -644,8 +644,9 @@ def stateful_heavy_hitters(
         for pdf in pdfs:
             toks = (
                 pdf[text_col]
-                .astype(str)
-                .str.strip()
+                .dropna()  # null text is DROPPED, as the batch
+                .astype(str)  # sketch's JVM tokenizer does — never
+                .str.strip()  # counted as a literal "none" token
                 .str.lower()
                 .str.split()
             )

@@ -25,7 +25,7 @@ def _ref(docs, vocab_k):
     def lump(cnt):
         out = Counter()
         for t, c in cnt.items():
-            out[t if t in vocab else "<other>"] += c
+            out[t if t in vocab else "< other >"] += c
         return out
 
     per2 = {sl: lump(c) for sl, c in per.items()}
