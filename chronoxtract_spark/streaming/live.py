@@ -697,3 +697,79 @@ def stateful_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_STATE_SCHEMA = "n long, hs array<long>"
+KMV_OUT_SCHEMA = (
+    "conv_id string, n_rows long, n_kept long, saw_all boolean, est double"
+)
+
+
+def stateful_kmv(
+    values: DataFrame,
+    conv_col: str = "conv_id",
+    value_col: str = "turns",
+    k: int = 1 << 12,
+) -> DataFrame:
+    """Per-key streaming distinct-count sketch via
+    ``applyInPandasWithState`` — the streaming face of
+    operators.sketches.kmv_distinct, completing streaming coverage for
+    all three sketches (t-digest: stateful_tdigest; Misra-Gries:
+    stateful_heavy_hitters).
+
+    Hashing happens BEFORE the stateful operator, on the JVM
+    (``xxhash64`` — the identical hash family the batch sketch uses),
+    so the streamed sketch is not merely approximately right: because
+    bottom-k composes losslessly and order-insensitively
+    (bottomk(A u B) == bottomk(bottomk(A) u B)), the streamed state
+    EQUALS the batch sketch over all rows seen, in BOTH regimes — the
+    exact count below k (saw_all) and the (k-1)/u_k estimator above it
+    — which the test pins as exact equality against batch kmv_distinct
+    across a checkpoint restart. State is the bounded sorted bottom-k
+    hash array, O(k) regardless of stream length. Emits the current
+    estimate per batch (update mode)."""
+    kk = int(k)
+    hashed = values.select(
+        F.col(conv_col).alias("conv_id"),
+        F.xxhash64(F.col(value_col)).alias("h"),
+    ).where(F.col("h").isNotNull())
+
+    def fn(key, pdfs, state: GroupState):
+        import numpy as np
+
+        n0 = 0
+        hs = np.empty(0, dtype=np.int64)
+        if state.exists:
+            n0, hs0 = state.get
+            hs = np.asarray(hs0, dtype=np.int64)
+        chunks = [pdf["h"].to_numpy(np.int64) for pdf in pdfs if len(pdf)]
+        if chunks:
+            n0 += int(sum(c.size for c in chunks))
+            hs = np.unique(np.concatenate([hs] + chunks))[:kk]
+        state.update((int(n0), [int(x) for x in hs]))
+        n_kept = int(hs.size)
+        saw_all = n_kept < kk
+        if saw_all:
+            est = float(n_kept)
+        else:
+            u_k = (float(hs[kk - 1]) + 2.0**63) / 2.0**64
+            est = float(kk - 1) / u_k
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": key[0],
+                    "n_rows": int(n0),
+                    "n_kept": n_kept,
+                    "saw_all": saw_all,
+                    "est": est,
+                }
+            ]
+        )
+
+    return hashed.groupBy("conv_id").applyInPandasWithState(
+        fn,
+        outputStructType=KMV_OUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -573,3 +573,69 @@ class TestStatefulHeavyHitters:
                 r["term"], r["cnt_lb"], r["cnt_ub"], truth[r["term"]])
         # the two dominant terms survive the budget
         assert {r["term"] for r in out} == {"t1", "t2"}
+
+
+class TestStatefulKmv:
+    def test_stream_equals_batch_sketch_both_regimes(self, spark, dirs):
+        """The streamed bottom-k state must EQUAL batch kmv_distinct
+        over all rows seen — exactly, in both the saw_all regime and
+        the estimator regime (same xxhash64 family, bottom-k is
+        order-insensitive) — across a checkpoint restart."""
+        from chronoxtract_spark.operators.sketches import kmv_distinct
+
+        src, ckpt = dirs
+        schema = "conv_id string, minute_ts timestamp, turns double"
+
+        def write(vals, t0):
+            rows = [
+                ("a", datetime.fromisoformat(f"2026-01-01T{t0:02d}:{i % 60:02d}:00"),
+                 float(v))
+                for i, v in enumerate(vals)
+            ]
+            spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+
+        def run(k):
+            stream = spark.readStream.schema(schema).parquet(src)
+            return {
+                r["conv_id"]: r
+                for r in live.run_collect(
+                    live.stateful_kmv(stream, k=k), ckpt,
+                    output_mode="update")
+            }
+
+        first = [float(v) for v in range(40)]
+        second = [float(v) for v in range(25, 60)]  # overlap: 40..59 new
+
+        write(first, 0)
+        r1 = run(k=16)  # estimator regime: 40 distinct > k
+        assert r1["a"]["n_kept"] == 16 and not r1["a"]["saw_all"]
+
+        write(second, 1)
+        r2 = run(k=16)
+        batch = spark.createDataFrame(
+            [("a", float(v)) for v in first + second], "conv_id string, turns double"
+        )
+        want = kmv_distinct(batch, "conv_id", "turns", k=16).collect()[0]
+        assert r2["a"]["n_kept"] == want["n_kept"]
+        assert r2["a"]["saw_all"] == want["saw_all"]
+        assert r2["a"]["est"] == want["est"]  # exact: same hashes, same k
+        assert r2["a"]["n_rows"] == len(first) + len(second)
+
+    def test_lossless_regime_is_exact(self, spark, dirs):
+        src, ckpt = dirs
+        schema = "conv_id string, minute_ts timestamp, turns double"
+        rows = [
+            (k, datetime.fromisoformat(f"2026-01-01T00:{i:02d}:00"), float(v))
+            for k, vs in (("a", [1, 2, 2, 3]), ("b", [5, 5, 5]))
+            for i, v in enumerate(vs)
+        ]
+        spark.createDataFrame(rows, schema).write.mode("append").parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = {
+            r["conv_id"]: r
+            for r in live.run_collect(
+                live.stateful_kmv(stream, k=1 << 10), ckpt,
+                output_mode="update")
+        }
+        assert out["a"]["saw_all"] and out["a"]["est"] == 3.0
+        assert out["b"]["saw_all"] and out["b"]["est"] == 1.0
