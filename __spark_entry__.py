@@ -7533,6 +7533,59 @@ FROM d
 """
 
 
+def q_user_behavior(spark, sf_dir):
+    """Composite per-user behavior profile: the three round-4b
+    batteries — arrival cadence (burstiness/memory/Fano), first-order
+    Markov structure (entropy rate / predictability gain), and the
+    cumulative-value path (max drawdown / records) — composed in ONE
+    DataFrame graph joined on user. All three share the same user_id
+    shuffle key, so the joins co-locate behind one exchange per branch;
+    the oracle splices the three proven battery SQLs verbatim and joins
+    them identically. The composition-style flagship for the stream
+    batteries, like ops_health is for the hyperfunction surface."""
+    from chronoxtract_spark.operators.cadence import interarrival_stats
+    from chronoxtract_spark.operators.extremes import drawdown_stats
+    from chronoxtract_spark.operators.markov import transition_entropy
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("event_type").alias("role"),
+        "ts",
+        "value",
+    )
+    cad = interarrival_stats(ev).select(
+        "conv_id", "n_events", "burstiness", "memory_coef", "fano_hourly"
+    )
+    mk = transition_entropy(ev).select(
+        "conv_id", "entropy_rate_nats", "predictability_gain_nats"
+    )
+    dd = drawdown_stats(ev).select(
+        "conv_id", "n_records", "max_drawdown", "final_cum"
+    )
+    return cad.join(mk, "conv_id").join(dd, "conv_id")
+
+
+def _sql_user_behavior() -> str:
+    def cte_body(sql: str) -> str:
+        # each battery SQL is WITH <ctes> SELECT ...; splice as
+        # nested-subquery form usable inside one outer WITH
+        return "SELECT * FROM (" + sql.strip() + ")"
+
+    return f"""
+WITH cad AS ({cte_body(SQL_INTERARRIVAL)}),
+mk AS ({cte_body(SQL_TRANSITION_ENTROPY)}),
+dd AS ({cte_body(SQL_DRAWDOWN)})
+SELECT cad.conv_id, cad.n_events, cad.burstiness, cad.memory_coef,
+       cad.fano_hourly,
+       mk.entropy_rate_nats, mk.predictability_gain_nats,
+       dd.n_records, dd.max_drawdown, dd.final_cum
+FROM cad
+JOIN mk USING (conv_id)
+JOIN dd USING (conv_id)
+"""
+
+
 def q_lang_divergence(spark, sf_dir):
     """Per-language corpus drift (operators.divergence): bounded-
     vocabulary Jensen-Shannon divergence + total-variation distance of
@@ -7854,6 +7907,7 @@ _EXTRA_QUERIES = {
     "transition_entropy": q_transition_entropy,
     "survival": q_survival,
     "lang_divergence": q_lang_divergence,
+    "user_behavior": q_user_behavior,
     "heavy_hitters": q_heavy_hitters,
     "chunk_payloads": q_chunk_payloads,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -7951,6 +8005,7 @@ _EXTRA_ORACLES = {
     "transition_entropy": SQL_TRANSITION_ENTROPY,
     "survival": SQL_SURVIVAL,
     "lang_divergence": SQL_LANG_DIVERGENCE,
+    "user_behavior": _sql_user_behavior(),
     "compression_stats": SQL_COMPRESSION_STATS,
     "chunk_payloads": SQL_CHUNK_PAYLOADS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
