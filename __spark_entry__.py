@@ -7533,6 +7533,71 @@ FROM d
 """
 
 
+def q_expectations(spark, sf_dir):
+    """Declarative data-quality gate (operators.expectations): the
+    Deequ-shape contract check a training pipeline runs before the
+    expensive stages — row floor, non-null fraction, key uniqueness,
+    range and accepted-set fractions, one row per rule with metric /
+    threshold / pass. One conditional-aggregate scan plus one groupBy
+    per uniqueness rule; metrics are exact int64 count ratios (n =
+    10^4 at sf0.01, so all fractions terminate within 4 decimals and
+    round(6) is the identity in both engines). Thresholds chosen so
+    the result mixes passes AND failures — the gate demonstrably
+    discriminates."""
+    from chronoxtract_spark.operators.expectations import check_expectations
+
+    return check_expectations(
+        _events(spark, sf_dir),
+        [
+            {"type": "min_rows", "n": 5000},
+            {"type": "not_null", "col": "user_id", "min_frac": 1.0},
+            {"type": "unique", "cols": ["event_id"], "min_frac": 1.0},
+            {"type": "in_range", "col": "value", "lo": 0, "hi": 10,
+             "min_frac": 0.99},
+            {"type": "accepted_values", "col": "event_type",
+             "values": ["click", "view"], "min_frac": 0.3},
+        ],
+    )
+
+
+SQL_EXPECTATIONS = """
+WITH b AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(CASE WHEN user_id IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS m_nn,
+         SUM(CASE WHEN value >= 0 AND value <= 10
+                  THEN 1 ELSE 0 END)::BIGINT AS m_rng,
+         SUM(CASE WHEN value IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS d_rng,
+         SUM(CASE WHEN event_type IN ('click', 'view')
+                  THEN 1 ELSE 0 END)::BIGINT AS m_av,
+         SUM(CASE WHEN event_type IS NOT NULL
+                  THEN 1 ELSE 0 END)::BIGINT AS d_av
+  FROM events
+), u AS (
+  SELECT SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS uq,
+         SUM(c)::BIGINT AS t
+  FROM (SELECT event_id, COUNT(*)::BIGINT AS c
+        FROM events GROUP BY 1) q
+)
+SELECT * FROM (
+  SELECT 'min_rows(5000)' AS rule, round(n::DOUBLE, 6) AS metric,
+         5000.0 AS threshold, n >= 5000 AS passed FROM b
+  UNION ALL
+  SELECT 'not_null(user_id)', round(m_nn::DOUBLE / n::DOUBLE, 6), 1.0,
+         m_nn::DOUBLE / n::DOUBLE >= 1.0 FROM b
+  UNION ALL
+  SELECT 'unique(event_id)', round(uq::DOUBLE / t::DOUBLE, 6), 1.0,
+         uq::DOUBLE / t::DOUBLE >= 1.0 FROM u
+  UNION ALL
+  SELECT 'in_range(value,0,10)', round(m_rng::DOUBLE / d_rng::DOUBLE, 6),
+         0.99, m_rng::DOUBLE / d_rng::DOUBLE >= 0.99 FROM b
+  UNION ALL
+  SELECT 'accepted_values(event_type)',
+         round(m_av::DOUBLE / d_av::DOUBLE, 6), 0.3,
+         m_av::DOUBLE / d_av::DOUBLE >= 0.3 FROM b
+) z
+"""
+
+
 def q_user_behavior(spark, sf_dir):
     """Composite per-user behavior profile: the three round-4b
     batteries — arrival cadence (burstiness/memory/Fano), first-order
@@ -7908,6 +7973,7 @@ _EXTRA_QUERIES = {
     "survival": q_survival,
     "lang_divergence": q_lang_divergence,
     "user_behavior": q_user_behavior,
+    "expectations": q_expectations,
     "heavy_hitters": q_heavy_hitters,
     "chunk_payloads": q_chunk_payloads,
     "tdigest_quantiles": q_tdigest_quantiles,
@@ -8006,6 +8072,7 @@ _EXTRA_ORACLES = {
     "survival": SQL_SURVIVAL,
     "lang_divergence": SQL_LANG_DIVERGENCE,
     "user_behavior": _sql_user_behavior(),
+    "expectations": SQL_EXPECTATIONS,
     "compression_stats": SQL_COMPRESSION_STATS,
     "chunk_payloads": SQL_CHUNK_PAYLOADS,
     "heavy_hitters": SQL_HEAVY_HITTERS,
