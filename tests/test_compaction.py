@@ -105,3 +105,41 @@ def test_rollup_lineage_survives_compaction(spark):
     assert all(v == 0 for v in counts.values()), counts
     if stats:
         assert all(s["files_after"] <= s["files_before"] for s in stats)
+
+
+def test_maintenance_job_inprocess(spark, capsys):
+    """jobs/maintenance_submit.py wiring: compaction stats + retention
+    expiry emitted as one JSON line (the submit zip mechanics are
+    exercised by tests/test_spark_submit.py on the rollup job)."""
+    import json
+
+    from jobs.maintenance_submit import main
+
+    io = temp_warehouse(spark)
+    rows = [(f"2026-01-{d:02d}", i, float(i)) for d in (1, 2) for i in range(30)]
+    df = spark.createDataFrame(rows, "day string, k long, v double")
+    for i in range(5):
+        io.append(df.where(F.col("k") % 5 == i), "rollup_1m",
+                  partition_by=["day"])
+    assert all(n >= 5 for n, _ in io.file_stats("rollup_1m", "day").values())
+
+    rc = main(
+        [
+            "--warehouse", io.root,
+            "--compact", "rollup_1m", "ghost_table",
+            "--target-file-mb", "1024",
+            "--min-files", "2",
+            "--retention", "rollup_1m=2026-01-02",
+        ],
+        stop_session=False,
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    c = out["compacted"]["rollup_1m"]
+    assert c["partitions_rewritten"] == 2
+    assert c["files_after"] < c["files_before"]
+    assert out["compacted"]["ghost_table"] == {"skipped": "absent"}
+    # retention expired the pre-cutoff day; the kept day still reads
+    assert out["expired_partitions"]["rollup_1m"] == 1
+    assert io.list_partitions("rollup_1m", "day") == ["2026-01-02"]
+    assert io.read("rollup_1m").count() == 30
