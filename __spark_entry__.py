@@ -7895,6 +7895,51 @@ FROM agg
 """
 
 
+def q_phase_fold(spark, sf_dir):
+    """Epoch-folding periodicity search (operators.cadence
+    .phase_fold_search): per-event-type arrival times folded at a
+    ladder of trial periods into 16 phase bins, scored with Leahy
+    chi-square against flatness via the closed form B*sum(c^2)/N - N
+    — empty bins contribute zero to sum(c^2) so no phase grid is ever
+    materialized; binning is exact integer arithmetic ((s mod P)*B/P).
+    One (key, period, bin) count shuffle for the whole ladder.
+    Oracle-exact."""
+    from chronoxtract_spark.operators.cadence import phase_fold_search
+
+    return phase_fold_search(_events(spark, sf_dir))
+
+
+SQL_PHASE_FOLD = """
+WITH t AS (
+  SELECT event_type, CAST(floor(epoch(ts)) AS BIGINT) AS s FROM events
+), lad AS (SELECT unnest([3600, 21600, 43200, 86400, 604800]) AS p),
+bins AS (
+  SELECT event_type, p,
+         CAST(floor((s % p) * 16 / p) AS BIGINT) AS b,
+         COUNT(*)::BIGINT AS c
+  FROM t CROSS JOIN lad
+  GROUP BY event_type, p, CAST(floor((s % p) * 16 / p) AS BIGINT)
+), ranked AS (
+  SELECT event_type, p, b, c,
+         row_number() OVER (PARTITION BY event_type, p
+                            ORDER BY c DESC, b ASC) AS rn
+  FROM bins
+), agg AS (
+  SELECT event_type, p, SUM(c)::BIGINT AS n, SUM(c * c)::BIGINT AS s2
+  FROM bins GROUP BY event_type, p
+), pk AS (
+  SELECT event_type, p, b AS peak_bin, c AS peak_count
+  FROM ranked WHERE rn = 1
+)
+SELECT agg.event_type, p AS period_s, 16::BIGINT AS n_bins, n,
+       round(16.0 * s2::DOUBLE / n::DOUBLE - n::DOUBLE, 6) AS chi2,
+       round((16.0 * s2::DOUBLE / n::DOUBLE - n::DOUBLE) / 15.0, 6)
+         AS chi2_red,
+       peak_bin, peak_count
+FROM agg JOIN pk USING (event_type, p)
+"""
+
+
 def q_drawdown(spark, sf_dir):
     """Per-user running-peak battery (operators.extremes): max
     drawdown / longest under-water run / record-high count of the
@@ -7968,6 +8013,7 @@ FROM agg LEFT JOIN runs USING (conv_id)
 _EXTRA_QUERIES = {
     "interarrival": q_interarrival,
     "drawdown": q_drawdown,
+    "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
     "survival": q_survival,
@@ -8067,6 +8113,7 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "interarrival": SQL_INTERARRIVAL,
     "drawdown": SQL_DRAWDOWN,
+    "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
     "survival": SQL_SURVIVAL,

@@ -257,3 +257,74 @@ def interarrival_stats(
         rnd(F.when(has_pair, mem)).alias("memory_coef"),
         rnd(fano).alias("fano_hourly"),
     )
+
+
+def phase_fold_search(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    periods_s: tuple[int, ...] = (3600, 21600, 43200, 86400, 604800),
+    nbins: int = 16,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Epoch-folding periodicity search over event ARRIVAL TIMES
+    (Leahy et al. 1983): fold each key's events at a ladder of trial
+    periods into ``nbins`` phase bins and score non-uniformity with
+    Pearson's chi-square against the flat profile. The point-process
+    periodogram for irregular event data — the arrival-time
+    counterpart of ``lomb_scargle_py`` (reference src/fda/mod.rs),
+    which needs (t, value) samples; this needs only arrivals.
+
+    Exactness + the empty-bin trick: with integer-second trial
+    periods, phase binning is pure integer arithmetic
+    (bin = (ts mod P) * B // P, no float ever), and the chi-square
+    over ALL B bins — empty ones included — has the closed form
+
+        chi2 = B * (sum_b c_b^2) / N - N
+
+    (empty bins contribute 0 to sum c^2), so no phase grid is ever
+    materialized and partitioning cannot move a bit until the final
+    division. One (key, period, bin) count shuffle covers the whole
+    ladder (periods explode onto events first). Emits per (key,
+    period): N, chi2, reduced chi2 / (B-1), and the peak bin's
+    count + phase — the detection cursor a user sorts by.
+    """
+    per = F.explode(
+        F.array(*[F.lit(int(p)) for p in periods_s])
+    ).alias("p")
+    b = df.select(
+        F.col(key_col).alias("_k"), epoch_seconds(df, ts_col).alias("_s")
+    ).select("_k", per, "_s").select(
+        "_k",
+        "p",
+        # integer phase binning: (s mod p) * B // p  — exact
+        F.floor(
+            (F.col("_s") % F.col("p")) * F.lit(int(nbins)) / F.col("p")
+        ).cast("long").alias("b"),
+    )
+    counts = b.groupBy("_k", "p", "b").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    agg = counts.groupBy("_k", "p").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("s2"),
+        F.max_by("b", F.struct(F.col("c"), -F.col("b"))).alias("peak_bin"),
+        F.max("c").cast("long").alias("peak_count"),
+    )
+    nb = F.lit(float(nbins))
+    nn = F.col("n").cast("double")
+    chi2 = nb * F.col("s2").cast("double") / nn - nn
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("p").alias("period_s"),
+        F.lit(int(nbins)).cast("long").alias("n_bins"),
+        "n",
+        rnd(chi2).alias("chi2"),
+        rnd(chi2 / F.lit(float(nbins - 1))).alias("chi2_red"),
+        "peak_bin",
+        "peak_count",
+    )

@@ -219,3 +219,67 @@ def test_allan_randomized(spark):
                 assert math.isclose(g[col], exp, rel_tol=1e-12), (
                     k, m, col, g[col], exp)
         assert g["tau_s"] == m * 60
+
+
+# ---------------- phase_fold_search ----------------
+
+from chronoxtract_spark.operators.cadence import phase_fold_search  # noqa: E402
+
+
+def _ref_fold(ts, p, nbins=16):
+    s = np.array(sorted(ts), dtype=np.int64)
+    b = ((s % p) * nbins) // p
+    c = np.bincount(b, minlength=nbins)
+    n = len(s)
+    chi2 = nbins * float((c.astype(np.int64) ** 2).sum()) / n - n
+    peak = int(np.argmax(c))  # argmax returns first (smallest bin) on ties
+    return {
+        "n": n, "chi2": chi2, "chi2_red": chi2 / (nbins - 1),
+        "peak_bin": peak, "peak_count": int(c[peak]),
+    }
+
+
+def _run_fold(spark, series, periods):
+    rows = [(k, int(t)) for k, pts in series.items() for t in pts]
+    df = spark.createDataFrame(rows, "event_type string, ts long")
+    got = phase_fold_search(
+        df, periods_s=periods, round_digits=None
+    ).collect()
+    return {(r.event_type, r.period_s): r.asDict() for r in got}
+
+
+def test_fold_detects_periodicity(spark):
+    # strictly periodic at 3600s: at trial 3600 everything lands in one
+    # bin -> chi2 = N(B-1); at an INCOMMENSURATE trial (5413 shares no
+    # factor with 3600) the phases walk the whole circle and the
+    # profile flattens. (A commensurate trial like 5400 = 1.5x3600
+    # would still concentrate phases onto 3 values — folding detects
+    # every rational harmonic, which is the physics, not a bug.)
+    periodic = [k * 3600 + 100 for k in range(96)]
+    got = _run_fold(spark, {"p": periodic}, periods=(3600, 5413))
+    g = got[("p", 3600)]
+    assert g["chi2"] == 96.0 * 15
+    assert g["peak_count"] == 96
+    flat = got[("p", 5413)]
+    assert flat["chi2"] < g["chi2"] / 4
+
+
+def test_fold_matches_numpy(spark):
+    rng = random.Random(20260818)
+    series = {}
+    for ki in range(6):
+        t = rng.randrange(0, 100000)
+        pts = []
+        for _ in range(rng.randrange(3, 400)):
+            t += rng.randrange(1, 7000)
+            pts.append(t)
+        series[f"g{ki}"] = pts
+    periods = (3600, 21600, 86400)
+    got = _run_fold(spark, series, periods)
+    for (k, p), g in got.items():
+        want = _ref_fold(series[k], p)
+        for col, exp in want.items():
+            if isinstance(exp, float):
+                assert math.isclose(g[col], exp, rel_tol=1e-12), (k, p, col)
+            else:
+                assert g[col] == exp, (k, p, col, g[col], exp)
