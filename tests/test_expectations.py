@@ -61,9 +61,6 @@ def test_gate_raises_listing_failures(spark):
         {"type": "min_rows", "n": 100},
         {"type": "not_null", "col": "v", "min_frac": 0.5},
     ]
-    df = None
-    import chronoxtract_spark.operators.expectations as ex
-
     df = spark.createDataFrame(ROWS, SCHEMA)
     with pytest.raises(ValueError) as e:
         expect_or_raise(df, df_rules)
@@ -71,7 +68,7 @@ def test_gate_raises_listing_failures(spark):
     assert "unique(id)" in msg and "min_rows(100)" in msg
     assert "not_null(v)" not in msg  # that one passes (5/6 >= 0.5)
     # passing contract returns the frame
-    ok = ex.expect_or_raise(df, [{"type": "min_rows", "n": 2}])
+    ok = expect_or_raise(df, [{"type": "min_rows", "n": 2}])
     assert ok.collect()[0]["passed"]
 
 
