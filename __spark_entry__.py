@@ -8010,8 +8010,70 @@ FROM agg LEFT JOIN runs USING (conv_id)
 """
 
 
+def q_haar_energy(spark, sf_dir):
+    """Haar multiresolution wavelet-energy ladder per event type
+    (operators.wavelet.haar_energy): each key's ordered value series
+    decomposed at dyadic pair widths {2,4,8,16}; per level the count of
+    complete Haar coefficient positions, the detail energy (sum of
+    squared coefficients), the wavelet variance (Percival 1995 — the
+    value-domain sibling of the Allan ladder), and the level's share of
+    total detail energy. One exploded-ladder half-block sum shuffle +
+    two bounded groupBys; every float is a sequential fold over
+    position-sorted arrays mirrored exactly by DuckDB's
+    list_sum(list(... ORDER BY ...)), so the oracle is bit-exact before
+    round(6). No UDF."""
+    from chronoxtract_spark.operators.wavelet import haar_energy
+
+    return haar_energy(_events(spark, sf_dir))
+
+
+SQL_HAAR_ENERGY = """
+WITH t AS (
+  SELECT event_type AS k,
+         CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+         ) - 1 AS BIGINT) AS i,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), lad AS (
+  SELECT * FROM (VALUES (1, 1), (2, 2), (3, 4), (4, 8)) AS v(lvl, h)
+), hb AS (
+  SELECT k, lvl, h, CAST(floor(i / h) AS BIGINT) AS q,
+         list_sum(list(x ORDER BY i)) AS s, COUNT(*)::BIGINT AS cnt
+  FROM t CROSS JOIN lad
+  GROUP BY k, lvl, h, CAST(floor(i / h) AS BIGINT)
+), fhb AS (SELECT * FROM hb WHERE cnt = h),
+pr AS (
+  SELECT k, lvl, h, CAST(floor(q / 2) AS BIGINT) AS p,
+         MAX(CASE WHEN q % 2 = 0 THEN s END) AS se,
+         MAX(CASE WHEN q % 2 = 1 THEN s END) AS so,
+         COUNT(*)::BIGINT AS np
+  FROM fhb GROUP BY k, lvl, h, CAST(floor(q / 2) AS BIGINT)
+), d AS (
+  SELECT k, lvl, h, p, (se - so) / (2.0 * h) AS dv
+  FROM pr WHERE np = 2
+), lev AS (
+  SELECT k, lvl, h, COUNT(*)::BIGINT AS n_pairs,
+         list_sum(list(dv * dv ORDER BY p)) AS energy
+  FROM d GROUP BY k, lvl, h
+), tot AS (
+  SELECT k, list_sum(list(energy ORDER BY h)) AS tot_e
+  FROM lev GROUP BY k
+)
+SELECT k AS event_type, CAST(lvl AS INT) AS level,
+       CAST(h AS BIGINT) AS half_width, CAST(h * 2 AS BIGINT) AS pair_width,
+       n_pairs,
+       round(energy, 6) AS energy,
+       round(energy / n_pairs::DOUBLE, 6) AS wavelet_var,
+       round(energy / nullif(tot_e, 0.0), 6) AS energy_frac
+FROM lev JOIN tot USING (k)
+"""
+
+
 _EXTRA_QUERIES = {
     "interarrival": q_interarrival,
+    "haar_energy": q_haar_energy,
     "drawdown": q_drawdown,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
@@ -8112,6 +8174,7 @@ _EXTRA_QUERIES = {
 
 _EXTRA_ORACLES = {
     "interarrival": SQL_INTERARRIVAL,
+    "haar_energy": SQL_HAAR_ENERGY,
     "drawdown": SQL_DRAWDOWN,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
@@ -8245,7 +8308,7 @@ _PRIORITY_ORDER = [
     "ewma_irregular",
     # newly oracled this round
     "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
-    "enhanced_peak_stats",
+    "enhanced_peak_stats", "haar_energy",
     # round-4 operator surfaces: resample/counter/anomaly/downsample/
     # retrieval — the highest-value NEW coverage for the driver's 50
     # (token_stats/lang_id_pred/lang_counts/doc_fingerprint rotate out:
