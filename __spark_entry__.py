@@ -8010,6 +8010,85 @@ FROM agg LEFT JOIN runs USING (conv_id)
 """
 
 
+def q_yule_walker(spark, sf_dir):
+    """Closed-form Yule-Walker AR(1)/AR(2) fits of each user's value
+    stream (operators.armodel.yule_walker): biased autocovariances
+    c0/c1/c2, acf1/acf2, the AR(1) phi and innovation variance (the
+    discrete-time sibling of the CARMA OU family), and the AR(2)
+    Yule-Walker solution whose phi2 is the lag-2 partial
+    autocorrelation. Mean and covariances are sequential folds over
+    position-sorted term arrays (lag terms folded as COALESCE(term, 0)
+    over ALL positions so both engines walk identical sequences);
+    everything after is a fixed expression tree — oracle bit-exact
+    before round(6). One key-window shuffle + one per-key groupBy, no
+    UDF; degenerate keys guard by predicates (n >= 3, nullif), never
+    NaN."""
+    from chronoxtract_spark.operators.armodel import yule_walker
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return yule_walker(ev)
+
+
+SQL_YULE_WALKER = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+         CAST(row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), CAST(event_id AS INT)
+         ) - 1 AS BIGINT) AS i,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), l AS (
+  SELECT k, i, x,
+         lead(x, 1) OVER (PARTITION BY k ORDER BY i) AS x1,
+         lead(x, 2) OVER (PARTITION BY k ORDER BY i) AS x2
+  FROM t
+), m AS (
+  SELECT k, COUNT(*)::BIGINT AS n,
+         list_sum(list(x ORDER BY i)) / COUNT(*)::BIGINT AS mu
+  FROM l GROUP BY k HAVING COUNT(*) >= 3
+), tm AS (
+  SELECT l.k, n, mu, i,
+         (x - mu) * (x - mu) AS t0,
+         COALESCE((x - mu) * (x1 - mu), 0.0) AS t1,
+         COALESCE((x - mu) * (x2 - mu), 0.0) AS t2
+  FROM l JOIN m ON l.k = m.k
+), cv AS (
+  SELECT k, n, mu,
+         list_sum(list(t0 ORDER BY i)) / n AS c0,
+         list_sum(list(t1 ORDER BY i)) / n AS c1,
+         list_sum(list(t2 ORDER BY i)) / n AS c2
+  FROM tm GROUP BY k, n, mu
+), rr AS (
+  SELECT k, n, mu, c0,
+         c1 / nullif(c0, 0.0) AS r1,
+         c2 / nullif(c0, 0.0) AS r2
+  FROM cv
+), ar AS (
+  SELECT k, n, mu, c0, r1, r2,
+         r1 * (1.0 - r2) / nullif(1.0 - r1 * r1, 0.0) AS phi1,
+         (r2 - r1 * r1) / nullif(1.0 - r1 * r1, 0.0) AS phi2
+  FROM rr
+)
+SELECT k AS conv_id, n,
+       round(mu, 6) AS mean,
+       round(c0, 6) AS var0,
+       round(r1, 6) AS acf1,
+       round(r2, 6) AS acf2,
+       round(r1, 6) AS ar1_phi,
+       round(c0 * (1.0 - r1 * r1), 6) AS ar1_sigma2,
+       round(phi1, 6) AS ar2_phi1,
+       round(phi2, 6) AS ar2_phi2,
+       round(c0 * (1.0 - phi1 * r1 - phi2 * r2), 6) AS ar2_sigma2
+FROM ar
+"""
+
+
 def q_haar_energy(spark, sf_dir):
     """Haar multiresolution wavelet-energy ladder per event type
     (operators.wavelet.haar_energy): each key's ordered value series
@@ -8074,6 +8153,7 @@ FROM lev JOIN tot USING (k)
 _EXTRA_QUERIES = {
     "interarrival": q_interarrival,
     "haar_energy": q_haar_energy,
+    "yule_walker": q_yule_walker,
     "drawdown": q_drawdown,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
@@ -8175,6 +8255,7 @@ _EXTRA_QUERIES = {
 _EXTRA_ORACLES = {
     "interarrival": SQL_INTERARRIVAL,
     "haar_energy": SQL_HAAR_ENERGY,
+    "yule_walker": SQL_YULE_WALKER,
     "drawdown": SQL_DRAWDOWN,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
@@ -8308,7 +8389,7 @@ _PRIORITY_ORDER = [
     "ewma_irregular",
     # newly oracled this round
     "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
-    "enhanced_peak_stats", "haar_energy",
+    "enhanced_peak_stats", "haar_energy", "yule_walker",
     # round-4 operator surfaces: resample/counter/anomaly/downsample/
     # retrieval — the highest-value NEW coverage for the driver's 50
     # (token_stats/lang_id_pred/lang_counts/doc_fingerprint rotate out:

@@ -1,0 +1,134 @@
+"""Yule-Walker autoregressive fits per key, closed form.
+
+``yule_walker`` reduces each key's ordered value series to the biased
+(1/n) autocovariances c0, c1, c2 and reports the closed-form AR(1) and
+AR(2) method-of-moments fits:
+
+- ``acf1``, ``acf2`` — r_k = c_k / c0.
+- ``ar1_phi`` = r1, ``ar1_sigma2`` = c0 (1 - r1^2) — the discrete-time
+  sibling of the engine's continuous-time CARMA(1,0)/OU family
+  (kernel/carma.py): for regularly-sampled data phi = exp(-dt/tau).
+- ``ar2_phi1`` = r1 (1 - r2) / (1 - r1^2),
+  ``ar2_phi2`` = (r2 - r1^2) / (1 - r1^2) — the Yule-Walker solution;
+  phi2 is ALSO the lag-2 partial autocorrelation (Durbin-Levinson), so
+  its distance from 0 is the evidence the series needs a second lag.
+- ``ar2_sigma2`` = c0 (1 - phi1 r1 - phi2 r2) — innovation variance.
+
+Exactness contract: the mean and every autocovariance are sequential
+left folds over position-sorted term arrays (lag-k products folded as
+COALESCE(term, 0.0) over ALL positions so Spark's ``F.aggregate`` and
+DuckDB's ``list_sum(list(... ORDER BY ...))`` walk identical term
+sequences); everything downstream is a fixed closed-form expression
+tree over those folds, written with the same association in both
+engines. Degenerate keys guard by predicates, not NaN: n < 3 rows are
+dropped (no c2), c0 = 0 (constant series with exactly-representable
+mean) nulls every ratio, |r1| = 1 nulls the AR(2) columns via
+nullif(1 - r1^2, 0).
+
+Spark-first shape: one row_number + two leads over the shared key
+window (one shuffle), one per-key collect_list groupBy whose four
+folds produce the whole sufficient statistic, then pure column
+expressions. Output is one row per key; per-key memory is the
+collected term array (stream-bounded like every sorted-fold battery —
+the tier tables, not raw events, are the intended input at scale, and
+the same closed forms apply unchanged to hierarchical moment merges).
+
+Reference parity note: the reference fits continuous-time AR via
+seeded MLE (src/carma/mle.rs); this is the engine-native closed-form
+counterpart that needs no optimizer and therefore oracles exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ._util import epoch_seconds
+
+
+def yule_walker(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    w = Window.partitionBy(key_col).orderBy(
+        epoch_seconds(df, ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("_i"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).select(
+        "_k",
+        "_i",
+        "_x",
+        F.lead("_x", 1).over(Window.partitionBy("_k").orderBy("_i")).alias("_x1"),
+        F.lead("_x", 2).over(Window.partitionBy("_k").orderBy("_i")).alias("_x2"),
+    )
+
+    mean = base.groupBy("_k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.array_sort(F.collect_list(F.struct("_i", "_x"))).alias("arr"),
+    ).where(F.col("n") >= 3).select(
+        "_k",
+        "n",
+        (
+            F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["_x"])
+            / F.col("n").cast("double")
+        ).alias("_m"),
+    )
+
+    terms = base.join(F.broadcast(mean), "_k").select(
+        "_k",
+        "n",
+        "_m",
+        "_i",
+        ((F.col("_x") - F.col("_m")) * (F.col("_x") - F.col("_m"))).alias("_t0"),
+        ((F.col("_x") - F.col("_m")) * (F.col("_x1") - F.col("_m"))).alias("_t1"),
+        ((F.col("_x") - F.col("_m")) * (F.col("_x2") - F.col("_m"))).alias("_t2"),
+    )
+
+    def fold(field):
+        return F.aggregate(
+            "arr", F.lit(0.0), lambda acc, x: acc + F.coalesce(x[field], F.lit(0.0))
+        )
+
+    cov = terms.groupBy("_k", "n", "_m").agg(
+        F.array_sort(F.collect_list(F.struct("_i", "_t0", "_t1", "_t2"))).alias(
+            "arr"
+        )
+    ).select(
+        "_k",
+        "n",
+        "_m",
+        (fold("_t0") / F.col("n").cast("double")).alias("c0"),
+        (fold("_t1") / F.col("n").cast("double")).alias("c1"),
+        (fold("_t2") / F.col("n").cast("double")).alias("c2"),
+    )
+
+    r1 = F.col("c1") / F.nullif(F.col("c0"), F.lit(0.0))
+    r2 = F.col("c2") / F.nullif(F.col("c0"), F.lit(0.0))
+    den = F.nullif(F.lit(1.0) - r1 * r1, F.lit(0.0))
+    phi1 = r1 * (F.lit(1.0) - r2) / den
+    phi2 = (r2 - r1 * r1) / den
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return cov.select(
+        F.col("_k").alias(key_col),
+        "n",
+        rnd(F.col("_m")).alias("mean"),
+        rnd(F.col("c0")).alias("var0"),
+        rnd(r1).alias("acf1"),
+        rnd(r2).alias("acf2"),
+        rnd(r1).alias("ar1_phi"),
+        rnd(F.col("c0") * (F.lit(1.0) - r1 * r1)).alias("ar1_sigma2"),
+        rnd(phi1).alias("ar2_phi1"),
+        rnd(phi2).alias("ar2_phi2"),
+        rnd(
+            F.col("c0") * (F.lit(1.0) - phi1 * r1 - phi2 * r2)
+        ).alias("ar2_sigma2"),
+    )
