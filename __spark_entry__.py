@@ -8010,6 +8010,71 @@ FROM agg LEFT JOIN runs USING (conv_id)
 """
 
 
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall trend test (operators.robust.mann_kendall) over
+    the same dense 24-hour count series Theil-Sen fits — the
+    significance companion: S from sign counts over the co-located
+    pair join, Kendall's tie-corrected Var(S), continuity-corrected z,
+    tau-b, and the 5% two-sided verdict. Everything up to the final
+    divisions is pure int64 arithmetic (no fold contract needed), so
+    the oracle is bit-exact before round(6)."""
+    from chronoxtract_spark.operators.robust import mann_kendall
+
+    return mann_kendall(
+        _hourly_count_series(spark, sf_dir),
+        keys=["event_type", "day"], order_col="hr", value_col="c",
+    )
+
+
+def _sql_mann_kendall():
+    return f"""
+WITH {_SQL_HOURLY_SERIES.strip().rstrip(')').rstrip()}),
+base AS (
+  SELECT event_type, day, hr AS x, c::DOUBLE AS y FROM series),
+pairs AS (
+  SELECT a.event_type, a.day,
+         CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+  FROM base a JOIN base b
+    ON a.event_type = b.event_type AND a.day = b.day AND b.x > a.x),
+s AS (
+  SELECT event_type, day, SUM(sg)::BIGINT AS s_stat,
+         COUNT(*)::BIGINT AS n_pairs
+  FROM pairs GROUP BY 1, 2),
+nk AS (SELECT event_type, day, COUNT(*)::BIGINT AS n FROM base GROUP BY 1, 2),
+tg AS (SELECT event_type, day, y, COUNT(*)::BIGINT AS t
+       FROM base GROUP BY 1, 2, 3),
+ti AS (
+  SELECT event_type, day,
+         SUM(t * (t - 1) * (2 * t + 5))::BIGINT AS tvar,
+         SUM(t * (t - 1))::BIGINT AS tx2
+  FROM tg GROUP BY 1, 2),
+j AS (
+  SELECT event_type, day, n, n_pairs, s_stat,
+         (n * (n - 1) * (2 * n + 5) - tvar)::BIGINT AS varnum,
+         (n * (n - 1))::BIGINT AS d2, tx2
+  FROM nk JOIN s USING (event_type, day) JOIN ti USING (event_type, day)),
+zc AS (
+  SELECT *,
+         varnum::DOUBLE / 18.0 AS var_s,
+         CASE WHEN s_stat > 0
+              THEN (s_stat::DOUBLE - 1.0) / sqrt(varnum::DOUBLE / 18.0)
+              WHEN s_stat < 0
+              THEN (s_stat::DOUBLE + 1.0) / sqrt(varnum::DOUBLE / 18.0)
+              ELSE 0.0 END AS z
+  FROM j)
+SELECT event_type, day, n, n_pairs, s_stat,
+       round(var_s, 6) AS var_s,
+       round(s_stat::DOUBLE
+             / nullif(sqrt(((d2 - tx2)::DOUBLE / 2.0)
+                           * (d2::DOUBLE / 2.0)), 0.0), 6) AS tau_b,
+       round(z, 6) AS z,
+       CASE WHEN z > 1.959964 THEN 'increasing'
+            WHEN z < -1.959964 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM zc
+"""
+
+
 def q_yule_walker(spark, sf_dir):
     """Closed-form Yule-Walker AR(1)/AR(2) fits of each user's value
     stream (operators.armodel.yule_walker): biased autocovariances
@@ -8154,6 +8219,7 @@ _EXTRA_QUERIES = {
     "interarrival": q_interarrival,
     "haar_energy": q_haar_energy,
     "yule_walker": q_yule_walker,
+    "mann_kendall": q_mann_kendall,
     "drawdown": q_drawdown,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
@@ -8256,6 +8322,7 @@ _EXTRA_ORACLES = {
     "interarrival": SQL_INTERARRIVAL,
     "haar_energy": SQL_HAAR_ENERGY,
     "yule_walker": SQL_YULE_WALKER,
+    "mann_kendall": _sql_mann_kendall(),
     "drawdown": SQL_DRAWDOWN,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
@@ -8389,7 +8456,7 @@ _PRIORITY_ORDER = [
     "ewma_irregular",
     # newly oracled this round
     "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
-    "enhanced_peak_stats", "haar_energy", "yule_walker",
+    "enhanced_peak_stats", "haar_energy", "yule_walker", "mann_kendall",
     # round-4 operator surfaces: resample/counter/anomaly/downsample/
     # retrieval — the highest-value NEW coverage for the driver's 50
     # (token_stats/lang_id_pred/lang_counts/doc_fingerprint rotate out:

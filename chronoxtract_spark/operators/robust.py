@@ -29,6 +29,9 @@ from pyspark.sql import functions as F
 
 from chronoxtract_spark.operators._util import keylist as _keylist
 
+#: two-sided 5% normal critical value shared with the oracle SQL
+MK_Z_CRIT = 1.959964
+
 
 def _exact_median(df: DataFrame, keys: list[str], val: str) -> DataFrame:
     """Exact median of ``val`` per key: sorted rank pass, middle
@@ -93,4 +96,102 @@ def theil_sen(
             F.col("med_s").alias("slope"),
             F.col("med_r").alias("intercept"),
         )
+    )
+
+
+def mann_kendall(
+    df: DataFrame,
+    keys: list[str] | str,
+    order_col: str,
+    value_col: str,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Mann-Kendall trend test per series: the significance companion
+    to ``theil_sen`` (same pair set, same bounded-series boundary).
+    S = sum over ordered pairs of sign(y_j - y_i); the tie-corrected
+    variance Var(S) = [n(n-1)(2n+5) - sum_g t_g(t_g-1)(2t_g+5)] / 18
+    (Kendall 1975); the continuity-corrected normal score
+    z = (S -/+ 1)/sqrt(Var(S)) for S >/< 0 and exactly 0 at S = 0;
+    Kendall's tau-b = S / sqrt((D - T_x) D) with D = n(n-1)/2 and
+    T_x = sum_g t_g(t_g-1)/2 (the order index is dense, so time has no
+    ties); and the 5% two-sided verdict
+    ``trend in {increasing, decreasing, none}``.
+
+    Exactness: S, D, the tie sums and the variance numerator are pure
+    int64 arithmetic — partition-order-free with no fold contract
+    needed — and every emitted float is one fixed expression over
+    those integers, so the DuckDB oracle matches bit-for-bit before
+    round(6). All-tied series score S = 0, Var = 0, z = 0 exactly and
+    null tau-b (nullif, never NaN); series need >= 2 points.
+
+    Returns ``keys..., n, n_pairs, s_stat, var_s, tau_b, z, trend``.
+    """
+    keys = _keylist(keys)
+    wo = Window.partitionBy(*keys).orderBy(order_col)
+    base = df.select(
+        *keys,
+        (F.row_number().over(wo) - 1).alias("x"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+    a = base.select(*keys, F.col("x").alias("xi"), F.col("y").alias("yi"))
+    b = base.select(*keys, F.col("x").alias("xj"), F.col("y").alias("yj"))
+    s = (
+        a.join(b, keys)
+        .where(F.col("xj") > F.col("xi"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(
+                F.when(F.col("yj") > F.col("yi"), 1)
+                .when(F.col("yj") < F.col("yi"), -1)
+                .otherwise(0)
+            ).cast("long").alias("s_stat"),
+            F.count("*").cast("long").alias("n_pairs"),
+        )
+    )
+    nk = base.groupBy(*keys).agg(F.count("*").cast("long").alias("n"))
+    t = F.col("t")
+    ties = (
+        base.groupBy(*keys, "y")
+        .agg(F.count("*").cast("long").alias("t"))
+        .groupBy(*keys)
+        .agg(
+            F.sum(t * (t - 1) * (2 * t + 5)).cast("long").alias("tvar"),
+            F.sum(t * (t - 1)).cast("long").alias("tx2"),
+        )
+    )
+    j = nk.join(s, keys).join(ties, keys)
+
+    n = F.col("n")
+    varnum = n * (n - 1) * (2 * n + 5) - F.col("tvar")  # 18 * Var(S)
+    d2 = n * (n - 1)  # 2 * D
+    var_s = varnum.cast("double") / F.lit(18.0)
+    sd = F.col("s_stat").cast("double")
+    z = (
+        F.when(F.col("s_stat") > 0, (sd - 1.0) / F.sqrt(var_s))
+        .when(F.col("s_stat") < 0, (sd + 1.0) / F.sqrt(var_s))
+        .otherwise(F.lit(0.0))
+    )
+    tau_b = sd / F.nullif(
+        F.sqrt(
+            ((d2 - F.col("tx2")).cast("double") / F.lit(2.0))
+            * (d2.cast("double") / F.lit(2.0))
+        ),
+        F.lit(0.0),
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return j.select(
+        *keys,
+        "n",
+        "n_pairs",
+        "s_stat",
+        rnd(var_s).alias("var_s"),
+        rnd(tau_b).alias("tau_b"),
+        rnd(z).alias("z"),
+        F.when(z > F.lit(MK_Z_CRIT), F.lit("increasing"))
+        .when(z < F.lit(-MK_Z_CRIT), F.lit("decreasing"))
+        .otherwise(F.lit("none"))
+        .alias("trend"),
     )
