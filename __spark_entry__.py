@@ -8010,6 +8010,66 @@ FROM agg LEFT JOIN runs USING (conv_id)
 """
 
 
+def q_lead_lag(spark, sf_dir):
+    """Lead-lag correlation scan (operators.paired.lead_lag): every
+    ordered event-type pair's Pearson correlation between dense hourly
+    count series at lags -3..+3 hours on ONE shared zero-filled spine,
+    with each pair's largest-|r| lag flagged under a deterministic
+    (|r| DESC NULLS LAST, lag ASC) pin. The sufficient statistic per
+    (pair, lag) is five exact BIGINT sums over integer counts; r is one
+    fixed float expression over them — bit-exact vs the oracle before
+    round(6). Lag ladder exploded before the single hour-equi join;
+    output bounded by |keys|^2 x lags."""
+    from chronoxtract_spark.operators.paired import lead_lag
+
+    return lead_lag(_events(spark, sf_dir))
+
+
+SQL_LEAD_LAG = """
+WITH ev AS (
+  SELECT event_type AS k,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) AS h
+  FROM events
+), cnt AS (
+  SELECT k, h, COUNT(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+), span AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM ev),
+dense AS (
+  SELECT k, g.h, COALESCE(c, 0)::BIGINT AS c
+  FROM (SELECT DISTINCT k FROM ev) ks
+  CROSS JOIN span
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(h0, h1)) AS h) g
+  LEFT JOIN cnt USING (k, h)
+), lad AS (SELECT unnest(generate_series(-3, 3)) AS lag),
+agg AS (
+  SELECT a.k AS key_a, b.k AS key_b, CAST(lag AS INT) AS lag,
+         COUNT(*)::BIGINT AS n_overlap,
+         SUM(a.c)::BIGINT AS sx, SUM(b.c)::BIGINT AS sy,
+         SUM(a.c * b.c)::BIGINT AS sxy,
+         SUM(a.c * a.c)::BIGINT AS sxx,
+         SUM(b.c * b.c)::BIGINT AS syy
+  FROM dense a CROSS JOIN lad JOIN dense b ON b.h = a.h + lag
+  GROUP BY a.k, b.k, CAST(lag AS INT)
+), rr AS (
+  SELECT key_a, key_b, lag, n_overlap,
+         (n_overlap::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+         / nullif(sqrt((n_overlap::DOUBLE * sxx::DOUBLE
+                        - sx::DOUBLE * sx::DOUBLE)
+                       * (n_overlap::DOUBLE * syy::DOUBLE
+                          - sy::DOUBLE * sy::DOUBLE)), 0.0) AS r
+  FROM agg
+), rk AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY key_a, key_b
+           ORDER BY abs(r) DESC NULLS LAST, lag ASC
+         ) AS rn
+  FROM rr
+)
+SELECT key_a, key_b, lag, n_overlap, round(r, 6) AS r,
+       (rn = 1) AS is_best
+FROM rk
+"""
+
+
 def q_mann_kendall(spark, sf_dir):
     """Mann-Kendall trend test (operators.robust.mann_kendall) over
     the same dense 24-hour count series Theil-Sen fits — the
@@ -8220,6 +8280,7 @@ _EXTRA_QUERIES = {
     "haar_energy": q_haar_energy,
     "yule_walker": q_yule_walker,
     "mann_kendall": q_mann_kendall,
+    "lead_lag": q_lead_lag,
     "drawdown": q_drawdown,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
@@ -8323,6 +8384,7 @@ _EXTRA_ORACLES = {
     "haar_energy": SQL_HAAR_ENERGY,
     "yule_walker": SQL_YULE_WALKER,
     "mann_kendall": _sql_mann_kendall(),
+    "lead_lag": SQL_LEAD_LAG,
     "drawdown": SQL_DRAWDOWN,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
@@ -8457,6 +8519,7 @@ _PRIORITY_ORDER = [
     # newly oracled this round
     "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
     "enhanced_peak_stats", "haar_energy", "yule_walker", "mann_kendall",
+    "lead_lag",
     # round-4 operator surfaces: resample/counter/anomaly/downsample/
     # retrieval — the highest-value NEW coverage for the driver's 50
     # (token_stats/lang_id_pred/lang_counts/doc_fingerprint rotate out:

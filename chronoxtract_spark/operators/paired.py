@@ -133,3 +133,120 @@ def rolling_corr(
             corr.alias("corr"), cov.alias("cov"), beta.alias("beta"),
         )
     )
+
+
+def lead_lag(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    bin_s: int = 3600,
+    max_lag: int = 3,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Lead-lag scan over every ordered key pair: Pearson correlation
+    of key A's dense binned count series against key B's shifted by
+    lag bins, for every lag in [-max_lag, +max_lag] — the "does tool
+    volume LEAD error volume" question rolling_corr (same-time only)
+    cannot answer. A positive best lag means A's series at t aligns
+    with B's at t+lag, i.e. A leads B by `lag` bins.
+
+    Both series live on ONE shared dense spine (the table's global
+    [min, max] bin span, zero-filled per key), so every lag's overlap
+    window is the identical span - |lag| bins for every pair and the
+    correlation is never biased by missing-row alignment. Per
+    (pair, lag) the sufficient statistic is five exact BIGINT sums
+    (Sx, Sy, Sxy, Sxx, Syy) over integer counts; r is the one fixed
+    float expression (n Sxy - Sx Sy) / sqrt((n Sxx - Sx^2)(n Syy -
+    Sy^2)) over them — partition-order-free, bit-exact vs the oracle
+    before round(6), null (nullif, never NaN) when either side is
+    constant on the window. ``is_best`` marks each pair's
+    largest-|r| lag with a deterministic (|r| DESC NULLS LAST, lag
+    ASC) tie pin. Self-pairs are kept: their nonzero lags are the
+    binned autocorrelation, and their lag-0 r = 1 is a free oracle
+    sanity row.
+
+    Scale shape: counts groupBy (one shuffle linear in events), a
+    bounded keys x span grid from sequence()+explode, the lag ladder
+    exploded BEFORE the hour-equi join (one join covers all lags), and
+    a (pair, lag)-bounded aggregate — no per-row Python, no window
+    over raw events. Output rows = |keys|^2 x (2 max_lag + 1).
+    """
+    from chronoxtract_spark.operators._util import epoch_seconds
+
+    ev = df.select(
+        F.col(key_col).alias("_k"),
+        F.floor(epoch_seconds(df, ts_col) / F.lit(bin_s)).cast("long").alias("_h"),
+    )
+    counts = ev.groupBy("_k", "_h").agg(F.count("*").cast("long").alias("_c"))
+    span = ev.agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    dense = (
+        ev.select("_k").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("_k", F.explode(F.sequence("_h0", "_h1")).alias("_h"))
+        .join(counts, ["_k", "_h"], "left")
+        .select("_k", "_h", F.coalesce("_c", F.lit(0)).cast("long").alias("_c"))
+    )
+
+    lags = F.explode(
+        F.array(*[F.lit(l) for l in range(-max_lag, max_lag + 1)])
+    ).alias("_lag")
+    a = dense.select(
+        F.col("_k").alias("key_a"),
+        F.col("_h"),
+        F.col("_c").alias("_ca"),
+        lags,
+    ).select("key_a", "_h", "_ca", F.col("_lag").cast("int").alias("lag"),
+             (F.col("_h") + F.col("_lag")).alias("_ht"))
+    b = dense.select(
+        F.col("_k").alias("key_b"),
+        F.col("_h").alias("_ht"),
+        F.col("_c").alias("_cb"),
+    )
+    agg = (
+        a.join(b, "_ht")
+        .groupBy("key_a", "key_b", "lag")
+        .agg(
+            F.count("*").cast("long").alias("n_overlap"),
+            F.sum("_ca").cast("long").alias("sx"),
+            F.sum("_cb").cast("long").alias("sy"),
+            F.sum(F.col("_ca") * F.col("_cb")).cast("long").alias("sxy"),
+            F.sum(F.col("_ca") * F.col("_ca")).cast("long").alias("sxx"),
+            F.sum(F.col("_cb") * F.col("_cb")).cast("long").alias("syy"),
+        )
+    )
+    n = F.col("n_overlap").cast("double")
+    num = n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    vx = n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col(
+        "sx"
+    ).cast("double")
+    vy = n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col(
+        "sy"
+    ).cast("double")
+    r = num / F.nullif(F.sqrt(vx * vy), F.lit(0.0))
+
+    scored = agg.select(
+        "key_a", "key_b", "lag", "n_overlap", r.alias("_r")
+    )
+    w = Window.partitionBy("key_a", "key_b").orderBy(
+        F.abs(F.col("_r")).desc_nulls_last(), F.col("lag").asc()
+    )
+    out = scored.select(
+        "key_a",
+        "key_b",
+        "lag",
+        "n_overlap",
+        "_r",
+        (F.row_number().over(w) == 1).alias("is_best"),
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return out.select(
+        "key_a", "key_b", "lag", "n_overlap", rnd(F.col("_r")).alias("r"),
+        "is_best",
+    )
