@@ -8010,6 +8010,65 @@ FROM agg LEFT JOIN runs USING (conv_id)
 """
 
 
+def q_pettitt(spark, sf_dir):
+    """Pettitt nonparametric change-point test (operators.anomaly
+    .pettitt) over the dense 24-hour count series — the significance
+    companion to change_points' SSE split, as mann_kendall is to
+    theil_sen. V/U/K are pure int64 rank arithmetic (the O(n^3)
+    boundary explosion avoided by the telescoping U_t = U_{t-1} + V_t
+    identity over one co-located O(n^2) pair join); the approximate
+    p = min(1, 2 exp(-6K^2/(n^3+n^2))) is one fixed float expression —
+    oracle bit-exact before round(6), significance compared on the
+    UNROUNDED p in both engines."""
+    from chronoxtract_spark.operators.anomaly import pettitt
+
+    return pettitt(
+        _hourly_count_series(spark, sf_dir),
+        keys=["event_type", "day"], order_col="hr", value_col="c",
+    )
+
+
+def _sql_pettitt():
+    return f"""
+WITH {_SQL_HOURLY_SERIES.strip().rstrip(')').rstrip()}),
+base AS (
+  SELECT event_type, day,
+         CAST(row_number() OVER (
+           PARTITION BY event_type, day ORDER BY hr) - 1 AS BIGINT) AS x,
+         c::DOUBLE AS y
+  FROM series),
+v AS (
+  SELECT a.event_type, a.day, a.x,
+         SUM(CASE WHEN a.y > b.y THEN 1
+                  WHEN a.y < b.y THEN -1 ELSE 0 END)::BIGINT AS vx
+  FROM base a JOIN base b
+    ON a.event_type = b.event_type AND a.day = b.day AND b.x <> a.x
+  GROUP BY 1, 2, 3),
+u AS (
+  SELECT event_type, day, x,
+         SUM(vx) OVER (PARTITION BY event_type, day ORDER BY x
+                       ROWS UNBOUNDED PRECEDING)::BIGINT AS ut,
+         COUNT(*) OVER (PARTITION BY event_type, day)::BIGINT AS n
+  FROM v),
+rk AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type, day
+                               ORDER BY abs(ut) DESC, x ASC) AS rn
+  FROM u WHERE x <= n - 2 AND n >= 2),
+pc AS (
+  SELECT *,
+         least(1.0, 2.0 * exp(-6.0 * abs(ut)::DOUBLE * abs(ut)::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * n::DOUBLE
+                  + n::DOUBLE * n::DOUBLE))) AS p
+  FROM rk WHERE rn = 1)
+SELECT event_type, day, n,
+       CAST(x + 1 AS BIGINT) AS split_idx,
+       ut AS u_at_k, abs(ut) AS k_stat,
+       round(p, 6) AS p_value,
+       p < 0.05 AS significant
+FROM pc
+"""
+
+
 def q_lead_lag(spark, sf_dir):
     """Lead-lag correlation scan (operators.paired.lead_lag): every
     ordered event-type pair's Pearson correlation between dense hourly
@@ -8281,6 +8340,7 @@ _EXTRA_QUERIES = {
     "yule_walker": q_yule_walker,
     "mann_kendall": q_mann_kendall,
     "lead_lag": q_lead_lag,
+    "pettitt": q_pettitt,
     "drawdown": q_drawdown,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
@@ -8385,6 +8445,7 @@ _EXTRA_ORACLES = {
     "yule_walker": SQL_YULE_WALKER,
     "mann_kendall": _sql_mann_kendall(),
     "lead_lag": SQL_LEAD_LAG,
+    "pettitt": _sql_pettitt(),
     "drawdown": SQL_DRAWDOWN,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
@@ -8519,7 +8580,7 @@ _PRIORITY_ORDER = [
     # newly oracled this round
     "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
     "enhanced_peak_stats", "haar_energy", "yule_walker", "mann_kendall",
-    "lead_lag",
+    "lead_lag", "pettitt",
     # round-4 operator surfaces: resample/counter/anomaly/downsample/
     # retrieval — the highest-value NEW coverage for the driver's 50
     # (token_stats/lang_id_pred/lang_counts/doc_fingerprint rotate out:

@@ -300,3 +300,103 @@ def esd_outliers(
             "lam",
         )
     )
+
+
+def pettitt(
+    df: DataFrame,
+    keys: list[str] | str,
+    order_col: str,
+    value_col: str,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Pettitt (1979) nonparametric change-point test per series: the
+    significance companion to ``change_points``' SSE split, exactly as
+    ``mann_kendall`` is to ``theil_sen`` — it asks not "where is the
+    biggest level shift" but "is there a shift at all", robust to
+    outliers because only sign ranks enter.
+
+    U_t = sum_{i <= t < j} sign(y_i - y_j) (Pettitt's classic
+    left-minus-right orientation) is built WITHOUT the O(n^3)
+    boundary-pair explosion: the per-element row sum
+    V_x = sum_{j != x} sign(y_x - y_j) comes from one co-located
+    O(n^2) pair join, and since within-segment pairs cancel by
+    antisymmetry, U_t is exactly the cumulative window sum of V over
+    x <= t.
+    K = max_t |U_t| over the n-1 interior boundaries; the classic
+    approximate significance is p = min(1, 2 exp(-6 K^2 / (n^3 +
+    n^2))). The O(n^2) pair set is a per-series constant on the
+    bounded tier series this targets (24-hour days) — the same
+    documented boundary as theil_sen.
+
+    Exactness: V, U, K are pure int64 arithmetic; the argmax boundary
+    ties break to the EARLIEST t (matching change_points' tie
+    direction); p is one fixed float expression over (K, n) — the
+    DuckDB oracle matches bit-for-bit before round(6). Series need
+    >= 2 points (no interior boundary otherwise).
+
+    Returns per key: ``n, split_idx`` (left-segment size at the
+    maximizing boundary), ``u_at_k`` (signed U there — positive means
+    the left segment tends HIGHER), ``k_stat, p_value, significant``
+    (p < 0.05).
+    """
+    keys = _keylist(keys)
+    wo = Window.partitionBy(*keys).orderBy(order_col)
+    base = df.select(
+        *keys,
+        (F.row_number().over(wo) - 1).alias("x"),
+        F.col(value_col).cast("double").alias("y"),
+    )
+    a = base.select(*keys, F.col("x"), F.col("y").alias("ya"))
+    b = base.select(*keys, F.col("x").alias("xj"), F.col("y").alias("yb"))
+    v = (
+        a.join(b, keys)
+        .where(F.col("xj") != F.col("x"))
+        .groupBy(*keys, "x")
+        .agg(
+            F.sum(
+                F.when(F.col("ya") > F.col("yb"), 1)
+                .when(F.col("ya") < F.col("yb"), -1)
+                .otherwise(0)
+            ).cast("long").alias("vx")
+        )
+    )
+    wc = Window.partitionBy(*keys).orderBy("x")
+    u = v.select(
+        *keys,
+        "x",
+        F.sum("vx").over(wc.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("long").alias("ut"),
+        F.count("*").over(
+            Window.partitionBy(*keys).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).cast("long").alias("n"),
+    ).where((F.col("x") <= F.col("n") - 2) & (F.col("n") >= 2))
+    wk = Window.partitionBy(*keys).orderBy(
+        F.abs(F.col("ut")).desc(), F.col("x").asc()
+    )
+    best = u.select(
+        *keys, "n", "x", "ut", F.row_number().over(wk).alias("rn")
+    ).where(F.col("rn") == 1)
+
+    nd = F.col("n").cast("double")
+    kd = F.abs(F.col("ut")).cast("double")
+    p = F.least(
+        F.lit(1.0),
+        F.lit(2.0) * F.exp(
+            F.lit(-6.0) * kd * kd / (nd * nd * nd + nd * nd)
+        ),
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return best.select(
+        *keys,
+        "n",
+        (F.col("x") + 1).cast("long").alias("split_idx"),
+        F.col("ut").alias("u_at_k"),
+        F.abs(F.col("ut")).alias("k_stat"),
+        rnd(p).alias("p_value"),
+        (p < F.lit(0.05)).alias("significant"),
+    )
