@@ -68,6 +68,10 @@ EXPECTED_FLAGS = {
     "grid: slices x closed top-k vocabulary (≤ (k+1)·|slices| rows by "
     "construction) plus the 1-row grand-total scalar attach; the "
     "corpus-sized work is the single (slice, term) count exchange",
+    "lead_lag": "BNLJ = broadcast of the 1-row global (h0, h1) bin "
+    "span onto the distinct key list to build the shared dense spine "
+    "(the corr_matrix pattern); the pair-lag correlation itself is "
+    "the single hour-equi hash join over the exploded lag ladder",
 }
 
 
