@@ -8010,6 +8010,109 @@ FROM agg LEFT JOIN runs USING (conv_id)
 """
 
 
+def q_randomness(spark, sf_dir):
+    """Classical randomness battery per user (operators.randomness
+    .randomness_tests): Wald-Wolfowitz runs test about the exact
+    median (median-ties excluded), the difference-sign test, and the
+    turning-point test, each with its closed-form normal z and 5%
+    verdict — the i.i.d.-noise triage that tells WHICH structure a
+    series has by which test fails. Every statistic is a pure int64
+    count off one key-window pass; each z is a fixed float expression
+    over the counts — oracle bit-exact before round(6). No UDF;
+    degenerate keys guard by predicates."""
+    from chronoxtract_spark.operators.randomness import randomness_tests
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return randomness_tests(ev)
+
+
+SQL_RANDOMNESS = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+         CAST(row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), CAST(event_id AS INT)
+         ) - 1 AS BIGINT) AS i,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), rkd AS (
+  SELECT k, x, row_number() OVER (PARTITION BY k ORDER BY x, i) AS rn,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM t
+), med AS (
+  SELECT k, SUM(x) / COUNT(*) AS med
+  FROM rkd WHERE rn = floor((n + 1) / 2) OR rn = floor((n + 2) / 2)
+  GROUP BY k
+), seq AS (
+  SELECT t.k, i, x, med,
+         lead(x, 1) OVER (PARTITION BY t.k ORDER BY i) AS nx,
+         lag(x, 1) OVER (PARTITION BY t.k ORDER BY i) AS px
+  FROM t JOIN med ON t.k = med.k
+), nomed AS (
+  SELECT k, i, (x > med) AS above FROM seq WHERE x <> med
+), runs_rows AS (
+  SELECT k, above,
+         CASE WHEN lag(above) OVER (PARTITION BY k ORDER BY i) IS NULL
+                   OR lag(above) OVER (PARTITION BY k ORDER BY i) <> above
+              THEN 1 ELSE 0 END AS new_run
+  FROM nomed
+), runs_agg AS (
+  SELECT k, SUM(CASE WHEN above THEN 1 ELSE 0 END)::BIGINT AS n_above,
+         SUM(CASE WHEN above THEN 0 ELSE 1 END)::BIGINT AS n_below,
+         SUM(new_run)::BIGINT AS runs
+  FROM runs_rows GROUP BY k
+), pk AS (
+  SELECT k, COUNT(*)::BIGINT AS n, MAX(med) AS median,
+         SUM(CASE WHEN nx > x THEN 1 ELSE 0 END)::BIGINT AS diff_pos,
+         SUM(CASE WHEN px IS NOT NULL AND nx IS NOT NULL
+                       AND ((x > px AND x > nx) OR (x < px AND x < nx))
+                  THEN 1 ELSE 0 END)::BIGINT AS turning_points
+  FROM seq GROUP BY k HAVING COUNT(*) >= 3
+), jj AS (
+  SELECT pk.k, n, median,
+         COALESCE(n_above, 0)::BIGINT AS n_above,
+         COALESCE(n_below, 0)::BIGINT AS n_below,
+         COALESCE(runs, 0)::BIGINT AS runs,
+         diff_pos, turning_points
+  FROM pk LEFT JOIN runs_agg ON pk.k = runs_agg.k
+), zz AS (
+  SELECT *,
+         (runs::DOUBLE
+          - (2.0 * n_above::DOUBLE * n_below::DOUBLE
+             / nullif(n_above::DOUBLE + n_below::DOUBLE, 0.0) + 1.0))
+         / nullif(sqrt(
+             2.0 * n_above::DOUBLE * n_below::DOUBLE
+             * (2.0 * n_above::DOUBLE * n_below::DOUBLE
+                - n_above::DOUBLE - n_below::DOUBLE)
+             / nullif((n_above::DOUBLE + n_below::DOUBLE)
+                      * (n_above::DOUBLE + n_below::DOUBLE)
+                      * (n_above::DOUBLE + n_below::DOUBLE - 1.0), 0.0)
+           ), 0.0) AS runs_z,
+         (diff_pos::DOUBLE - (n::DOUBLE - 1.0) / 2.0)
+         / sqrt((n::DOUBLE + 1.0) / 12.0) AS diff_z,
+         (turning_points::DOUBLE - 2.0 * (n::DOUBLE - 2.0) / 3.0)
+         / sqrt((16.0 * n::DOUBLE - 29.0) / 90.0) AS tp_z
+  FROM jj
+)
+SELECT k AS conv_id, n, round(median, 6) AS median,
+       n_above, n_below, runs,
+       round(runs_z, 6) AS runs_z,
+       diff_pos, round(diff_z, 6) AS diff_z,
+       turning_points, round(tp_z, 6) AS tp_z,
+       CASE WHEN runs_z IS NULL THEN NULL
+            WHEN abs(runs_z) > 1.959964 THEN false ELSE true END
+         AS runs_pass,
+       (abs(diff_z) <= 1.959964) AS diff_pass,
+       (abs(tp_z) <= 1.959964) AS tp_pass
+FROM zz
+"""
+
+
 def q_pettitt(spark, sf_dir):
     """Pettitt nonparametric change-point test (operators.anomaly
     .pettitt) over the dense 24-hour count series — the significance
@@ -8341,6 +8444,7 @@ _EXTRA_QUERIES = {
     "mann_kendall": q_mann_kendall,
     "lead_lag": q_lead_lag,
     "pettitt": q_pettitt,
+    "randomness": q_randomness,
     "drawdown": q_drawdown,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
@@ -8446,6 +8550,7 @@ _EXTRA_ORACLES = {
     "mann_kendall": _sql_mann_kendall(),
     "lead_lag": SQL_LEAD_LAG,
     "pettitt": _sql_pettitt(),
+    "randomness": SQL_RANDOMNESS,
     "drawdown": SQL_DRAWDOWN,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
@@ -8580,7 +8685,7 @@ _PRIORITY_ORDER = [
     # newly oracled this round
     "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
     "enhanced_peak_stats", "haar_energy", "yule_walker", "mann_kendall",
-    "lead_lag", "pettitt",
+    "lead_lag", "pettitt", "randomness",
     # round-4 operator surfaces: resample/counter/anomaly/downsample/
     # retrieval — the highest-value NEW coverage for the driver's 50
     # (token_stats/lang_id_pred/lang_counts/doc_fingerprint rotate out:
