@@ -8010,6 +8010,102 @@ FROM agg LEFT JOIN runs USING (conv_id)
 """
 
 
+def q_holt_winters(spark, sf_dir):
+    """Additive Holt-Winters forecast (operators.holt
+    .holt_winters_forecast) of each event type's dense hourly count
+    series at daily seasonality (m=24): level + trend + a 24-slot
+    seasonal vector, next-day hourly forecasts h=1..24 plus terminal
+    state and one-step-ahead SSE. The coupled triple recurrence is
+    irreducibly sequential per series (bounded Arrow kernel, one key
+    shuffle); the oracle is a recursive CTE carrying the seasonal
+    vector as a LIST column with LATERAL-bound single-evaluation
+    updates — both engines walk identical IEEE trees, outputs compared
+    unrounded like holt."""
+    from chronoxtract_spark.operators.holt import holt_winters_forecast
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hb"),
+    )
+    counts = ev.groupBy("k", "hb").agg(F.count("*").cast("long").alias("c"))
+    span = ev.agg(F.min("hb").alias("h0"), F.max("hb").alias("h1"))
+    dense = (
+        ev.select("k").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("k", F.explode(F.sequence("h0", "h1")).alias("hb"))
+        .join(counts, ["k", "hb"], "left")
+        .select("k", "hb", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    return holt_winters_forecast(
+        dense, key_col="k", order_col="hb", value_col="c",
+        alpha=0.3, beta=0.1, gamma=0.2, period=24, horizon=24,
+    )
+
+
+SQL_HOLT_WINTERS = """
+WITH RECURSIVE ev AS (
+  SELECT event_type AS key,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) AS hb
+  FROM events
+), cnt AS (
+  SELECT key, hb, COUNT(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+), span AS (SELECT MIN(hb) AS h0, MAX(hb) AS h1 FROM ev),
+dense AS (
+  SELECT key, g.hb, COALESCE(c, 0)::DOUBLE AS v
+  FROM (SELECT DISTINCT key FROM ev) ks
+  CROSS JOIN span
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(h0, h1)) AS hb) g
+  LEFT JOIN cnt USING (key, hb)
+), pts AS (
+  SELECT key, v, row_number() OVER (PARTITION BY key ORDER BY hb) AS rn,
+         count(*) OVER (PARTITION BY key) AS n
+  FROM dense
+), init1 AS (
+  SELECT key, MAX(n) AS n,
+         list_sum(list(v ORDER BY rn) FILTER (WHERE rn <= 24)) / 24.0 AS l0,
+         list_sum(list(v ORDER BY rn)
+                  FILTER (WHERE rn > 24 AND rn <= 48)) / 24.0 AS a2,
+         list(v ORDER BY rn) FILTER (WHERE rn <= 24) AS sv
+  FROM pts GROUP BY key HAVING MAX(n) >= 48
+), init2 AS (
+  SELECT key, n,
+         l0 + (a2 - l0) / 24.0 * ((24 - 1) / 2.0) AS lev0,
+         (a2 - l0) / 24.0 AS b0,
+         list_transform(sv, (x, i) ->
+           x - (l0 + ((i - 1) - (24 - 1) / 2.0)
+                     * ((a2 - l0) / 24.0))) AS s0
+  FROM init1
+),
+rec(key, p, n, lev, trd, s, sse) AS (
+  SELECT key, CAST(24 AS BIGINT), n, lev0, b0, s0, CAST(0.0 AS DOUBLE)
+  FROM init2
+  UNION ALL
+  SELECT r.key, r.p + 1, r.n,
+         x.nl,
+         0.1 * (x.nl - r.lev) + (1.0 - 0.1) * r.trd,
+         r.s[1:x.jj - 1] || [x2.ns] || r.s[x.jj + 1:],
+         r.sse + x.e * x.e
+  FROM rec r
+  JOIN pts pp ON pp.key = r.key AND pp.rn = r.p + 1
+  CROSS JOIN LATERAL (
+    SELECT CAST((r.p % 24) + 1 AS BIGINT) AS jj,
+           pp.v - (r.lev + r.trd + r.s[(r.p % 24) + 1]) AS e,
+           0.3 * (pp.v - r.s[(r.p % 24) + 1])
+             + (1.0 - 0.3) * (r.lev + r.trd) AS nl
+  ) x
+  CROSS JOIN LATERAL (
+    SELECT 0.2 * (pp.v - x.nl) + (1.0 - 0.2) * r.s[x.jj] AS ns
+  ) x2
+  WHERE r.p < r.n
+)
+SELECT key, h.h::BIGINT AS h,
+       lev + h.h * trd + s[((n + h.h - 1) % 24) + 1] AS forecast,
+       lev AS level, trd AS trend, sse
+FROM rec, unnest(generate_series(1, 24)) AS h(h)
+WHERE p = n
+"""
+
+
 def q_randomness(spark, sf_dir):
     """Classical randomness battery per user (operators.randomness
     .randomness_tests): Wald-Wolfowitz runs test about the exact
@@ -8445,6 +8541,7 @@ _EXTRA_QUERIES = {
     "lead_lag": q_lead_lag,
     "pettitt": q_pettitt,
     "randomness": q_randomness,
+    "holt_winters": q_holt_winters,
     "drawdown": q_drawdown,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
@@ -8551,6 +8648,7 @@ _EXTRA_ORACLES = {
     "lead_lag": SQL_LEAD_LAG,
     "pettitt": _sql_pettitt(),
     "randomness": SQL_RANDOMNESS,
+    "holt_winters": SQL_HOLT_WINTERS,
     "drawdown": SQL_DRAWDOWN,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
@@ -8685,7 +8783,7 @@ _PRIORITY_ORDER = [
     # newly oracled this round
     "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
     "enhanced_peak_stats", "haar_energy", "yule_walker", "mann_kendall",
-    "lead_lag", "pettitt", "randomness",
+    "lead_lag", "pettitt", "randomness", "holt_winters",
     # round-4 operator surfaces: resample/counter/anomaly/downsample/
     # retrieval — the highest-value NEW coverage for the driver's 50
     # (token_stats/lang_id_pred/lang_counts/doc_fingerprint rotate out:

@@ -106,3 +106,119 @@ def holt_forecast(
         F.col(value_col).cast("double").alias("v"),
     )
     return base.groupBy("key").applyInPandas(kernel, out_schema)
+
+
+def holt_winters_forecast(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    alpha: float,
+    beta: float,
+    gamma: float,
+    period: int = 24,
+    horizon: int = 24,
+) -> DataFrame:
+    """Additive Holt-Winters (triple) exponential smoothing per series
+    — the ETS(A,A,A) shape that closes the forecasting family: EMA
+    (one state) -> Holt (level+trend) -> Holt-Winters (level + trend +
+    an m-slot seasonal vector), the model a capacity tier actually
+    wants for daily-periodic hourly load.
+
+    Recurrence (standard additive form, season slot j = t mod m):
+
+        l_t = alpha*(y_t - s_j) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_j = gamma*(y_t - l_t) + (1-gamma)*s_j
+
+    Init (two-season scheme with DETRENDED seasonals, needs
+    n >= 2*period): b = (mean of season 2 - mean of season 1)/m; the
+    level is advanced to the END of season 1, l = mean1 + b*(m-1)/2;
+    s_j = y_j - (mean1 + (j - (m-1)/2)*b), i.e. deviations from the
+    fitted trendline rather than from the raw mean — without the
+    detrend, a linear-plus-seasonal series double-counts its
+    within-season trend as seasonality and the first predictions are
+    biased by ~b*m/2 (caught by the exactly-modeled test: the naive
+    init left SSE at 700 on a series this init fits exactly). The
+    recurrence starts at point m+1. Forecast
+    ``l_n + h*b_n + s_(n+h-1 mod m)``; ``sse`` accumulates one-step
+    errors from point m+1 on.
+
+    Scale + oracle shape inherited from ``holt_forecast``: the coupled
+    recurrence is irreducibly sequential per series, so it runs as a
+    per-series Arrow kernel over bounded series; the oracle is a
+    recursive CTE carrying the seasonal vector as a LIST column, the
+    slot update spliced by list slicing, and every update bound ONCE
+    per step via CROSS JOIN LATERAL — the same single-evaluation
+    discipline as the kernel's local variables, so both engines walk
+    identical IEEE trees. Init means are in-order sequential folds
+    (list_sum of ORDER BY lists). Outputs left unrounded.
+
+    Returns ``key, h, forecast, level, trend, sse`` for h in
+    ``1..horizon``; series shorter than 2*period yield no rows.
+    """
+    if not (0.0 < alpha <= 1.0 and 0.0 <= beta <= 1.0 and 0.0 <= gamma <= 1.0):
+        raise ValueError("alpha in (0,1], beta in [0,1], gamma in [0,1]")
+    m = int(period)
+    if m < 2:
+        raise ValueError("period >= 2")
+
+    out_schema = StructType(
+        [
+            StructField("key", StringType()),
+            StructField("h", LongType()),
+            StructField("forecast", DoubleType()),
+            StructField("level", DoubleType()),
+            StructField("trend", DoubleType()),
+            StructField("sse", DoubleType()),
+        ]
+    )
+    a, bt, g, hz = float(alpha), float(beta), float(gamma), int(horizon)
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ord", kind="mergesort")
+        y = pdf["v"].to_numpy(dtype=float)
+        n = len(y)
+        if n < 2 * m:
+            return pd.DataFrame(
+                columns=["key", "h", "forecast", "level", "trend", "sse"]
+            ).astype(
+                {"key": str, "h": "int64", "forecast": float,
+                 "level": float, "trend": float, "sse": float}
+            )
+        key = pdf["key"].iloc[0]
+        # in-order sequential folds, mirrored by the oracle's
+        # list_sum(list(... ORDER BY ...)) over the same slices
+        acc1 = 0.0
+        for t in range(m):
+            acc1 = acc1 + float(y[t])
+        acc2 = 0.0
+        for t in range(m, 2 * m):
+            acc2 = acc2 + float(y[t])
+        l0 = acc1 / float(m)
+        trd = (acc2 / float(m) - l0) / float(m)
+        half = (m - 1) / 2.0
+        lev = l0 + trd * half
+        s = [float(y[j]) - (l0 + (j - half) * trd) for j in range(m)]
+        sse = 0.0
+        for t in range(m, n):
+            j = t % m
+            err = float(y[t]) - (lev + trd + s[j])
+            sse = sse + err * err
+            new_lev = a * (float(y[t]) - s[j]) + (1.0 - a) * (lev + trd)
+            trd = bt * (new_lev - lev) + (1.0 - bt) * trd
+            s[j] = g * (float(y[t]) - new_lev) + (1.0 - g) * s[j]
+            lev = new_lev
+        rows = [
+            {"key": key, "h": h, "forecast": lev + h * trd + s[(n + h - 1) % m],
+             "level": lev, "trend": trd, "sse": sse}
+            for h in range(1, hz + 1)
+        ]
+        return pd.DataFrame(rows)
+
+    base = df.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(order_col).alias("ord"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return base.groupBy("key").applyInPandas(kernel, out_schema)
