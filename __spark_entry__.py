@@ -8106,6 +8106,98 @@ WHERE p = n
 """
 
 
+def q_forecast_eval(spark, sf_dir):
+    """Rolling-origin backtest of the four M-competition baseline
+    forecasters (operators.holt.forecast_eval) over each event type's
+    dense hourly series: naive / seasonal-naive(24) / drift /
+    expanding-mean, scored one-step-ahead with MAE, RMSE and MASE
+    (MAE / naive-MAE — MASE < 1 literally reads 'beats naive'). All
+    forecasts are window expressions; with integer-count input every
+    cumulative sum is an exact integer-valued double, and the metrics
+    are sorted folds over origin-ordered error arrays — oracle
+    bit-exact before round(6). One key-window pass + one groupBy +
+    a broadcast MASE-denominator join; no UDF."""
+    from chronoxtract_spark.operators.holt import forecast_eval
+
+    ev = _events(spark, sf_dir).select(
+        F.col("event_type").alias("k"),
+        F.floor(F.unix_timestamp("ts") / F.lit(3600)).cast("long").alias("hb"),
+    )
+    counts = ev.groupBy("k", "hb").agg(F.count("*").cast("long").alias("c"))
+    span = ev.agg(F.min("hb").alias("h0"), F.max("hb").alias("h1"))
+    dense = (
+        ev.select("k").distinct()
+        .crossJoin(F.broadcast(span))
+        .select("k", F.explode(F.sequence("h0", "h1")).alias("hb"))
+        .join(counts, ["k", "hb"], "left")
+        .select("k", "hb", F.coalesce("c", F.lit(0)).cast("long").alias("c"))
+    )
+    return forecast_eval(
+        dense, key_col="k", order_col="hb", value_col="c", period=24
+    )
+
+
+SQL_FORECAST_EVAL = """
+WITH ev AS (
+  SELECT event_type AS k,
+         CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) AS hb
+  FROM events
+), cnt AS (
+  SELECT k, hb, COUNT(*)::BIGINT AS c FROM ev GROUP BY 1, 2
+), span AS (SELECT MIN(hb) AS h0, MAX(hb) AS h1 FROM ev),
+dense AS (
+  SELECT k, g.hb, COALESCE(c, 0)::DOUBLE AS y
+  FROM (SELECT DISTINCT k FROM ev) ks
+  CROSS JOIN span
+  CROSS JOIN LATERAL (SELECT unnest(generate_series(h0, h1)) AS hb) g
+  LEFT JOIN cnt USING (k, hb)
+), pts AS (
+  SELECT k, y,
+         CAST(row_number() OVER (PARTITION BY k ORDER BY hb) - 1
+              AS BIGINT) AS i
+  FROM dense
+), feat AS (
+  SELECT k, i, y,
+         lag(y, 1) OVER w AS l1,
+         lag(y, 24) OVER w AS lm,
+         first_value(y) OVER w AS y0,
+         SUM(y) OVER (PARTITION BY k ORDER BY i
+                      ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND 1 PRECEDING) AS csum,
+         COUNT(y) OVER (PARTITION BY k ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING)::BIGINT AS cnt
+  FROM pts WINDOW w AS (PARTITION BY k ORDER BY i)
+), me AS (
+  SELECT k, i, 'naive' AS method, y - l1 AS e FROM feat
+  UNION ALL
+  SELECT k, i, 'snaive', y - lm FROM feat
+  UNION ALL
+  SELECT k, i, 'drift',
+         CASE WHEN i >= 2
+              THEN y - (l1 + (l1 - y0) / (i::DOUBLE - 1.0)) END
+  FROM feat
+  UNION ALL
+  SELECT k, i, 'mean',
+         CASE WHEN cnt >= 1 THEN y - csum / cnt::DOUBLE END
+  FROM feat
+), ee AS (SELECT * FROM me WHERE e IS NOT NULL),
+agg AS (
+  SELECT k, method, COUNT(*)::BIGINT AS n_evals,
+         list_sum(list(abs(e) ORDER BY i)) AS sa,
+         list_sum(list(e * e ORDER BY i)) AS ss
+  FROM ee GROUP BY 1, 2
+), nm AS (
+  SELECT k, sa / n_evals::DOUBLE AS nmae FROM agg WHERE method = 'naive'
+)
+SELECT k, method, n_evals,
+       round(sa / n_evals::DOUBLE, 6) AS mae,
+       round(sqrt(ss / n_evals::DOUBLE), 6) AS rmse,
+       round((sa / n_evals::DOUBLE) / nullif(nmae, 0.0), 6) AS mase
+FROM agg JOIN nm USING (k)
+"""
+
+
 def q_randomness(spark, sf_dir):
     """Classical randomness battery per user (operators.randomness
     .randomness_tests): Wald-Wolfowitz runs test about the exact
@@ -8542,6 +8634,7 @@ _EXTRA_QUERIES = {
     "pettitt": q_pettitt,
     "randomness": q_randomness,
     "holt_winters": q_holt_winters,
+    "forecast_eval": q_forecast_eval,
     "drawdown": q_drawdown,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
@@ -8649,6 +8742,7 @@ _EXTRA_ORACLES = {
     "pettitt": _sql_pettitt(),
     "randomness": SQL_RANDOMNESS,
     "holt_winters": SQL_HOLT_WINTERS,
+    "forecast_eval": SQL_FORECAST_EVAL,
     "drawdown": SQL_DRAWDOWN,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
@@ -8783,7 +8877,7 @@ _PRIORITY_ORDER = [
     # newly oracled this round
     "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
     "enhanced_peak_stats", "haar_energy", "yule_walker", "mann_kendall",
-    "lead_lag", "pettitt", "randomness", "holt_winters",
+    "lead_lag", "pettitt", "randomness", "holt_winters", "forecast_eval",
     # round-4 operator surfaces: resample/counter/anomaly/downsample/
     # retrieval — the highest-value NEW coverage for the driver's 50
     # (token_stats/lang_id_pred/lang_counts/doc_fingerprint rotate out:

@@ -32,7 +32,7 @@ Outputs are left unrounded.
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType, LongType, StringType, StructField, StructType,
@@ -222,3 +222,131 @@ def holt_winters_forecast(
         F.col(value_col).cast("double").alias("v"),
     )
     return base.groupBy("key").applyInPandas(kernel, out_schema)
+
+
+def forecast_eval(
+    df: DataFrame,
+    key_col: str,
+    order_col: str,
+    value_col: str,
+    period: int = 24,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Rolling-origin one-step backtest of the four M-competition
+    baseline forecasters every serious method must beat, per series:
+
+    - ``naive``      f_t = y_{t-1}
+    - ``snaive``     f_t = y_{t-m}            (seasonal naive)
+    - ``drift``      f_t = y_{t-1} + (y_{t-1} - y_0)/(t-1)
+    - ``mean``       f_t = mean(y_0..y_{t-1}) (expanding mean)
+
+    Each method is scored over the origins where it is defined
+    (``n_evals`` differs: naive/drift/mean start at t=1 vs t=m for
+    snaive — drift needs t >= 2) with MAE, RMSE and MASE — the
+    Hyndman-Koehler scale-free standard, MAE / MAE_naive over the SAME
+    origin set as the method, so methods are comparable across keys
+    and a MASE < 1 literally reads "beats naive". Pair this with
+    ``holt_winters_forecast``/``holt_forecast``: a model whose SSE
+    does not beat snaive's here is not earning its states.
+
+    Exactness: every forecast is a window expression over the ordered
+    series (lags, an exact int64 expanding sum for the mean) and every
+    metric is a sequential fold over origin-sorted error arrays (the
+    proven sorted-fold contract) wrapped in fixed float expressions —
+    DuckDB-oracle bit-exact before round(6). One key-window pass, one
+    per-key groupBy, a broadcast-size per-key join for the MASE
+    denominator; no UDF; one row per (key, method).
+    """
+    m = int(period)
+    w = Window.partitionBy("_k").orderBy("_i")
+    wc = w.rowsBetween(Window.unboundedPreceding, -1)
+    base = df.select(
+        F.col(key_col).cast("string").alias("_k"),
+        F.col(order_col).alias("_ord"),
+        F.col(value_col).cast("double").alias("_y"),
+    ).select(
+        "_k",
+        (F.row_number().over(
+            Window.partitionBy("_k").orderBy("_ord")
+        ) - 1).cast("long").alias("_i"),
+        "_y",
+    )
+    feat = base.select(
+        "_k",
+        "_i",
+        "_y",
+        F.lag("_y", 1).over(w).alias("_l1"),
+        F.lag("_y", m).over(w).alias("_lm"),
+        F.first("_y").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("_y0"),
+        F.sum("_y").over(wc).alias("_csum"),
+        F.count("_y").over(wc).cast("long").alias("_cnt"),
+    )
+
+    id_ = F.col("_i").cast("double")
+    methods = {
+        "naive": F.col("_l1"),
+        "snaive": F.col("_lm"),
+        "drift": F.when(
+            F.col("_i") >= 2,
+            F.col("_l1")
+            + (F.col("_l1") - F.col("_y0")) / (id_ - F.lit(1.0)),
+        ),
+        "mean": F.when(
+            F.col("_cnt") >= 1, F.col("_csum") / F.col("_cnt").cast("double")
+        ),
+    }
+    errs = feat.select(
+        "_k",
+        "_i",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("method"),
+                        (F.col("_y") - fc).alias("e"),
+                    )
+                    for name, fc in methods.items()
+                ]
+            )
+        ).alias("me"),
+    ).select(
+        "_k", "_i", F.col("me.method").alias("method"), F.col("me.e").alias("e")
+    ).where(F.col("e").isNotNull())
+
+    agg = errs.groupBy("_k", "method").agg(
+        F.count("*").cast("long").alias("n_evals"),
+        F.array_sort(
+            F.collect_list(F.struct("_i", F.abs(F.col("e")).alias("ae")))
+        ).alias("arr_a"),
+        F.array_sort(
+            F.collect_list(F.struct("_i", (F.col("e") * F.col("e")).alias("se")))
+        ).alias("arr_s"),
+    ).select(
+        "_k",
+        "method",
+        "n_evals",
+        (
+            F.aggregate("arr_a", F.lit(0.0), lambda acc, x: acc + x["ae"])
+            / F.col("n_evals").cast("double")
+        ).alias("_mae"),
+        F.sqrt(
+            F.aggregate("arr_s", F.lit(0.0), lambda acc, x: acc + x["se"])
+            / F.col("n_evals").cast("double")
+        ).alias("_rmse"),
+    )
+    naive_mae = agg.where(F.col("method") == "naive").select(
+        "_k", F.col("_mae").alias("_nmae")
+    )
+    j = agg.join(F.broadcast(naive_mae), "_k")
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return j.select(
+        F.col("_k").alias(key_col),
+        "method",
+        "n_evals",
+        rnd(F.col("_mae")).alias("mae"),
+        rnd(F.col("_rmse")).alias("rmse"),
+        rnd(F.col("_mae") / F.nullif(F.col("_nmae"), F.lit(0.0))).alias("mase"),
+    )
