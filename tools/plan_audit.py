@@ -72,6 +72,13 @@ EXPECTED_FLAGS = {
     "span onto the distinct key list to build the shared dense spine "
     "(the corr_matrix pattern); the pair-lag correlation itself is "
     "the single hour-equi hash join over the exploded lag ladder",
+    "holt_winters": "BNLJ = the same 1-row global-span scalar attach "
+    "building the dense hourly spine as lead_lag/corr_matrix; the "
+    "recurrence itself is one applyInPandas kernel on the key shuffle",
+    "forecast_eval": "BNLJ = the same 1-row global-span spine attach "
+    "as lead_lag/holt_winters, plus the 1-row-per-key broadcast "
+    "MASE-denominator join; all backtest forecasts are window "
+    "expressions on one key shuffle",
 }
 
 
