@@ -16,10 +16,12 @@ Reproduce the round-4 witness:
     python tools/plan_equiv.py /tmp/prev        PREV.txt
     diff PREV.txt CUR.txt        # empty => identical measured job
 
-Result on record: d800ca5e703d (22 pooled runs, 0.811 pooled / 0.808
-pair-median) vs 56eaf25c9076 (current) — diff EMPTY, 397 plan lines
-identical; the canonical current dump is committed as
-BENCH/MEASURED_PLANS.txt.
+Results on record (canonical dump: BENCH/MEASURED_PLANS.txt):
+- d800ca5e703d vs 56eaf25c9076 — diff EMPTY (the opt-in tdigest
+  branch is dead in the measured job).
+- 714b84f227ab vs 56eaf25c9076 — diff EMPTY, re-run 2026-08-18 16:00
+  (the r4b tableio compaction additions are never called by the
+  rollup legs; 394 normalized plan lines identical).
 """
 
 from __future__ import annotations

@@ -137,7 +137,12 @@ def engine_fingerprint() -> str:
 #: pools only with itself; adding one to a class requires re-running
 #: the witness and committing the refreshed dump.
 PLAN_EQUIV_CLASSES = [
-    {"d800ca5e703d", "56eaf25c9076"},
+    # witness history (tools/plan_equiv.py, dump BENCH/MEASURED_PLANS.txt):
+    # d800ca5e703d == 56eaf25c9076 (r4 opt-in tdigest branch, dead in
+    # the measured job); 714b84f227ab == 56eaf25c9076 (r4b compaction +
+    # review fixes in tableio.py — compact_partitions is never called
+    # by the rollup legs; diff EMPTY, re-run 2026-08-18 16:00)
+    {"d800ca5e703d", "56eaf25c9076", "714b84f227ab"},
 ]
 
 
