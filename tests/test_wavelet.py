@@ -7,8 +7,6 @@ fold or a fixed expression tree over folds."""
 
 import random
 
-import pytest
-
 from chronoxtract_spark.operators.wavelet import haar_energy
 
 LEVELS = ((1, 1), (2, 2), (3, 4), (4, 8))
