@@ -8010,6 +8010,76 @@ FROM agg LEFT JOIN runs USING (conv_id)
 """
 
 
+def q_cusum(spark, sf_dir):
+    """Per-user Page CUSUM control chart (operators.control): largest
+    one-sided excursions of the clamped cumulative deviation from the
+    user's own mean, plus first-alarm indices at the decision
+    threshold. The sequential max(0, S+d) recurrence is distributed
+    as pure window algebra (prefix sum minus its running floor — the
+    telescoped clamp identity), exact n-scaled integer-cent
+    arithmetic end to end; one key shuffle, no UDF; k=25, h=100 chosen
+    so BOTH alarm verdicts split non-vacuously on this table (pos
+    146/150, neg 19/150); oracle-exact."""
+    from chronoxtract_spark.operators.control import cusum_stats
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return cusum_stats(ev, k_allowance=25.0, h_threshold=100.0)
+
+
+SQL_CUSUM = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), tot AS (
+  SELECT conv_id, COUNT(*)::BIGINT AS n, SUM(v)::BIGINT AS sv
+  FROM t GROUP BY conv_id
+), q AS (
+  SELECT t.conv_id, tot.n,
+         row_number() OVER w AS rn,
+         SUM(tot.n * t.v - tot.sv - tot.n * 2500)
+           OVER wrun AS qp,
+         SUM(tot.sv - tot.n * t.v - tot.n * 2500)
+           OVER wrun AS qn
+  FROM t JOIN tot USING (conv_id)
+  WINDOW w AS (PARTITION BY t.conv_id ORDER BY s, turn_idx),
+         wrun AS (PARTITION BY t.conv_id ORDER BY s, turn_idx
+                  ROWS UNBOUNDED PRECEDING)
+), su AS (
+  SELECT conv_id, n, rn,
+         (qp - LEAST(0, MIN(qp) OVER wr))::BIGINT AS sp,
+         (qn - LEAST(0, MIN(qn) OVER wr))::BIGINT AS sn
+  FROM q
+  WINDOW wr AS (PARTITION BY conv_id ORDER BY rn
+                ROWS UNBOUNDED PRECEDING)
+), agg AS (
+  SELECT conv_id, MAX(n)::BIGINT AS n_obs,
+         MAX(sp)::BIGINT AS sp_max, MAX(sn)::BIGINT AS sn_max,
+         MIN(CASE WHEN sp > n * 10000 THEN rn END)::BIGINT
+           AS t_alarm_pos,
+         MIN(CASE WHEN sn > n * 10000 THEN rn END)::BIGINT
+           AS t_alarm_neg
+  FROM su GROUP BY conv_id
+)
+SELECT conv_id, n_obs,
+       round(sp_max::DOUBLE / (n_obs::DOUBLE * 100.0), 6)
+         AS cusum_pos_max,
+       round(sn_max::DOUBLE / (n_obs::DOUBLE * 100.0), 6)
+         AS cusum_neg_max,
+       t_alarm_pos, t_alarm_neg,
+       t_alarm_pos IS NOT NULL AS alarm_pos,
+       t_alarm_neg IS NOT NULL AS alarm_neg
+FROM agg
+"""
+
+
 def q_holt_winters(spark, sf_dir):
     """Additive Holt-Winters forecast (operators.holt
     .holt_winters_forecast) of each event type's dense hourly count
@@ -8636,6 +8706,7 @@ _EXTRA_QUERIES = {
     "holt_winters": q_holt_winters,
     "forecast_eval": q_forecast_eval,
     "drawdown": q_drawdown,
+    "cusum": q_cusum,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -8744,6 +8815,7 @@ _EXTRA_ORACLES = {
     "holt_winters": SQL_HOLT_WINTERS,
     "forecast_eval": SQL_FORECAST_EVAL,
     "drawdown": SQL_DRAWDOWN,
+    "cusum": SQL_CUSUM,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
