@@ -8080,6 +8080,72 @@ FROM agg
 """
 
 
+def q_structure_function(spark, sf_dir):
+    """Per-user structure-function / variogram ladder
+    (operators.structure): mean absolute and mean squared value
+    increments at index lags 1,2,4,8,16 — the scale-resolved
+    variability probe (SCH 1985 structure function; gamma is the
+    classical semivariogram). All rungs come from ONE window pass
+    (fixed-offset leads over a shared sort), every (key,lag) cell an
+    exact int64 sum of integer-cent increments; one key shuffle, no
+    UDF; oracle-exact."""
+    from chronoxtract_spark.operators.structure import structure_function
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return structure_function(ev)
+
+
+def _sql_structure_function(lags=(1, 2, 4, 8, 16)) -> str:
+    lead_cols = ",\n         ".join(
+        f"lead(v, {h}) OVER w AS l{h}" for h in lags
+    )
+    agg_cols = ",\n         ".join(
+        f"COUNT(l{h})::BIGINT AS np{h}, "
+        f"SUM(abs(l{h} - v))::BIGINT AS sa{h}, "
+        f"SUM((l{h} - v) * (l{h} - v))::BIGINT AS ss{h}"
+        for h in lags
+    )
+    rungs = "\n  UNION ALL ".join(
+        f"SELECT conv_id, {h}::BIGINT AS lag, np{h} AS n_pairs, "
+        f"sa{h} AS sa, ss{h} AS ss FROM agg"
+        for h in lags
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), led AS (
+  SELECT conv_id, v,
+         {lead_cols}
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY s, turn_idx)
+), agg AS (
+  SELECT conv_id,
+         {agg_cols}
+  FROM led GROUP BY conv_id
+), e AS (
+  {rungs}
+)
+SELECT conv_id, lag, n_pairs,
+       round(sa::DOUBLE / (n_pairs::DOUBLE * 100.0), 6) AS sf1,
+       round(ss::DOUBLE / (n_pairs::DOUBLE * 10000.0), 6) AS sf2,
+       round(ss::DOUBLE / (n_pairs::DOUBLE * 10000.0), 6) * 0.5 AS gamma
+FROM e
+WHERE n_pairs > 0
+"""
+
+
+SQL_STRUCTURE_FUNCTION = _sql_structure_function()
+
+
 def q_holt_winters(spark, sf_dir):
     """Additive Holt-Winters forecast (operators.holt
     .holt_winters_forecast) of each event type's dense hourly count
@@ -8707,6 +8773,7 @@ _EXTRA_QUERIES = {
     "forecast_eval": q_forecast_eval,
     "drawdown": q_drawdown,
     "cusum": q_cusum,
+    "structure_function": q_structure_function,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -8816,6 +8883,7 @@ _EXTRA_ORACLES = {
     "forecast_eval": SQL_FORECAST_EVAL,
     "drawdown": SQL_DRAWDOWN,
     "cusum": SQL_CUSUM,
+    "structure_function": SQL_STRUCTURE_FUNCTION,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
