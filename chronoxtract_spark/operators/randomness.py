@@ -199,3 +199,118 @@ def randomness_tests(
         verdict(diff_z).alias("diff_pass"),
         verdict(tp_z).alias("tp_pass"),
     )
+
+
+#: chi-square 0.95 quantiles by degrees of freedom (standard table),
+#: shared with the oracle SQL — the Ljung-Box 5% critical values.
+CHI2_CRIT_5PCT = {
+    1: 3.841459, 2: 5.991465, 3: 7.814728, 4: 9.487729,
+    5: 11.070498, 6: 12.591587, 7: 14.067140, 8: 15.507313,
+    9: 16.918978, 10: 18.307038, 11: 19.675138, 12: 21.026070,
+}
+
+
+def ljung_box(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    value_col: str = "value",
+    ts_col: str = "ts",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    m_lags: int = 8,
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau whiteness test per key:
+
+        Q(m) = n (n + 2) * sum_{k=1..m} rho_k^2 / (n - k)
+
+    with ``rho_k`` the lag-k sample autocorrelations about the key's
+    own mean — the JOINT test of the first ``m`` autocorrelations that
+    the per-lag randomness battery can't give (Q ~ chi^2_m under the
+    iid null; Ljung & Box 1978). Complements ``randomness_tests``:
+    those three order statistics see trend/oscillation shape, Q sees
+    any linear serial correlation at all.
+
+    Exactness: deviations clear the mean division by n-scaling
+    (u = n*v - S in integer cents, the CUSUM trick), and every
+    autocovariance numerator ``A_k = sum u_i u_{i+k}`` is an exact
+    integer sum carried in decimal(38,0) — int64 would cap the series
+    length near 10^3 at full amplitude, 38 digits hold to ~10^9 rows
+    per key (the DuckDB oracle carries HUGEINT, exact to 10^38).
+    ``rho_k = A_k/A_0`` divides two exact integers as doubles; Q folds
+    the m terms in a FIXED left-associated chain both engines share.
+
+    Q is null (and the verdict null) when ``n <= m`` (the statistic
+    needs n - m positive weights) or ``A_0 = 0`` (constant series).
+    One window pass (m fixed-offset leads on the shared key sort) +
+    one groupBy; no UDF. Returns ``key, n_obs, lb_df, rho1, q_stat,
+    white_noise`` (True = fail to reject iid at 5%).
+    """
+    if m_lags not in CHI2_CRIT_5PCT:
+        raise ValueError(
+            f"m_lags={m_lags} has no tabulated 5% critical value "
+            f"(supported: {sorted(CHI2_CRIT_5PCT)})"
+        )
+    unit = 10 ** scale
+    crit = CHI2_CRIT_5PCT[m_lags]
+
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(df, ts_col).alias("_s"),
+        F.round(F.col(value_col) * F.lit(unit), 0).cast("long").alias("_v"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = Window.partitionBy("_k").orderBy("_s", *order_cols)
+    wall = Window.partitionBy("_k")
+    c = d.select(
+        "_k",
+        "_s",
+        *order_cols,
+        (
+            F.count("*").over(wall) * F.col("_v")
+            - F.sum("_v").over(wall)
+        ).alias("u"),
+        F.count("*").over(wall).alias("n"),
+    )
+    dec = lambda col: col.cast("decimal(19,0)")  # noqa: E731
+    leads = c.select(
+        "_k",
+        "n",
+        "u",
+        *[F.lead("u", k).over(w).alias(f"u{k}") for k in range(1, m_lags + 1)],
+    )
+    agg = leads.groupBy("_k").agg(
+        F.max("n").alias("n"),
+        F.sum(dec(F.col("u")) * dec(F.col("u"))).alias("a0"),
+        *[
+            F.sum(dec(F.col("u")) * dec(F.col(f"u{k}"))).alias(f"a{k}")
+            for k in range(1, m_lags + 1)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    a0 = F.col("a0").cast("double")
+    rho = {
+        k: F.col(f"a{k}").cast("double") / a0 for k in range(1, m_lags + 1)
+    }
+    q_chain = None
+    for k in range(1, m_lags + 1):
+        term = (rho[k] * rho[k]) / (nd - F.lit(float(k)))
+        q_chain = term if q_chain is None else q_chain + term
+    q = F.when(
+        (F.col("n") > F.lit(m_lags)) & (F.col("a0") > F.lit(0)),
+        nd * (nd + F.lit(2.0)) * q_chain,
+    )
+
+    def rnd(col):
+        return F.round(col, round_digits) if round_digits is not None else col
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("n").cast("long").alias("n_obs"),
+        F.lit(m_lags).cast("long").alias("lb_df"),
+        rnd(
+            F.when(F.col("a0") > F.lit(0), rho[1])
+        ).alias("rho1"),
+        rnd(q).alias("q_stat"),
+        F.when(q.isNotNull(), q <= F.lit(crit)).alias("white_noise"),
+    )
