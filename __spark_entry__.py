@@ -6796,6 +6796,63 @@ FROM sums
 """
 
 
+def q_spearman_matrix(spark, sf_dir):
+    """Pairwise Spearman rank correlation between the 5 event-type
+    hourly count series (operators.cohort.spearman_matrix) — the
+    monotone-association complement of corr_matrix, burst-robust.
+    Ranks are computed ONCE per series on the shared dense grid
+    (doubled average ranks 2a+t-1 stay exact integers through ties),
+    then the same co-located pair self-join; second-order sums in
+    decimal(38,0) vs the oracle's HUGEINT; oracle-exact."""
+    from chronoxtract_spark.operators.cohort import spearman_matrix
+
+    return spearman_matrix(
+        _events(spark, sf_dir), name_col="event_type", ts_col="ts",
+        step_s=3600,
+    )
+
+
+SQL_SPEARMAN_MATRIX = """
+WITH base AS (
+  SELECT event_type AS name,
+         epoch_us(ts) - epoch_us(ts) % 3600000000 AS g_us
+  FROM events),
+counts AS (SELECT name, g_us, count(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+span AS (SELECT min(g_us) AS g_lo, max(g_us) AS g_hi FROM counts),
+names AS (SELECT DISTINCT name FROM counts),
+spine AS (
+  SELECT n.name, g.g_us
+  FROM names n, span s,
+       unnest(generate_series(s.g_lo, s.g_hi, 3600000000)) AS g(g_us)),
+grid AS (
+  SELECT s.name, s.g_us, coalesce(c.c, 0) AS c
+  FROM spine s LEFT JOIN counts c ON c.name = s.name AND c.g_us = s.g_us),
+ranked AS (
+  SELECT name, g_us,
+         (2 * rank() OVER (PARTITION BY name ORDER BY c)
+          + count(*) OVER (PARTITION BY name, c) - 1)::BIGINT AS r2
+  FROM grid),
+pairs AS (
+  SELECT a.name AS name1, b.name AS name2, a.r2 AS x, b.r2 AS y
+  FROM ranked a JOIN ranked b ON b.g_us = a.g_us AND a.name < b.name),
+sums AS (
+  SELECT name1, name2, count(*)::BIGINT AS n,
+         sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+         sum(x::HUGEINT * x::HUGEINT) AS sxx,
+         sum(y::HUGEINT * y::HUGEINT) AS syy,
+         sum(x::HUGEINT * y::HUGEINT) AS sxy
+  FROM pairs GROUP BY 1, 2)
+SELECT name1, name2, n,
+       CASE WHEN (n * sxx - sx * sx)::DOUBLE > 0
+             AND (n * syy - sy * sy)::DOUBLE > 0
+            THEN (n * sxy - sx * sy)::DOUBLE
+                 / sqrt((n * sxx - sx * sx)::DOUBLE
+                        * (n * syy - sy * sy)::DOUBLE)
+       END AS rho
+FROM sums
+"""
+
+
 def q_pmi(spark, sf_dir):
     """Top-50 term pairs by document-co-occurrence PMI, vocabulary
     bounded UP FRONT to the 100 most document-frequent terms
@@ -8874,6 +8931,7 @@ _EXTRA_QUERIES = {
     "top_props": q_top_props,
     "cohort_retention": q_cohort_retention,
     "corr_matrix": q_corr_matrix,
+    "spearman_matrix": q_spearman_matrix,
     "holt": q_holt,
     "funnel": q_funnel,
     "bm25": q_bm25,
@@ -8986,6 +9044,7 @@ _EXTRA_ORACLES = {
     "top_props": SQL_TOP_PROPS,
     "cohort_retention": SQL_COHORT,
     "corr_matrix": SQL_CORR_MATRIX,
+    "spearman_matrix": SQL_SPEARMAN_MATRIX,
     "holt": SQL_HOLT,
     "funnel": SQL_FUNNEL,
     "bm25": _sql_bm25(),

@@ -18,7 +18,7 @@ cross join over raw events. Integer sums keep it bit-exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -118,4 +118,92 @@ def corr_matrix(
     return sums.select(
         "name1", "name2", "n",
         F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("corr"),
+    )
+
+
+def spearman_matrix(
+    df: DataFrame,
+    name_col: str,
+    ts_col: str,
+    step_s: int,
+) -> DataFrame:
+    """Pairwise Spearman rank correlation between the per-``name``
+    count series on the shared dense grid — the robust complement of
+    ``corr_matrix``: Pearson sees linear co-movement of the raw
+    counts (and one bursty hour can dominate it), Spearman sees any
+    MONOTONE association and is invariant to per-series monotone
+    rescaling.
+
+    Spearman = Pearson over average ranks. Because the grid is dense
+    and shared by every name, each series' ranks are computed ONCE
+    per name (not per pair): with ties taking their average rank,
+    ``2*avg_rank = 2*rank_min + n_ties - 1`` is an exact integer, so
+    doubled ranks keep the whole computation in integer arithmetic —
+    rank via one (name)-partitioned sort window, tie counts via one
+    (name, value) count window, then the identical time-key
+    co-located pair self-join and moment aggregation as
+    ``corr_matrix``. The three second-order sums are carried in
+    decimal(38,0) (doubled ranks reach 2n, so int64 would cap the
+    grid near 1.3e6 cells; the DuckDB oracle's HUGEINT matches to
+    10^38). Constant series (all ranks tied) null out via the same
+    variance guard.
+
+    Returns ``name1, name2, n, rho`` — ``n`` the shared grid length.
+    """
+    step_us = int(step_s) * 1_000_000
+    t_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = df.select(
+        F.col(name_col).alias("name"),
+        (t_us - (t_us % step_us)).alias("g_us"),
+    )
+    counts = base.groupBy("name", "g_us").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    span = counts.agg(
+        F.min("g_us").alias("g_lo"), F.max("g_us").alias("g_hi")
+    )
+    names = counts.select("name").distinct()
+    spine = names.crossJoin(F.broadcast(span)).select(
+        "name",
+        F.explode(
+            F.sequence(F.col("g_lo"), F.col("g_hi"), F.lit(step_us))
+        ).alias("g_us"),
+    )
+    grid = spine.join(counts, ["name", "g_us"], "left").select(
+        "name", "g_us", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    wrank = Window.partitionBy("name").orderBy("c")
+    wtie = Window.partitionBy("name", "c")
+    ranked = grid.select(
+        "name",
+        "g_us",
+        (
+            F.lit(2) * F.rank().over(wrank)
+            + F.count("*").over(wtie)
+            - F.lit(1)
+        ).cast("long").alias("r2"),
+    )
+    a = ranked.select(
+        F.col("name").alias("name1"), "g_us", F.col("r2").alias("x")
+    )
+    b = ranked.select(
+        F.col("name").alias("name2"), "g_us", F.col("r2").alias("y")
+    )
+    pairs = a.join(b, "g_us").where(F.col("name1") < F.col("name2"))
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    sums = pairs.groupBy("name1", "name2").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x")) * dec(F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x")) * dec(F.col("y"))).alias("sxy"),
+    )
+    nd = F.col("n").cast("decimal(19,0)")
+    num = (nd * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = (nd * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    dy = (nd * F.col("syy") - F.col("sy") * F.col("sy")).cast("double")
+    return sums.select(
+        "name1", "name2", "n",
+        F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("rho"),
     )

@@ -120,6 +120,74 @@ class TestCorrMatrix:
         assert r.corr is None
 
 
+
+class TestSpearmanMatrix:
+    def _counts_df(self, spark, series):
+        """series: name -> list of per-minute counts (shared grid)."""
+        rows = []
+        for name, counts in series.items():
+            for m, c in enumerate(counts):
+                for _ in range(c):
+                    rows.append((name, f"2024-01-01 00:{m:02d}:00"))
+        return spark.createDataFrame(rows, "name string, ts string")
+
+    def test_monotone_transform_invariance(self, spark):
+        from chronoxtract_spark.operators.cohort import (
+            corr_matrix, spearman_matrix,
+        )
+
+        # b is a convex monotone transform of a: Spearman must be
+        # exactly 1 while Pearson is strictly below 1
+        a = [1, 2, 3, 4, 5, 6, 7, 8]
+        b = [x * x for x in a]
+        c = a[::-1]  # anti-monotone: Spearman exactly -1
+        df = self._counts_df(spark, {"a": a, "b": b, "c": c})
+        rho = {(r.name1, r.name2): r.rho for r in
+               spearman_matrix(df, "name", "ts", step_s=60).collect()}
+        cor = {(r.name1, r.name2): r.corr for r in
+               corr_matrix(df, "name", "ts", step_s=60).collect()}
+        assert rho[("a", "b")] == pytest.approx(1.0)
+        assert cor[("a", "b")] < 0.999
+        assert rho[("a", "c")] == pytest.approx(-1.0)
+        assert rho[("b", "c")] == pytest.approx(-1.0)
+
+    def test_matches_pandas_with_ties(self, spark):
+        import pandas as pd
+
+        from chronoxtract_spark.operators.cohort import spearman_matrix
+
+        rng = __import__("random").Random(29)
+        series = {
+            name: [rng.randrange(0, 5) for _ in range(40)]
+            for name in ("a", "b", "c")
+        }
+        df = self._counts_df(spark, series)
+        got = {(r.name1, r.name2): r.rho for r in
+               spearman_matrix(df, "name", "ts", step_s=60).collect()}
+        pdf = pd.DataFrame(series)
+        want = pdf.corr(method="spearman")
+        for (n1, n2), rho in got.items():
+            assert rho == pytest.approx(want.loc[n1, n2], abs=1e-12), (n1, n2)
+
+    def test_constant_series_null_and_burst_robust(self, spark):
+        from chronoxtract_spark.operators.cohort import (
+            corr_matrix, spearman_matrix,
+        )
+
+        # x constant -> null rho; y/z monotone except one mega burst
+        # that wrecks Pearson but moves Spearman only one rank step
+        y = [1, 2, 3, 4, 5, 6, 7, 100]
+        z = [2, 3, 4, 5, 6, 7, 8, 9]
+        df = self._counts_df(spark, {"x": [1] * 8, "y": y, "z": z})
+        rho = {(r.name1, r.name2): r.rho for r in
+               spearman_matrix(df, "name", "ts", step_s=60).collect()}
+        assert rho[("x", "y")] is None and rho[("x", "z")] is None
+        assert rho[("y", "z")] == pytest.approx(1.0)
+        cor = {(r.name1, r.name2): r.corr for r in
+               corr_matrix(df, "name", "ts", step_s=60).collect()}
+        assert cor[("y", "z")] < 0.9
+
+
 class TestSkewReport:
     def test_uniform_keys(self, spark):
         from chronoxtract_spark.operators.skew import skew_report
