@@ -328,3 +328,114 @@ def phase_fold_search(
         "peak_bin",
         "peak_count",
     )
+
+
+#: Rayleigh-test two-sided 5% threshold on the p scale, shared with
+#: the oracle SQL.
+RAYLEIGH_ALPHA = 0.05
+
+
+def circadian_stats(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    n_bins: int = 24,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Circular time-of-day statistics per key + Rayleigh uniformity
+    test: is this key's activity spread around the clock or
+    concentrated at a preferred hour?
+
+    Each event's second-of-day maps to one of ``n_bins`` equal
+    circular bins (pure integer arithmetic, the phase_fold trick);
+    the binned first circular moment
+
+        C = sum_b c_b cos(theta_b),  S = sum_b c_b sin(theta_b),
+        theta_b = 2*pi*(b + 0.5)/B  (bin centers)
+
+    gives the mean resultant length ``resultant = sqrt(C^2+S^2)/n``
+    (0 uniform, 1 fully concentrated), the mean direction as an hour
+    of day ``mean_hour`` in [0, 24), the Rayleigh statistic
+    ``z = n * resultant^2`` and its first-order p-value
+    ``p = exp(-z) * (1 + (2z - z^2)/(4n))`` (Greenwood & Durand;
+    clamped to <= 1), with ``uniform`` the 5% verdict. The BINNED
+    test trades a bounded phase quantization (negligible at B = 24
+    for hour-scale structure) for exactness and scale: counts are the
+    only data-sized reduction.
+
+    Exactness contract: bin counts are exact int64 off one
+    (key, bin) groupBy; the B cosine/sine weights are Python-computed
+    double literals INJECTED identically into this plan and the
+    oracle SQL (so no libm cos/sin runs in either engine), and C / S
+    fold the B weighted integer counts in one fixed left-associated
+    chain of conditional-sum columns — order-free because the counts
+    are integers and the chain order is pinned by construction. Only
+    atan2/exp/sqrt run engine-side, on identical double inputs.
+
+    Scale shape: one (key, bin) partial-agg count + one per-key
+    conditional-sum groupBy — B bounded columns, no UDF, no explode,
+    output one row per key.
+    """
+    import math
+
+    B = int(n_bins)
+    if B < 2 or 86400 % B:
+        raise ValueError(f"n_bins must divide 86400, got {n_bins}")
+    sec_per_bin = 86400 // B
+    wcos = [math.cos(2.0 * math.pi * (b + 0.5) / B) for b in range(B)]
+    wsin = [math.sin(2.0 * math.pi * (b + 0.5) / B) for b in range(B)]
+
+    s = epoch_seconds(df, ts_col)
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        ((s % 86400) / F.lit(sec_per_bin)).cast("long").alias("_b"),
+    )
+    counts = d.groupBy("_k", "_b").agg(F.count("*").cast("long").alias("c"))
+    agg = counts.groupBy("_k").agg(
+        F.sum("c").alias("n"),
+        *[
+            F.sum(F.when(F.col("_b") == b, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias(f"c{b}")
+            for b in range(B)
+        ],
+    )
+    cchain = None
+    schain = None
+    for b in range(B):
+        ct = F.col(f"c{b}").cast("double")
+        tc = ct * F.lit(wcos[b])
+        ts_ = ct * F.lit(wsin[b])
+        cchain = tc if cchain is None else cchain + tc
+        schain = ts_ if schain is None else schain + ts_
+    nd = F.col("n").cast("double")
+    resultant = F.sqrt(cchain * cchain + schain * schain) / nd
+    z = nd * resultant * resultant
+    p = F.least(
+        F.lit(1.0),
+        F.exp(-z)
+        * (
+            F.lit(1.0)
+            + (F.lit(2.0) * z - z * z) / (F.lit(4.0) * nd)
+        ),
+    )
+    hour_raw = F.atan2(schain, cchain) / F.lit(2.0 * math.pi) * F.lit(24.0)
+    mean_hour = F.when(hour_raw < 0, hour_raw + F.lit(24.0)).otherwise(
+        hour_raw
+    )
+    # the mean direction is undefined when the resultant is ~0; keep
+    # it defined (atan2(0,0) = 0 in both engines) but null the hour
+    # when NO event occurred (n = 0 cannot reach here anyway).
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("n").cast("long").alias("n_obs"),
+        rnd(resultant).alias("resultant"),
+        rnd(mean_hour).alias("mean_hour"),
+        rnd(z).alias("rayleigh_z"),
+        rnd(p).alias("p_uniform"),
+        (p > F.lit(RAYLEIGH_ALPHA)).alias("uniform"),
+    )
