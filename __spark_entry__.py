@@ -8203,6 +8203,101 @@ WHERE n_pairs > 0
 SQL_STRUCTURE_FUNCTION = _sql_structure_function()
 
 
+def q_adf(spark, sf_dir):
+    """Per-user Dickey-Fuller unit-root test
+    (operators.armodel.adf_test) over TWO variants of each user's
+    series — the raw values (mean-reverting by construction: the test
+    should reject the unit root) and their cumulative path (a drifted
+    random walk: it should not) — so the 5% verdict mixes by
+    construction instead of saturating. Closed-form OLS t on exact
+    decimal-carried integer moments; one lag window + one groupBy per
+    variant, no UDF; oracle-exact."""
+    from chronoxtract_spark.operators.armodel import adf_test
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    w = W.partitionBy("conv_id").orderBy(
+        F.floor(F.col("ts").cast("timestamp").cast("long")), "turn_idx"
+    ).rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = ev.select(
+        "conv_id",
+        "turn_idx",
+        "ts",
+        (
+            F.sum(
+                F.round(F.col("value") * F.lit(100), 0).cast("long")
+            ).over(w)
+            / F.lit(100.0)
+        ).alias("value"),
+    )
+    raw_res = adf_test(ev).select(F.lit("raw").alias("variant"), "*")
+    cum_res = adf_test(cum).select(F.lit("cum").alias("variant"), "*")
+    return raw_res.unionByName(cum_res)
+
+
+SQL_ADF = """
+WITH ev AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         value
+  FROM events
+), both_v AS (
+  SELECT 'raw' AS variant, conv_id, turn_idx, s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM ev
+  UNION ALL
+  SELECT 'cum' AS variant, conv_id, turn_idx, s,
+         CAST(round((SUM(CAST(round(value * 100, 0) AS BIGINT))
+                       OVER (PARTITION BY conv_id ORDER BY s, turn_idx
+                             ROWS UNBOUNDED PRECEDING) / 100.0)
+                    * 100, 0) AS BIGINT) AS v
+  FROM ev
+), lagged AS (
+  SELECT variant, conv_id,
+         lag(v) OVER w AS z,
+         v - lag(v) OVER w AS y
+  FROM both_v
+  WINDOW w AS (PARTITION BY variant, conv_id ORDER BY s, turn_idx)
+), kept AS (
+  SELECT * FROM lagged WHERE z IS NOT NULL
+), agg AS (
+  SELECT variant, conv_id, COUNT(*)::BIGINT AS m,
+         SUM(z::HUGEINT) AS sz, SUM(y::HUGEINT) AS sy,
+         SUM(z::HUGEINT * z::HUGEINT) AS szz,
+         SUM(z::HUGEINT * y::HUGEINT) AS szy,
+         SUM(y::HUGEINT * y::HUGEINT) AS syy
+  FROM kept GROUP BY variant, conv_id
+), mo AS (
+  SELECT variant, conv_id, m,
+         m * szy - sz * sy AS num_d,
+         m * szz - sz * sz AS den_d,
+         m * syy - sy * sy AS yy_d
+  FROM agg
+), fl AS (
+  SELECT variant, conv_id, m, den_d,
+         num_d::DOUBLE / den_d::DOUBLE AS beta,
+         (yy_d::DOUBLE - (num_d::DOUBLE / den_d::DOUBLE) * num_d::DOUBLE)
+           / ((m - 2)::DOUBLE * den_d::DOUBLE) AS se2
+  FROM mo
+), t AS (
+  SELECT variant, conv_id, m, den_d, beta, se2,
+         CASE WHEN m > 2 AND den_d > 0 AND se2 > 0.0
+              THEN beta / sqrt(se2) END AS tt
+  FROM fl
+)
+SELECT variant, conv_id, (m + 1)::BIGINT AS n_obs,
+       round(CASE WHEN den_d > 0 THEN beta END, 6) AS beta,
+       round(tt, 6) AS t_stat,
+       CASE WHEN tt IS NOT NULL THEN tt < -2.86 END AS stationary
+FROM t
+"""
+
+
 def q_circadian(spark, sf_dir):
     """Per-user circular time-of-day battery
     (operators.cadence.circadian_stats): binned first circular moment
@@ -8979,6 +9074,7 @@ _EXTRA_QUERIES = {
     "structure_function": q_structure_function,
     "ljung_box": q_ljung_box,
     "circadian": q_circadian,
+    "adf": q_adf,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -9092,6 +9188,7 @@ _EXTRA_ORACLES = {
     "structure_function": SQL_STRUCTURE_FUNCTION,
     "ljung_box": SQL_LJUNG_BOX,
     "circadian": SQL_CIRCADIAN,
+    "adf": SQL_ADF,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

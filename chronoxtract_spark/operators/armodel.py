@@ -132,3 +132,98 @@ def yule_walker(
             F.col("c0") * (F.lit(1.0) - phi1 * r1 - phi2 * r2)
         ).alias("ar2_sigma2"),
     )
+
+
+#: asymptotic Dickey-Fuller tau_mu (constant, no trend) 5% critical
+#: value, shared with the oracle SQL
+ADF_CRIT_5PCT = -2.86
+
+
+def adf_test(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Dickey-Fuller unit-root test per key (constant, no trend, no
+    augmentation lags): the OLS t-statistic of beta in
+
+        dx_t = alpha + beta * x_{t-1} + e_t
+
+    where beta = rho - 1. Under the unit-root null the statistic
+    follows the Dickey-Fuller tau_mu law; ``stationary`` is True when
+    t < -2.86 (the asymptotic 5% point). The closed-form complement
+    of the Yule-Walker fits above: phi says HOW persistent, the DF
+    t says whether persistence is indistinguishable from a random
+    walk. Zero-lag DF (not augmented) keeps every moment a closed
+    form — the augmentation lags would need a matrix solve.
+
+    Exactness: values fix to integer cents; the five regression sums
+    (Sz, Sy, Szz, Szy, Syy over z = x_{t-1}, y = dx_t) carry products
+    in decimal(38,0) (HUGEINT in the oracle), and the m-scaled
+    moment identities clear every intermediate division:
+
+        NUM = m*Szy - Sz*Sy, DEN = m*Szz - Sz^2, YY = m*Syy - Sy^2
+        beta = NUM/DEN,  t = beta / sqrt((YY - beta*NUM)
+                                         / ((m-2) * DEN))
+
+    — exact integers into one fixed float chain both engines share.
+    Guards: m < 3 or DEN = 0 (constant regressor) or a zero/negative
+    residual variance (exact linear fit) null t and the verdict.
+
+    One lag window pass on the shared key sort + one groupBy, no UDF.
+    Returns ``key, n_obs, beta, t_stat, stationary``.
+    """
+    unit = 10 ** scale
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(df, ts_col).alias("_s"),
+        F.round(F.col(value_col) * F.lit(unit), 0).cast("long").alias("_v"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = Window.partitionBy("_k").orderBy("_s", *order_cols)
+    lagged = d.select(
+        "_k",
+        F.lag("_v").over(w).alias("z"),
+        (F.col("_v") - F.lag("_v").over(w)).alias("y"),
+    ).where(F.col("z").isNotNull())
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    agg = lagged.groupBy("_k").agg(
+        F.count("*").cast("long").alias("m"),
+        F.sum(dec(F.col("z"))).alias("sz"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("z")) * dec(F.col("z"))).alias("szz"),
+        F.sum(dec(F.col("z")) * dec(F.col("y"))).alias("szy"),
+        F.sum(dec(F.col("y")) * dec(F.col("y"))).alias("syy"),
+    )
+    md = F.col("m").cast("decimal(19,0)")
+    num_dec = md * F.col("szy") - F.col("sz") * F.col("sy")
+    den_dec = md * F.col("szz") - F.col("sz") * F.col("sz")
+    yy_dec = md * F.col("syy") - F.col("sy") * F.col("sy")
+    # gate on EXACT decimal conditions before any float runs: under
+    # den > 0 and m > 2 the chain below is finite (no NaN/Inf can
+    # reach a Spark comparison, whose NaN-is-largest semantics differ
+    # from nothing here but are best never exercised).
+    num, den, yy = (c.cast("double") for c in (num_dec, den_dec, yy_dec))
+    beta = num / den
+    se2 = (yy - beta * num) / (
+        (F.col("m") - F.lit(2)).cast("double") * den
+    )
+    valid = (F.col("m") > F.lit(2)) & (den_dec > F.lit(0))
+    t = F.when(valid & (se2 > F.lit(0.0)), beta / F.sqrt(se2))
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        (F.col("m") + F.lit(1)).cast("long").alias("n_obs"),
+        rnd(F.when(den_dec > F.lit(0), beta)).alias("beta"),
+        rnd(t).alias("t_stat"),
+        F.when(t.isNotNull(), t < F.lit(float(ADF_CRIT_5PCT))).alias(
+            "stationary"
+        ),
+    )
