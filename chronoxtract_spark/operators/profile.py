@@ -87,3 +87,100 @@ def profile_table(
         "column", "n_rows", "n_null", "n_distinct",
         "min_str", "max_str", "mean",
     )
+
+
+#: chi-square 0.95 quantile at 8 degrees of freedom — the Benford
+#: first-digit test's 5% critical value, shared with the oracle SQL.
+BENFORD_CHI2_CRIT_5PCT = 15.507313
+
+
+def benford_test(
+    df: DataFrame,
+    group_cols: list[str] | str,
+    value_col: str = "value",
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Benford first-digit conformance test per group — the classic
+    fabricated-/truncated-data screen: naturally occurring
+    scale-spanning magnitudes put digit d first with probability
+    log10(1 + 1/d), and a chi-square distance from that law flags
+    slices whose values were capped, binned, defaulted or invented.
+    Complements ``profile_table`` (shape) and ``check_expectations``
+    (declared contracts) with a distributional forensic.
+
+    The first significant digit is read from the DECIMAL STRING of
+    the value fixed to integer units of ``10^-scale`` — pure string
+    arithmetic on an exact integer (leading digit is scale-invariant,
+    so the cents representation has the value's own first digit), no
+    log10 float anywhere near the data. Zero and null values carry no
+    first digit and are excluded (reported as ``n_excluded``).
+
+    Exactness: digit counts are exact int64 off one (group, digit)
+    aggregation; the nine expected proportions are Python double
+    literals injected identically into this plan and the oracle SQL,
+    and the chi-square statistic folds the nine (o_d - n p_d)^2 /
+    (n p_d) terms in one pinned left-associated chain. ``conforms``
+    is the 5% verdict at 8 dof; null when n = 0.
+
+    Scale shape: one partial-agg (group, digit) count + one per-group
+    conditional-sum groupBy — nine bounded columns, no UDF. Returns
+    ``group_cols..., n_obs, n_excluded, d1_frac, chi2, conforms``.
+    """
+    import math
+
+    from ._util import keylist
+
+    groups = keylist(group_cols)
+    unit = 10 ** scale
+    probs = [math.log10(1.0 + 1.0 / d) for d in range(1, 10)]
+
+    cents = F.round(F.col(value_col) * F.lit(unit), 0).cast("long")
+    d = df.select(
+        *[F.col(g) for g in groups],
+        F.when(
+            cents.isNotNull() & (cents != 0),
+            F.substring(F.abs(cents).cast("string"), 1, 1).cast("int"),
+        ).alias("_d"),
+    )
+    counts = d.groupBy(*groups, "_d").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    agg = counts.groupBy(*groups).agg(
+        F.sum(F.when(F.col("_d").isNotNull(), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n"),
+        F.sum(F.when(F.col("_d").isNull(), F.col("c")).otherwise(0))
+        .cast("long")
+        .alias("n_excluded"),
+        *[
+            F.sum(F.when(F.col("_d") == dd, F.col("c")).otherwise(0))
+            .cast("long")
+            .alias(f"o{dd}")
+            for dd in range(1, 10)
+        ],
+    )
+    nd = F.col("n").cast("double")
+    chain = None
+    for dd in range(1, 10):
+        exp_d = nd * F.lit(probs[dd - 1])
+        od = F.col(f"o{dd}").cast("double")
+        term = (od - exp_d) * (od - exp_d) / exp_d
+        chain = term if chain is None else chain + term
+    chi2 = F.when(F.col("n") > 0, chain)
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        *[F.col(g) for g in groups],
+        F.col("n").alias("n_obs"),
+        "n_excluded",
+        rnd(
+            F.when(F.col("n") > 0, F.col("o1").cast("double") / nd)
+        ).alias("d1_frac"),
+        rnd(chi2).alias("chi2"),
+        F.when(
+            chi2.isNotNull(), chi2 <= F.lit(BENFORD_CHI2_CRIT_5PCT)
+        ).alias("conforms"),
+    )
