@@ -8203,6 +8203,149 @@ WHERE n_pairs > 0
 SQL_STRUCTURE_FUNCTION = _sql_structure_function()
 
 
+def q_rs_ladder(spark, sf_dir):
+    """Per-user rescaled-range (R/S) ladder
+    (operators.structure.rs_ladder): Hurst's long-memory probe at
+    window sizes 8/16/32/64 — window-mean deviations ws-scaled to
+    integers (walk range R_u and variance moment D exact int64, one
+    float division per window), per-rung mean via the proven
+    sorted-fold contract; ladder exploded onto rows once (the Allan
+    trick); oracle-exact."""
+    from chronoxtract_spark.operators.structure import rs_ladder
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return rs_ladder(ev)
+
+
+def q_hurst(spark, sf_dir):
+    """Per-user Hurst exponent (operators.structure.hurst_rs): the
+    log-log OLS slope of the R/S ladder, the classical long-memory
+    reading to pair with DFA's alpha. ln(ws) regressors are injected
+    Python literals (no engine ln of integers); the OLS sums fold the
+    <= 4 rungs in one pinned conditional chain; oracle-exact."""
+    from chronoxtract_spark.operators.structure import hurst_rs
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return hurst_rs(ev)
+
+
+_SQL_RS_BODY = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), idx AS (
+  SELECT conv_id, v,
+         row_number() OVER (PARTITION BY conv_id ORDER BY s, turn_idx)
+           - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM t
+), lad AS (
+  SELECT conv_id, v, rn, ws
+  FROM idx CROSS JOIN (SELECT unnest([8, 16, 32, 64]) AS ws) lw
+  WHERE rn < (n // ws) * ws
+), seg AS (
+  SELECT conv_id, ws, rn // ws AS wi, rn % ws AS j, v FROM lad
+), zz AS (
+  SELECT conv_id, ws, wi,
+         ws * SUM(v) OVER (PARTITION BY conv_id, ws, wi ORDER BY j
+                           ROWS UNBOUNDED PRECEDING)
+           - (j + 1) * SUM(v) OVER (PARTITION BY conv_id, ws, wi) AS z,
+         ws * SUM(v * v) OVER (PARTITION BY conv_id, ws, wi)
+           - SUM(v) OVER (PARTITION BY conv_id, ws, wi)
+             * SUM(v) OVER (PARTITION BY conv_id, ws, wi) AS dd
+  FROM seg
+), pw AS (
+  SELECT conv_id, ws, wi,
+         (MAX(z) - MIN(z))::BIGINT AS r_u, MAX(dd)::BIGINT AS dd
+  FROM zz GROUP BY conv_id, ws, wi
+), rsw AS (
+  SELECT conv_id, ws, wi,
+         CASE WHEN dd > 0 THEN r_u::DOUBLE / sqrt(dd::DOUBLE) END AS rs
+  FROM pw
+), agg AS (
+  SELECT conv_id, ws::BIGINT AS ws,
+         COUNT(*)::BIGINT AS n_windows,
+         SUM(CASE WHEN rs IS NULL THEN 1 ELSE 0 END)::BIGINT
+           AS n_degenerate,
+         list_sum(list(rs ORDER BY wi) FILTER (rs IS NOT NULL))
+           AS rs_sum
+  FROM rsw GROUP BY conv_id, ws
+), lred AS (
+  SELECT conv_id, ws, n_windows, n_degenerate,
+         CASE WHEN n_windows > n_degenerate
+              THEN rs_sum / (n_windows - n_degenerate)::DOUBLE
+         END AS rs_mean
+  FROM agg
+)
+"""
+
+
+SQL_RS_LADDER = _SQL_RS_BODY + """
+SELECT conv_id, ws, n_windows, n_degenerate,
+       round(rs_mean, 6) AS rs_mean
+FROM lred
+"""
+
+
+def _sql_hurst(windows=(8, 16, 32, 64)) -> str:
+    import math
+
+    lnw = {x: math.log(float(x)) for x in windows}
+    piv = ",\n         ".join(
+        f"MAX(CASE WHEN ws = {x} THEN rs_mean END) AS rs{x}"
+        for x in windows
+    )
+    av = {x: f"(rs{x} IS NOT NULL AND rs{x} > 0)" for x in windows}
+    n_r = " + ".join(f"CASE WHEN {av[x]} THEN 1 ELSE 0 END" for x in windows)
+    sx = " + ".join(
+        f"CASE WHEN {av[x]} THEN ({lnw[x]!r}) ELSE 0.0 END" for x in windows
+    )
+    sy = " + ".join(
+        f"CASE WHEN {av[x]} THEN ln(rs{x}) ELSE 0.0 END" for x in windows
+    )
+    sxx = " + ".join(
+        f"CASE WHEN {av[x]} THEN ({lnw[x] * lnw[x]!r}) ELSE 0.0 END"
+        for x in windows
+    )
+    sxy = " + ".join(
+        f"CASE WHEN {av[x]} THEN ({lnw[x]!r}) * ln(rs{x}) ELSE 0.0 END"
+        for x in windows
+    )
+    return _SQL_RS_BODY + f""",
+piv AS (
+  SELECT conv_id,
+         {piv}
+  FROM lred GROUP BY conv_id
+), ols AS (
+  SELECT conv_id,
+         ({n_r})::DOUBLE AS n_r,
+         ({sx}) AS sx, ({sy}) AS sy, ({sxx}) AS sxx, ({sxy}) AS sxy
+  FROM piv
+)
+SELECT conv_id, n_r::BIGINT AS n_rungs,
+       round(CASE WHEN n_r >= 2.0 AND (n_r * sxx - sx * sx) > 0.0
+             THEN (n_r * sxy - sx * sy) / (n_r * sxx - sx * sx) END, 6)
+         AS hurst
+FROM ols
+"""
+
+
+SQL_HURST = _sql_hurst()
+
+
 def q_benford(spark, sf_dir):
     """Per-user Benford first-digit conformance screen
     (operators.profile.benford_test): exact digit counts (first digit
@@ -9141,6 +9284,8 @@ _EXTRA_QUERIES = {
     "circadian": q_circadian,
     "adf": q_adf,
     "benford": q_benford,
+    "rs_ladder": q_rs_ladder,
+    "hurst": q_hurst,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -9256,6 +9401,8 @@ _EXTRA_ORACLES = {
     "circadian": SQL_CIRCADIAN,
     "adf": SQL_ADF,
     "benford": SQL_BENFORD,
+    "rs_ladder": SQL_RS_LADDER,
+    "hurst": SQL_HURST,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

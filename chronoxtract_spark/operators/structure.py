@@ -129,3 +129,247 @@ def structure_function(
         sf2.alias("sf2"),
         (sf2 * F.lit(0.5)).alias("gamma"),
     )
+
+
+RS_LADDER = (8, 16, 32, 64)
+
+
+def rs_ladder(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    windows: tuple[int, ...] = RS_LADDER,
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Rescaled-range (R/S) ladder per key — Hurst's original
+    long-memory probe, the empirical complement of DFA (which detrends
+    per window; R/S only demeans, so the two exponents disagreeing is
+    itself a diagnostic for trend-contaminated memory).
+
+    For each window size ``ws`` the series splits into full
+    consecutive windows; within a window the cumulative deviation
+    from the WINDOW mean walks from 0 back to 0, and
+
+        R/S = (max Z - min Z) / std_pop(window)
+
+    ``rs_mean`` averages R/S over the rung's windows. E[R/S] ~ c *
+    ws^H — slope H ~ 0.5 for independent increments, > 0.5
+    persistent, < 0.5 anti-persistent (see ``hurst_rs``).
+
+    Exactness: window-mean deviations clear the division by
+    ws-scaling (u = ws*x - S_w in integer cents — the CUSUM trick at
+    window granularity), so the walk Z_j = ws*cumsum(x) - (j+1)*S_w,
+    its range R_u, and the variance moment D = ws*SS_w - S_w^2 are
+    exact int64 (R/S = R_u / sqrt(D), one float op per window, since
+    the ws scalings cancel). The per-rung mean folds the window R/S
+    values sorted by window index (the proven sorted-fold contract —
+    arrays bounded by n/min(ws), the tier tables being the intended
+    input at scale). Degenerate windows (constant -> D = 0) are
+    excluded and counted.
+
+    Spark-first shape: the ladder is exploded onto rows ONCE (the
+    Allan-variance trick: cost linear in len(windows), shared shuffle
+    on (key, ws, window)), one ordered window pass per rung-window,
+    one groupBy per window, one per-(key, ws) fold. No UDF.
+    Returns ``key, ws, n_windows, n_degenerate, rs_mean``.
+    """
+    unit = 10 ** scale
+    windows = tuple(int(x) for x in windows)
+    if not windows or any(x < 2 for x in windows):
+        raise ValueError(f"windows must be >= 2, got {windows!r}")
+
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(df, ts_col).alias("_s"),
+        F.round(F.col(value_col) * F.lit(unit), 0).cast("long").alias("_v"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = Window.partitionBy("_k").orderBy("_s", *order_cols)
+    wall = Window.partitionBy("_k")
+    idx = d.select(
+        "_k",
+        "_v",
+        (F.row_number().over(w) - F.lit(1)).alias("rn"),
+        F.count("*").over(wall).alias("n"),
+    )
+    lad = idx.select(
+        "_k",
+        "_v",
+        "rn",
+        "n",
+        F.explode(
+            F.array(*[F.lit(x).cast("long") for x in windows])
+        ).alias("ws"),
+    ).where(
+        F.col("rn") < (F.col("n") / F.col("ws")).cast("long") * F.col("ws")
+    )
+    lad = lad.select(
+        "_k",
+        "ws",
+        (F.col("rn") / F.col("ws")).cast("long").alias("wi"),
+        (F.col("rn") % F.col("ws")).alias("j"),
+        "_v",
+    )
+    wwin = Window.partitionBy("_k", "ws", "wi")
+    wrun = wwin.orderBy("j").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    z = lad.select(
+        "_k",
+        "ws",
+        "wi",
+        (
+            F.col("ws") * F.sum("_v").over(wrun)
+            - (F.col("j") + F.lit(1)) * F.sum("_v").over(wwin)
+        ).alias("z"),
+        (
+            F.col("ws") * F.sum(F.col("_v") * F.col("_v")).over(wwin)
+            - F.sum("_v").over(wwin) * F.sum("_v").over(wwin)
+        ).alias("dd"),
+    )
+    per_win = z.groupBy("_k", "ws", "wi").agg(
+        (F.max("z") - F.min("z")).alias("r_u"),
+        F.max("dd").alias("dd"),
+    )
+    per_win = per_win.select(
+        "_k",
+        "ws",
+        "wi",
+        F.when(
+            F.col("dd") > 0,
+            F.col("r_u").cast("double") / F.sqrt(F.col("dd").cast("double")),
+        ).alias("rs"),
+    )
+    agg = per_win.groupBy("_k", "ws").agg(
+        F.count("*").cast("long").alias("n_windows"),
+        F.sum(F.when(F.col("rs").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_degenerate"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("rs").isNotNull(),
+                        F.struct(F.col("wi"), F.col("rs")),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["rs"],
+        ).alias("rs_sum"),
+    )
+    n_valid = (F.col("n_windows") - F.col("n_degenerate")).cast("double")
+    rs_mean = F.when(
+        F.col("n_windows") > F.col("n_degenerate"),
+        F.col("rs_sum") / n_valid,
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "ws",
+        "n_windows",
+        "n_degenerate",
+        rnd(rs_mean).alias("rs_mean"),
+    )
+
+
+def hurst_rs(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    windows: tuple[int, ...] = RS_LADDER,
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Hurst exponent per key: the log-log OLS slope of the R/S
+    ladder, H = slope of ln(rs_mean) on ln(ws) over the rungs the key
+    populates. ~0.5 independent increments, > 0.5 persistent
+    long memory, < 0.5 anti-persistent; pairs with the DFA alpha
+    (kernel/seasonality.py) as the two standard long-memory readings.
+
+    Exactness: the ln(ws) regressors are Python double literals
+    injected identically into both engines (never engine ln of an
+    integer); only ln(rs_mean) runs engine-side. The OLS sums fold
+    the (at most ``len(windows)``) rungs in one pinned
+    left-associated conditional chain, so no order ambiguity exists.
+    Needs >= 2 populated non-degenerate rungs, else null.
+
+    Returns ``key, n_rungs, hurst``.
+    """
+    import math
+
+    ladder = rs_ladder(
+        df,
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        order_cols=order_cols,
+        windows=windows,
+        scale=scale,
+        round_digits=None,
+    )
+    piv = ladder.groupBy(key_col).agg(
+        *[
+            F.max(
+                F.when(F.col("ws") == x, F.col("rs_mean"))
+            ).alias(f"rs{x}")
+            for x in windows
+        ]
+    )
+    lnw = {x: math.log(float(x)) for x in windows}
+    avail = {
+        x: F.col(f"rs{x}").isNotNull() & (F.col(f"rs{x}") > 0)
+        for x in windows
+    }
+
+    def chain(terms):
+        out = None
+        for t in terms:
+            out = t if out is None else out + t
+        return out
+
+    n_r = chain(
+        [F.when(avail[x], 1).otherwise(0) for x in windows]
+    ).cast("double")
+    sx = chain(
+        [F.when(avail[x], F.lit(lnw[x])).otherwise(F.lit(0.0))
+         for x in windows]
+    )
+    sy = chain(
+        [F.when(avail[x], F.log(F.col(f"rs{x}"))).otherwise(F.lit(0.0))
+         for x in windows]
+    )
+    sxx = chain(
+        [F.when(avail[x], F.lit(lnw[x] * lnw[x])).otherwise(F.lit(0.0))
+         for x in windows]
+    )
+    sxy = chain(
+        [
+            F.when(
+                avail[x], F.lit(lnw[x]) * F.log(F.col(f"rs{x}"))
+            ).otherwise(F.lit(0.0))
+            for x in windows
+        ]
+    )
+    den = n_r * sxx - sx * sx
+    h = F.when(
+        (n_r >= F.lit(2.0)) & (den > F.lit(0.0)),
+        (n_r * sxy - sx * sy) / den,
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return piv.select(
+        F.col(key_col),
+        n_r.cast("long").alias("n_rungs"),
+        rnd(h).alias("hurst"),
+    )
