@@ -8346,6 +8346,107 @@ FROM ols
 SQL_HURST = _sql_hurst()
 
 
+def q_drift(spark, sf_dir):
+    """Per-user numeric distribution drift, early half vs late half
+    (operators.drift.distribution_drift): two-sample KS distance (the
+    ECDF-gap walk entirely in int64 — |cum_ref*n_cur - cum_cur*n_ref|
+    maxed, ONE division at the end) + Population Stability Index over
+    reference-decile bins (edges are exact type-1 order statistics of
+    the first half; Laplace-smoothed rational bin masses; bin-ordered
+    sorted fold) with the industry 0.1/0.2 verdict; the numeric
+    sibling of lang_divergence's token JSD. Oracle-exact."""
+    from chronoxtract_spark.operators.drift import distribution_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return distribution_drift(ev)
+
+
+SQL_DRIFT = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), idx AS (
+  SELECT conv_id, v,
+         row_number() OVER (PARTITION BY conv_id ORDER BY s, turn_idx)
+           - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM t
+), h AS (
+  SELECT conv_id, v,
+         CASE WHEN rn >= n // 2 THEN 0 ELSE 1 END AS is_ref,
+         CASE WHEN rn >= n // 2 THEN 1 ELSE 0 END AS is_cur
+  FROM idx
+), counts AS (
+  SELECT conv_id, SUM(is_ref)::BIGINT AS n_ref, SUM(is_cur)::BIGINT AS n_cur
+  FROM h GROUP BY conv_id
+), perv AS (
+  SELECT conv_id, v, SUM(is_ref) AS ca, SUM(is_cur) AS cb
+  FROM h GROUP BY conv_id, v
+), walk AS (
+  SELECT conv_id,
+         SUM(ca) OVER (PARTITION BY conv_id ORDER BY v) AS cum_a,
+         SUM(cb) OVER (PARTITION BY conv_id ORDER BY v) AS cum_b
+  FROM perv
+), ks AS (
+  SELECT w.conv_id,
+         MAX(abs(cum_a * n_cur - cum_b * n_ref)) AS ks_int
+  FROM walk w JOIN counts c ON w.conv_id = c.conv_id
+  GROUP BY w.conv_id
+), ranked AS (
+  SELECT h.conv_id, v, n_ref,
+         row_number() OVER (PARTITION BY h.conv_id ORDER BY v) AS r
+  FROM h JOIN counts USING (conv_id)
+  WHERE is_ref = 1
+), ed AS (
+  SELECT conv_id, kq, v
+  FROM ranked
+  CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS kq) k9
+  WHERE (kq * n_ref + 9) // 10 = r
+), edges AS (
+  SELECT conv_id, list(v ORDER BY kq) AS edges FROM ed GROUP BY conv_id
+), binned AS (
+  SELECT h.conv_id, is_ref, is_cur,
+         len(list_filter(edges, e -> v > e)) AS bin
+  FROM h JOIN edges ON h.conv_id = edges.conv_id
+), perbin AS (
+  SELECT conv_id, bin,
+         SUM(is_ref)::BIGINT AS c_ref, SUM(is_cur)::BIGINT AS c_cur
+  FROM binned GROUP BY conv_id, bin
+), terms AS (
+  SELECT p.conv_id, bin,
+         ((c_ref + 0.5) / (n_ref + 5.0) - (c_cur + 0.5) / (n_cur + 5.0))
+           * ln(((c_ref + 0.5) / (n_ref + 5.0))
+                / ((c_cur + 0.5) / (n_cur + 5.0))) AS term
+  FROM perbin p JOIN counts c USING (conv_id)
+), psi AS (
+  SELECT conv_id, list_sum(list(term ORDER BY bin)) AS psi
+  FROM terms GROUP BY conv_id
+)
+SELECT c.conv_id, n_ref, n_cur,
+       round(CASE WHEN n_ref > 0 AND n_cur > 0
+                  THEN ks_int::DOUBLE / (n_ref * n_cur)::DOUBLE END, 6)
+         AS ks_d,
+       round(CASE WHEN n_ref > 0 AND n_cur > 0 THEN psi.psi END, 6)
+         AS psi,
+       CASE WHEN n_ref > 0 AND n_cur > 0 AND psi.psi > 0.2 THEN 'drifted'
+            WHEN n_ref > 0 AND n_cur > 0 AND psi.psi > 0.1 THEN 'moderate'
+            WHEN n_ref > 0 AND n_cur > 0 AND psi.psi IS NOT NULL
+              THEN 'stable'
+       END AS psi_verdict
+FROM counts c
+LEFT JOIN ks USING (conv_id)
+LEFT JOIN psi USING (conv_id)
+"""
+
+
 def q_benford(spark, sf_dir):
     """Per-user Benford first-digit conformance screen
     (operators.profile.benford_test): exact digit counts (first digit
@@ -9286,6 +9387,7 @@ _EXTRA_QUERIES = {
     "benford": q_benford,
     "rs_ladder": q_rs_ladder,
     "hurst": q_hurst,
+    "drift": q_drift,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -9403,6 +9505,7 @@ _EXTRA_ORACLES = {
     "benford": SQL_BENFORD,
     "rs_ladder": SQL_RS_LADDER,
     "hurst": SQL_HURST,
+    "drift": SQL_DRIFT,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
