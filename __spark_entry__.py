@@ -8447,6 +8447,84 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_kpss(spark, sf_dir):
+    """Per-user KPSS level-stationarity test
+    (operators.armodel.kpss_test): ADF's mirror-image complement —
+    null = stationary, Bartlett long-run variance at fixed L=4. Every
+    moment clears its divisions by n-scaling (n*e_t and the partial
+    sums n*S_t are exact decimal(38,0)/HUGEINT integers), the Bartlett
+    weights clear through B = 5*G0 + 8*G1 + 6*G2 + 4*G3 + 2*G4, and
+    eta collapses to ONE float expression 5*A/(n*B). Oracle-exact."""
+    from chronoxtract_spark.operators.armodel import kpss_test
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return kpss_test(ev)
+
+
+SQL_KPSS = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), base AS (
+  SELECT conv_id, s, turn_idx, v,
+         row_number() OVER (PARTITION BY conv_id ORDER BY s, turn_idx)
+           AS rn,
+         SUM(v) OVER (PARTITION BY conv_id ORDER BY s, turn_idx
+                      ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n,
+         SUM(v) OVER (PARTITION BY conv_id) AS s_tot
+  FROM t
+), sc AS (
+  SELECT conv_id, n, s, turn_idx,
+         CAST(n AS HUGEINT) * CAST(cum AS HUGEINT)
+           - CAST(rn AS HUGEINT) * CAST(s_tot AS HUGEINT) AS ns,
+         CAST(n AS HUGEINT) * CAST(v AS HUGEINT)
+           - CAST(s_tot AS HUGEINT) AS ne
+  FROM base
+), ld AS (
+  SELECT conv_id, n, ns, ne,
+         lead(ne, 1) OVER w AS ne1,
+         lead(ne, 2) OVER w AS ne2,
+         lead(ne, 3) OVER w AS ne3,
+         lead(ne, 4) OVER w AS ne4
+  FROM sc
+  WINDOW w AS (PARTITION BY conv_id ORDER BY s, turn_idx)
+), ag AS (
+  SELECT conv_id, MAX(n)::BIGINT AS n,
+         SUM(ns * ns) AS a,
+         SUM(ne * ne) AS g0,
+         SUM(ne * ne1) AS g1,
+         SUM(ne * ne2) AS g2,
+         SUM(ne * ne3) AS g3,
+         SUM(ne * ne4) AS g4
+  FROM ld GROUP BY conv_id
+), bb AS (
+  SELECT conv_id, n, a,
+         5 * g0 + 8 * COALESCE(g1, 0) + 6 * COALESCE(g2, 0)
+           + 4 * COALESCE(g3, 0) + 2 * COALESCE(g4, 0) AS b
+  FROM ag
+)
+SELECT conv_id, n,
+       round(CASE WHEN b > 0 THEN
+             b::DOUBLE / (5.0 * n::DOUBLE * n::DOUBLE * n::DOUBLE) END, 6)
+         AS lrv,
+       round(CASE WHEN b > 0 THEN
+             5.0 * a::DOUBLE / (n::DOUBLE * b::DOUBLE) END, 6) AS eta,
+       CASE WHEN b > 0 THEN
+            (5.0 * a::DOUBLE / (n::DOUBLE * b::DOUBLE)) < 0.463 END
+         AS stationary
+FROM bb
+"""
+
+
 def q_benford(spark, sf_dir):
     """Per-user Benford first-digit conformance screen
     (operators.profile.benford_test): exact digit counts (first digit
@@ -9388,6 +9466,7 @@ _EXTRA_QUERIES = {
     "rs_ladder": q_rs_ladder,
     "hurst": q_hurst,
     "drift": q_drift,
+    "kpss": q_kpss,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -9506,6 +9585,7 @@ _EXTRA_ORACLES = {
     "rs_ladder": SQL_RS_LADDER,
     "hurst": SQL_HURST,
     "drift": SQL_DRIFT,
+    "kpss": SQL_KPSS,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

@@ -227,3 +227,138 @@ def adf_test(
             "stationary"
         ),
     )
+
+
+#: asymptotic KPSS eta_mu (level-stationarity) 5% critical value,
+#: shared with the oracle SQL (Kwiatkowski et al. 1992, table 1)
+KPSS_CRIT_5PCT = 0.463
+
+
+def kpss_test(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    lags: int = 4,
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """KPSS level-stationarity test per key — the mirror-image
+    complement of ``adf_test`` above: ADF's null is a unit root, KPSS's
+    null is stationarity, so the pair jointly classifies a series
+    (both reject -> neither model fits; both accept -> data too short
+    to tell; they disagree -> a clean verdict). The statistic is
+
+        eta_mu = n^-2 sum_t S_t^2 / lrv,   S_t = sum_{i<=t} (x_i - xbar)
+
+    with the Bartlett long-run variance at a FIXED truncation ``lags``
+    = L (a deterministic parameter, not the data-dependent Newey-West
+    bandwidth, so both engines agree by construction):
+
+        lrv = g0 + 2 sum_{l=1..L} (1 - l/(L+1)) g_l,
+        g_l = n^-1 sum_{t>l} e_t e_{t-l}.
+
+    ``stationary`` is True when eta < 0.463 (the asymptotic 5% point
+    of the level-case law — KPSS null ACCEPTED). Level variant only:
+    the trend variant needs OLS detrending whose residual partial
+    sums do not clear to integers (documented trade, same reason the
+    DF test above is the constant-only form).
+
+    Exactness: every moment clears its divisions by n-scaling —
+    n*e_t = n*x_t - S and n*S_t = n*cumsum_t - t*S are exact integers
+    (decimal(38,0) end to end, HUGEINT in the oracle), so
+    A = sum (n S_t)^2 and the lag products G_l = sum (n e_t)(n e_{t-l})
+    are exact, the Bartlett weights clear through B = (L+1)*G0 +
+    2*sum_l (L+1-l)*G_l, and the whole statistic collapses to
+
+        eta = (L+1) * A / (n * B)
+
+    — one float expression over two exact decimals. B = 0 (constant
+    series: an exact 0/0) nulls the statistic and verdict. Exact-range
+    bound: A ~ n^5 * cents^2 must fit decimal(38) — at tier
+    granularity (the intended input at scale) keys are day-bounded,
+    and overflow degrades to null, never to a wrong value.
+
+    One ordered window pass (row number, cumulative sum, L leads) on
+    the shared key shuffle + one groupBy, no UDF. Returns
+    ``key, n, lrv, eta, stationary``.
+    """
+    if lags < 1:
+        raise ValueError(f"lags must be >= 1, got {lags}")
+    unit = 10 ** scale
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(df, ts_col).alias("_s"),
+        F.round(F.col(value_col) * F.lit(unit), 0).cast("long").alias("_v"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = Window.partitionBy("_k").orderBy("_s", *order_cols)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = Window.partitionBy("_k")
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    base = d.select(
+        "_k",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.sum("_v").over(wrun).alias("cum"),
+        F.count("*").over(wall).alias("n"),
+        F.sum("_v").over(wall).alias("s_tot"),
+        "_v",
+        "_s",
+        *[F.col(c) for c in order_cols],
+    )
+    base = base.select(
+        "_k",
+        "n",
+        "_s",
+        *[F.col(c) for c in order_cols],
+        (dec(F.col("n")) * dec(F.col("cum"))
+         - dec(F.col("rn")) * dec(F.col("s_tot"))).alias("ns"),
+        (dec(F.col("n")) * dec(F.col("_v")) - dec(F.col("s_tot"))).alias("ne"),
+    )
+    wo = Window.partitionBy("_k").orderBy("_s", *order_cols)
+    leads = base.select(
+        "_k",
+        "n",
+        "ns",
+        "ne",
+        *[F.lead("ne", l).over(wo).alias(f"ne{l}") for l in range(1, lags + 1)],
+    )
+    agg = leads.groupBy("_k").agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("ns") * F.col("ns")).alias("a"),
+        F.sum(F.col("ne") * F.col("ne")).alias("g0"),
+        *[
+            F.sum(F.col("ne") * F.col(f"ne{l}")).alias(f"g{l}")
+            for l in range(1, lags + 1)
+        ],
+    )
+    lp1 = lags + 1
+    b_dec = F.lit(lp1).cast("decimal(38,0)") * F.col("g0")
+    for l in range(1, lags + 1):
+        b_dec = b_dec + F.lit(2 * (lp1 - l)).cast("decimal(38,0)") * F.coalesce(
+            F.col(f"g{l}"), F.lit(0).cast("decimal(38,0)")
+        )
+    nd = F.col("n").cast("double")
+    eta = F.when(
+        b_dec > F.lit(0),
+        F.lit(float(lp1)) * F.col("a").cast("double")
+        / (nd * b_dec.cast("double")),
+    )
+    lrv = F.when(
+        b_dec > F.lit(0),
+        b_dec.cast("double") / (F.lit(float(lp1)) * nd * nd * nd),
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n",
+        rnd(lrv).alias("lrv"),
+        rnd(eta).alias("eta"),
+        F.when(eta.isNotNull(), eta < F.lit(float(KPSS_CRIT_5PCT))).alias(
+            "stationary"
+        ),
+    )
