@@ -8447,6 +8447,105 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_variance_ratio(spark, sf_dir):
+    """Per-user Lo-MacKinlay variance-ratio ladder q in {2,4,8}
+    (operators.armodel.variance_ratio): the third stationarity reading
+    beside adf (unit-root null) and kpss (stationary null) — VR
+    localizes WHERE in the aggregation ladder the memory lives. The
+    mean-cleared sums T-scale to exact HUGEINT integers and VR
+    collapses to the exact rational A_q(T-1)T / (q(T-q+1)(T-q)A_1),
+    one float division; the z denominator's 2(2q-1)(q-1)/(3q) are
+    exact-binary literals (1.0 / 3.5 / 8.75). Oracle-exact."""
+    from chronoxtract_spark.operators.armodel import variance_ratio
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return variance_ratio(ev)
+
+
+SQL_VARIANCE_RATIO = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), base AS (
+  SELECT conv_id, v,
+         row_number() OVER w AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n,
+         first_value(v) OVER w AS x0,
+         last_value(v) OVER (
+           PARTITION BY conv_id ORDER BY s, turn_idx
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+         ) AS xt
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY s, turn_idx)
+), lg AS (
+  SELECT conv_id, n - 1 AS t_, xt - x0 AS r_, v,
+         lag(v, 1) OVER w2 AS xl1,
+         lag(v, 2) OVER w2 AS xl2,
+         lag(v, 4) OVER w2 AS xl4,
+         lag(v, 8) OVER w2 AS xl8
+  FROM base
+  WINDOW w2 AS (PARTITION BY conv_id ORDER BY rn)
+), ag AS (
+  SELECT conv_id, MAX(t_)::BIGINT AS t_,
+         SUM(CASE WHEN xl1 IS NOT NULL THEN
+           (CAST(t_ AS HUGEINT) * CAST(v - xl1 AS HUGEINT)
+              - 1 * CAST(r_ AS HUGEINT))
+           * (CAST(t_ AS HUGEINT) * CAST(v - xl1 AS HUGEINT)
+              - 1 * CAST(r_ AS HUGEINT)) END) AS a1,
+         SUM(CASE WHEN xl2 IS NOT NULL THEN
+           (CAST(t_ AS HUGEINT) * CAST(v - xl2 AS HUGEINT)
+              - 2 * CAST(r_ AS HUGEINT))
+           * (CAST(t_ AS HUGEINT) * CAST(v - xl2 AS HUGEINT)
+              - 2 * CAST(r_ AS HUGEINT)) END) AS a2,
+         SUM(CASE WHEN xl4 IS NOT NULL THEN
+           (CAST(t_ AS HUGEINT) * CAST(v - xl4 AS HUGEINT)
+              - 4 * CAST(r_ AS HUGEINT))
+           * (CAST(t_ AS HUGEINT) * CAST(v - xl4 AS HUGEINT)
+              - 4 * CAST(r_ AS HUGEINT)) END) AS a4,
+         SUM(CASE WHEN xl8 IS NOT NULL THEN
+           (CAST(t_ AS HUGEINT) * CAST(v - xl8 AS HUGEINT)
+              - 8 * CAST(r_ AS HUGEINT))
+           * (CAST(t_ AS HUGEINT) * CAST(v - xl8 AS HUGEINT)
+              - 8 * CAST(r_ AS HUGEINT)) END) AS a8
+  FROM lg GROUP BY conv_id
+), rung AS (
+  SELECT conv_id, t_, a1, q,
+         CASE q WHEN 2 THEN a2 WHEN 4 THEN a4 WHEN 8 THEN a8 END AS aq,
+         CASE q WHEN 2 THEN 1.0 WHEN 4 THEN 3.5 WHEN 8 THEN 8.75 END AS c_q
+  FROM ag CROSS JOIN (SELECT unnest([2, 4, 8]) AS q) qs
+), stat AS (
+  SELECT conv_id, q, t_,
+         CASE WHEN t_ >= q + 1 AND a1 > 0 THEN
+           (aq * CAST(t_ - 1 AS HUGEINT) * CAST(t_ AS HUGEINT))::DOUBLE
+           / (CAST(q AS HUGEINT) * CAST(t_ - q + 1 AS HUGEINT)
+              * CAST(t_ - q AS HUGEINT) * a1)::DOUBLE
+         END AS vr,
+         c_q
+  FROM rung
+), zz AS (
+  SELECT conv_id, q, t_, vr,
+         (vr - 1.0) / sqrt(c_q / t_::DOUBLE) AS z
+  FROM stat
+)
+SELECT conv_id, q::BIGINT AS q, t_ AS n_incr,
+       round(vr, 6) AS vr,
+       round(z, 6) AS z,
+       CASE WHEN abs(z) <= 1.96 THEN 'random_walk'
+            WHEN vr > 1.0 THEN 'persistent'
+            WHEN vr <= 1.0 THEN 'mean_reverting'
+       END AS verdict
+FROM zz
+"""
+
+
 def q_kpss(spark, sf_dir):
     """Per-user KPSS level-stationarity test
     (operators.armodel.kpss_test): ADF's mirror-image complement —
@@ -9467,6 +9566,7 @@ _EXTRA_QUERIES = {
     "hurst": q_hurst,
     "drift": q_drift,
     "kpss": q_kpss,
+    "variance_ratio": q_variance_ratio,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -9586,6 +9686,7 @@ _EXTRA_ORACLES = {
     "hurst": SQL_HURST,
     "drift": SQL_DRIFT,
     "kpss": SQL_KPSS,
+    "variance_ratio": SQL_VARIANCE_RATIO,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

@@ -362,3 +362,159 @@ def kpss_test(
             "stationary"
         ),
     )
+
+
+VR_LADDER = (2, 4, 8)
+
+
+def variance_ratio(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    qs: tuple[int, ...] = VR_LADDER,
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Lo-MacKinlay variance-ratio ladder per key: is the series a
+    random walk? For aggregation period q,
+
+        VR(q) = sigma_c^2(q) / sigma_a^2
+
+    compares the variance of overlapping q-period increments (scaled
+    by q through the m correction) to the one-period increment
+    variance; a true random walk has VR = 1 at every q, persistence
+    pushes VR above 1, mean reversion below. The homoskedastic
+    z-statistic z = (VR - 1) / sqrt(2(2q-1)(q-1) / (3qT)) is
+    asymptotically N(0,1); ``verdict`` reads 'random_walk' when
+    |z| <= 1.96 else 'persistent' / 'mean_reverting' by VR's side.
+    The third stationarity reading beside adf_test (unit-root null)
+    and kpss_test (stationary null): VR localizes WHERE in the
+    aggregation ladder the memory lives, the discrete sibling of the
+    Allan-variance ladder.
+
+    Exactness: with T = n - 1 increments and R = x_T - x_0, the
+    mean-cleared sums scale exactly: A_1 = sum (T*d_t - R)^2 and
+    A_q = sum (T*(x_t - x_{t-q}) - q*R)^2 are exact
+    decimal(38,0)/HUGEINT integers, and with the Lo-MacKinlay
+    m = q(T-q+1)(1-q/T) the ratio collapses to the exact rational
+
+        VR(q) = A_q * (T-1) * T / (q * (T-q+1) * (T-q) * A_1)
+
+    — one float division. z divides by sqrt(c_q / T) where
+    c_q = 2(2q-1)(q-1)/(3q) is a per-q Python double literal injected
+    identically into both engines. Guards: T < q + 1 or A_1 = 0
+    (all increments equal — zero one-period variance) null that
+    rung's statistics.
+
+    Spark-first: qs are fixed small lags, so the ladder needs NO
+    explode — one window pass carries lag-1 plus one lag column per
+    q on the shared key shuffle, one groupBy computes every A_q as a
+    conditional decimal sum, and the per-q rows unpivot from the
+    single aggregate row via a bounded stack. Returns
+    ``key, q, n_incr, vr, z, verdict``.
+    """
+    qs = tuple(int(q) for q in qs)
+    if not qs or any(q < 2 for q in qs):
+        raise ValueError(f"qs must be >= 2, got {qs!r}")
+    unit = 10 ** scale
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(df, ts_col).alias("_s"),
+        F.round(F.col(value_col) * F.lit(unit), 0).cast("long").alias("_v"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = Window.partitionBy("_k").orderBy("_s", *order_cols)
+    wall = Window.partitionBy("_k")
+    wo = Window.partitionBy("_k").orderBy("rn")
+    base = d.select(
+        "_k",
+        "_v",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count("*").over(wall).alias("n"),
+        F.first("_v").over(w).alias("x0"),
+        F.last("_v").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("xt"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    lag_cols = sorted({1, *qs})
+    lagged = base.select(
+        "_k",
+        "n",
+        (F.col("n") - F.lit(1)).alias("t_"),
+        (F.col("xt") - F.col("x0")).alias("r_"),
+        "_v",
+        *[F.lag("_v", q).over(wo).alias(f"xl{q}") for q in lag_cols],
+    )
+
+    def a_term(q):
+        diff = dec(F.col("t_")) * dec(F.col("_v") - F.col(f"xl{q}")) - F.lit(
+            q
+        ).cast("decimal(38,0)") * dec(F.col("r_"))
+        return F.sum(
+            F.when(F.col(f"xl{q}").isNotNull(), diff * diff)
+        ).alias(f"a{q}")
+
+    agg = lagged.groupBy("_k").agg(
+        F.max("t_").alias("t_"),
+        *[a_term(q) for q in lag_cols],
+    )
+
+    td = F.col("t_").cast("double")
+    rungs = []
+    for q in qs:
+        c_q = 2.0 * (2 * q - 1) * (q - 1) / (3.0 * q)
+        den_dec = (
+            F.lit(q).cast("decimal(38,0)")
+            * dec(F.col("t_") - F.lit(q) + F.lit(1))
+            * dec(F.col("t_") - F.lit(q))
+            * F.col("a1")
+        )
+        valid = (F.col("t_") >= F.lit(q + 1)) & (
+            F.col("a1") > F.lit(0).cast("decimal(38,0)")
+        )
+        vr = F.when(
+            valid,
+            (
+                F.col(f"a{q}")
+                * dec(F.col("t_") - F.lit(1))
+                * dec(F.col("t_"))
+            ).cast("double")
+            / den_dec.cast("double"),
+        )
+        z = F.when(valid, (vr - F.lit(1.0)) / F.sqrt(F.lit(c_q) / td))
+        verdict = (
+            F.when(F.abs(z) <= F.lit(1.96), F.lit("random_walk"))
+            .when(vr > F.lit(1.0), F.lit("persistent"))
+            .when(vr <= F.lit(1.0), F.lit("mean_reverting"))
+        )
+        rungs.append((q, vr, z, verdict))
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    per_q = F.array(
+        *[
+            F.struct(
+                F.lit(q).cast("long").alias("q"),
+                rnd(vr).alias("vr"),
+                rnd(z).alias("z"),
+                verdict.alias("verdict"),
+            )
+            for q, vr, z, verdict in rungs
+        ]
+    )
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("t_").alias("n_incr"),
+        F.explode(per_q).alias("rung"),
+    ).select(
+        key_col,
+        F.col("rung.q").alias("q"),
+        "n_incr",
+        F.col("rung.vr").alias("vr"),
+        F.col("rung.z").alias("z"),
+        F.col("rung.verdict").alias("verdict"),
+    )
