@@ -8447,6 +8447,65 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_fano(spark, sf_dir):
+    """Per-event-type Fano-factor dispersion ladder at 60s/600s/3600s
+    (operators.cadence.fano_factor): the index-of-dispersion reading
+    of the arrival process, empty buckets handled ANALYTICALLY
+    through the bucket span B (no dense grid), the population
+    variance cleared to the exact rational F = (B*Q - n^2)/(n*B) with
+    one float division, and the chi-square Poisson z-verdict.
+    Oracle-exact."""
+    from chronoxtract_spark.operators.cadence import fano_factor
+
+    return fano_factor(_events(spark, sf_dir))
+
+
+SQL_FANO = """
+WITH t AS (
+  SELECT event_type AS k,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s
+  FROM events
+), c0 AS (
+  SELECT k, s // 60 AS b0, COUNT(*)::BIGINT AS c0
+  FROM t GROUP BY k, s // 60
+), lad AS (
+  SELECT k, w_s, b0 // (w_s // 60) AS bw, c0
+  FROM c0 CROSS JOIN (SELECT unnest([60, 600, 3600]) AS w_s) ws
+), pb AS (
+  SELECT k, w_s, bw, SUM(c0)::BIGINT AS c
+  FROM lad GROUP BY k, w_s, bw
+), ag AS (
+  SELECT k, w_s,
+         SUM(c)::BIGINT AS n,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS q,
+         (MAX(bw) - MIN(bw) + 1)::BIGINT AS b
+  FROM pb GROUP BY k, w_s
+), st AS (
+  SELECT k, w_s, n, b,
+         (CAST(b AS HUGEINT) * q
+            - CAST(n AS HUGEINT) * CAST(n AS HUGEINT))::DOUBLE
+           / (CAST(n AS HUGEINT) * CAST(b AS HUGEINT))::DOUBLE AS fano
+  FROM ag
+), zz AS (
+  SELECT k, w_s, n, b, fano,
+         CASE WHEN b >= 2 THEN
+           (fano - 1.0) / sqrt(2.0 / (b - 1)::DOUBLE) END AS z
+  FROM st
+)
+SELECT k AS event_type, w_s::BIGINT AS w_s,
+       n AS n_events, b AS n_buckets,
+       round(n::DOUBLE / b::DOUBLE, 6) AS mean_count,
+       round(fano, 6) AS fano,
+       round(z, 6) AS z,
+       CASE WHEN z IS NULL THEN NULL
+            WHEN abs(z) <= 1.96 THEN 'poisson'
+            WHEN fano > 1.0 THEN 'clustered'
+            ELSE 'regular'
+       END AS verdict
+FROM zz
+"""
+
+
 def q_variance_ratio(spark, sf_dir):
     """Per-user Lo-MacKinlay variance-ratio ladder q in {2,4,8}
     (operators.armodel.variance_ratio): the third stationarity reading
@@ -9567,6 +9626,7 @@ _EXTRA_QUERIES = {
     "drift": q_drift,
     "kpss": q_kpss,
     "variance_ratio": q_variance_ratio,
+    "fano_factor": q_fano,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -9687,6 +9747,7 @@ _EXTRA_ORACLES = {
     "drift": SQL_DRIFT,
     "kpss": SQL_KPSS,
     "variance_ratio": SQL_VARIANCE_RATIO,
+    "fano_factor": SQL_FANO,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

@@ -439,3 +439,121 @@ def circadian_stats(
         rnd(p).alias("p_uniform"),
         (p > F.lit(RAYLEIGH_ALPHA)).alias("uniform"),
     )
+
+
+FANO_LADDER_S = (60, 600, 3600)
+
+
+def fano_factor(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    windows_s: tuple[int, ...] = FANO_LADDER_S,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Fano-factor dispersion ladder of the per-key event counts —
+    the index-of-dispersion reading of a point process at window
+    sizes w: bin arrivals into consecutive w-second buckets over the
+    key's observed span (EMPTY BUCKETS COUNT AS ZERO, exactly as in
+    ``allan_variance`` above) and report
+
+        F(w) = Var_pop(counts) / Mean(counts).
+
+    A Poisson process has F = 1 at every w; clustering pushes F above
+    1 and grows it with w (the ladder's slope is the burstiness
+    scale), refractory/regular arrivals sit below 1. Under the
+    Poisson null (B-1) * F ~ chi2_{B-1}, so z = (F - 1) /
+    sqrt(2 / (B - 1)) reads approximately N(0,1); ``verdict`` says
+    'poisson' at |z| <= 1.96 else 'clustered' / 'regular' by F's
+    side. Complements allan_variance (which reads adjacent-bin NOISE
+    TYPE) with the classic dispersion-vs-window reading, and the
+    value-domain rs_ladder/DFA pair with the count-domain one.
+
+    Exactness: with n events, B = max_bucket - min_bucket + 1 total
+    buckets and Q = sum c_i^2 over occupied buckets (empty buckets
+    contribute zero to Q and are handled ANALYTICALLY through B —
+    no dense grid is ever materialized, unlike Allan's adjacent
+    differences which genuinely need it), the population variance
+    clears to
+
+        F = (B * Q - n^2) / (n * B)
+
+    — exact decimal(38,0)/HUGEINT integers into one float division.
+    B = 1 (span shorter than w) gives the exact F = 0 with null z.
+
+    Spark-first shape: ONE (key, base-bucket) count groupBy over the
+    events (the only event-sized shuffle — the ladder must nest:
+    every w a multiple of windows_s[0] so coarser buckets are integer
+    divisions of the base bucket id), then the bounded ladder explode
+    and per-(key, w) aggregates run over the REDUCED bucket counts.
+    No UDF. Returns ``key, w_s, n_events, n_buckets, mean_count,
+    fano, z, verdict``.
+    """
+    ws = tuple(int(w) for w in windows_s)
+    base_w = ws[0]
+    if any(w % base_w or w < base_w for w in ws):
+        raise ValueError(
+            f"windows must be ascending multiples of windows_s[0], got {ws!r}"
+        )
+    counts0 = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.floor(epoch_seconds(df, ts_col) / F.lit(base_w))
+            .cast("long")
+            .alias("b0"),
+        )
+        .groupBy("_k", "b0")
+        .agg(F.count("*").cast("long").alias("c0"))
+    )
+    lad = counts0.select(
+        "_k",
+        "c0",
+        "b0",
+        F.explode(F.array(*[F.lit(w).cast("long") for w in ws])).alias("w_s"),
+    ).select(
+        "_k",
+        "w_s",
+        F.floor(F.col("b0") / (F.col("w_s") / F.lit(base_w)).cast("long"))
+        .cast("long")
+        .alias("bw"),
+        "c0",
+    )
+    per_bucket = lad.groupBy("_k", "w_s", "bw").agg(
+        F.sum("c0").alias("c")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = per_bucket.groupBy("_k", "w_s").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(dec(F.col("c")) * dec(F.col("c"))).alias("q"),
+        (F.max("bw") - F.min("bw") + F.lit(1)).alias("b"),
+    )
+    fano = (
+        dec(F.col("b")) * F.col("q") - dec(F.col("n")) * dec(F.col("n"))
+    ).cast("double") / (dec(F.col("n")) * dec(F.col("b"))).cast("double")
+    z = F.when(
+        F.col("b") >= F.lit(2),
+        (fano - F.lit(1.0))
+        / F.sqrt(F.lit(2.0) / (F.col("b") - F.lit(1)).cast("double")),
+    )
+    verdict = F.when(
+        z.isNotNull(),
+        F.when(F.abs(z) <= F.lit(1.96), F.lit("poisson"))
+        .when(fano > F.lit(1.0), F.lit("clustered"))
+        .otherwise(F.lit("regular")),
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "w_s",
+        F.col("n").alias("n_events"),
+        F.col("b").alias("n_buckets"),
+        rnd(F.col("n").cast("double") / F.col("b").cast("double")).alias(
+            "mean_count"
+        ),
+        rnd(fano).alias("fano"),
+        rnd(z).alias("z"),
+        verdict.alias("verdict"),
+    )
