@@ -8447,6 +8447,79 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_embedding_audit(spark, sf_dir):
+    """Per-label embedding-space quality audit
+    (operators.similarity.embedding_audit): mean pairwise cosine
+    cohesion via the sum-vector identity (NO pair join), centroid-
+    cosine nearest confuser from the same (label, dim) sums (member
+    counts cancel). Unit components quantize to integer micro-units
+    straight after the shared left-fold norm chain, so everything
+    downstream is exact HUGEINT arithmetic. Oracle-exact."""
+    from chronoxtract_spark.operators.similarity import embedding_audit
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_audit(emb)
+
+
+SQL_EMBEDDING_AUDIT = """
+WITH e AS (
+  SELECT label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), nrm AS (
+  SELECT label, v,
+         list_sum(list_transform(v, x -> x * x)) AS norm2
+  FROM e
+), qv AS (
+  SELECT label,
+         list_transform(
+           v, x -> CAST(round(x / sqrt(norm2) * 1000000.0, 0) AS BIGINT)
+         ) AS q
+  FROM nrm WHERE norm2 > 0
+), sd AS (
+  SELECT label, d, SUM(q[d])::BIGINT AS s
+  FROM qv CROSS JOIN (SELECT unnest(range(1, 65)) AS d) dd
+  GROUP BY label, d
+), st AS (
+  SELECT label, COUNT(*)::BIGINT AS n,
+         SUM(CAST(list_sum(list_transform(q, y -> y * y)) AS HUGEINT))
+           AS selfsum
+  FROM qv GROUP BY label
+), sq AS (
+  SELECT label, SUM(CAST(s AS HUGEINT) * CAST(s AS HUGEINT)) AS ssq
+  FROM sd GROUP BY label
+), cr AS (
+  SELECT a.label AS la, b.label AS lb,
+         SUM(CAST(a.s AS HUGEINT) * CAST(b.s AS HUGEINT)) AS ssab
+  FROM sd a JOIN sd b ON a.d = b.d AND a.label <> b.label
+  GROUP BY a.label, b.label
+), cosab AS (
+  SELECT la, lb,
+         ssab::DOUBLE / sqrt(sqa.ssq::DOUBLE * sqb.ssq::DOUBLE) AS cos_ab
+  FROM cr
+  JOIN sq sqa ON cr.la = sqa.label
+  JOIN sq sqb ON cr.lb = sqb.label
+  WHERE sqa.ssq > 0 AND sqb.ssq > 0
+), best AS (
+  SELECT la, lb, cos_ab,
+         row_number() OVER (PARTITION BY la ORDER BY cos_ab DESC, lb)
+           AS rk
+  FROM cosab
+)
+SELECT st.label, n AS n_vecs,
+       round(sqrt(ssq::DOUBLE) / (n::DOUBLE * 1000000.0), 6)
+         AS centroid_norm,
+       round(CASE WHEN n >= 2 THEN
+             (ssq - selfsum)::DOUBLE
+             / ((n * (n - 1))::DOUBLE * 1000000000000.0) END, 6)
+         AS cohesion,
+       best.lb AS nearest_label,
+       round(best.cos_ab, 6) AS nearest_cos
+FROM st
+JOIN sq USING (label)
+LEFT JOIN best ON best.la = st.label AND best.rk = 1
+"""
+
+
 def q_fano(spark, sf_dir):
     """Per-event-type Fano-factor dispersion ladder at 60s/600s/3600s
     (operators.cadence.fano_factor): the index-of-dispersion reading
@@ -9627,6 +9700,7 @@ _EXTRA_QUERIES = {
     "kpss": q_kpss,
     "variance_ratio": q_variance_ratio,
     "fano_factor": q_fano,
+    "embedding_audit": q_embedding_audit,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -9748,6 +9822,7 @@ _EXTRA_ORACLES = {
     "kpss": SQL_KPSS,
     "variance_ratio": SQL_VARIANCE_RATIO,
     "fano_factor": SQL_FANO,
+    "embedding_audit": SQL_EMBEDDING_AUDIT,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
