@@ -8447,6 +8447,145 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_higuchi_ladder(spark, sf_dir):
+    """Per-user Higuchi curve-length ladder at strides k = 1..6
+    (operators.structure.higuchi_ladder): the stride-class trick makes
+    each sub-curve sum an exact integer off ONE lag column per k —
+    A_{m,k} = sum |x_j - x_{j-k}| over the residue class j = m (mod
+    k) — and L_m(k) = A(N-1)/(n_m k^2) is one float division of two
+    exact HUGEINT products; the per-k mean rides the proven
+    sorted-fold contract. Oracle-exact."""
+    from chronoxtract_spark.operators.structure import higuchi_ladder
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return higuchi_ladder(ev)
+
+
+def q_higuchi_fd(spark, sf_dir):
+    """Per-user Higuchi fractal dimension
+    (operators.structure.higuchi_fd): the negative log-log OLS slope
+    of the curve-length ladder — ~2 white noise, ~1.5 random walk,
+    -> 1 smooth — closing the complexity triad with DFA's alpha and
+    the R/S Hurst. ln(k) regressors are injected Python literals; the
+    OLS sums fold the six rungs in one pinned conditional chain.
+    Oracle-exact."""
+    from chronoxtract_spark.operators.structure import higuchi_fd
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return higuchi_fd(ev)
+
+
+_SQL_HIGUCHI_BODY = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), idx AS (
+  SELECT conv_id, v,
+         row_number() OVER w AS j,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM t
+  WINDOW w AS (PARTITION BY conv_id ORDER BY s, turn_idx)
+), lg AS (
+  SELECT conv_id, j, n,
+         abs(v - lag(v, 1) OVER w) AS adx1,
+         abs(v - lag(v, 2) OVER w) AS adx2,
+         abs(v - lag(v, 3) OVER w) AS adx3,
+         abs(v - lag(v, 4) OVER w) AS adx4,
+         abs(v - lag(v, 5) OVER w) AS adx5,
+         abs(v - lag(v, 6) OVER w) AS adx6
+  FROM idx
+  WINDOW w AS (PARTITION BY conv_id ORDER BY j)
+), tr AS (
+  SELECT conv_id, n, kk, ((j - 1) % kk) + 1 AS m,
+         CASE kk WHEN 1 THEN adx1 WHEN 2 THEN adx2 WHEN 3 THEN adx3
+                 WHEN 4 THEN adx4 WHEN 5 THEN adx5 ELSE adx6 END AS adx
+  FROM lg CROSS JOIN (SELECT unnest([1, 2, 3, 4, 5, 6]) AS kk) kks
+  WHERE CASE kk WHEN 1 THEN adx1 WHEN 2 THEN adx2 WHEN 3 THEN adx3
+                WHEN 4 THEN adx4 WHEN 5 THEN adx5 ELSE adx6 END
+        IS NOT NULL
+), pm AS (
+  SELECT conv_id, kk, m, MAX(n) AS n, COUNT(*)::BIGINT AS n_m,
+         SUM(adx)::BIGINT AS a
+  FROM tr GROUP BY conv_id, kk, m
+), lm AS (
+  SELECT conv_id, kk, m,
+         (CAST(a AS HUGEINT) * CAST(n - 1 AS HUGEINT))::DOUBLE
+           / CAST(n_m * kk * kk AS HUGEINT)::DOUBLE AS lm
+  FROM pm
+), ag AS (
+  SELECT conv_id, kk, COUNT(*)::BIGINT AS n_offsets,
+         list_sum(list(lm ORDER BY m)) AS lsum
+  FROM lm GROUP BY conv_id, kk
+)
+"""
+
+
+SQL_HIGUCHI_LADDER = _SQL_HIGUCHI_BODY + """
+SELECT conv_id, kk::BIGINT AS k, n_offsets,
+       round(lsum / kk::DOUBLE, 6) AS l_k
+FROM ag
+"""
+
+
+def _sql_higuchi_fd(ks=(1, 2, 3, 4, 5, 6)) -> str:
+    import math
+
+    lnk = {k: math.log(float(k)) for k in ks}
+    piv = ",\n         ".join(
+        f"MAX(CASE WHEN kk = {k} THEN lsum / kk::DOUBLE END) AS l{k}"
+        for k in ks
+    )
+    av = {k: f"(l{k} IS NOT NULL AND l{k} > 0)" for k in ks}
+    n_r = " + ".join(f"CASE WHEN {av[k]} THEN 1 ELSE 0 END" for k in ks)
+    sx = " + ".join(
+        f"CASE WHEN {av[k]} THEN ({lnk[k]!r}) ELSE 0.0 END" for k in ks
+    )
+    sy = " + ".join(
+        f"CASE WHEN {av[k]} THEN ln(l{k}) ELSE 0.0 END" for k in ks
+    )
+    sxx = " + ".join(
+        f"CASE WHEN {av[k]} THEN ({lnk[k] * lnk[k]!r}) ELSE 0.0 END"
+        for k in ks
+    )
+    sxy = " + ".join(
+        f"CASE WHEN {av[k]} THEN ({lnk[k]!r}) * ln(l{k}) ELSE 0.0 END"
+        for k in ks
+    )
+    return _SQL_HIGUCHI_BODY + f""",
+piv AS (
+  SELECT conv_id,
+         {piv}
+  FROM ag GROUP BY conv_id
+), ols AS (
+  SELECT conv_id,
+         ({n_r})::DOUBLE AS n_r,
+         ({sx}) AS sx, ({sy}) AS sy, ({sxx}) AS sxx, ({sxy}) AS sxy
+  FROM piv
+)
+SELECT conv_id, n_r::BIGINT AS n_rungs,
+       round(CASE WHEN n_r >= 2.0 AND (n_r * sxx - sx * sx) > 0.0
+             THEN -((n_r * sxy - sx * sy) / (n_r * sxx - sx * sx)) END, 6)
+         AS hfd
+FROM ols
+"""
+
+
+SQL_HIGUCHI_FD = _sql_higuchi_fd()
+
+
 def q_embedding_audit(spark, sf_dir):
     """Per-label embedding-space quality audit
     (operators.similarity.embedding_audit): mean pairwise cosine
@@ -9701,6 +9840,8 @@ _EXTRA_QUERIES = {
     "variance_ratio": q_variance_ratio,
     "fano_factor": q_fano,
     "embedding_audit": q_embedding_audit,
+    "higuchi_ladder": q_higuchi_ladder,
+    "higuchi_fd": q_higuchi_fd,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -9823,6 +9964,8 @@ _EXTRA_ORACLES = {
     "variance_ratio": SQL_VARIANCE_RATIO,
     "fano_factor": SQL_FANO,
     "embedding_audit": SQL_EMBEDDING_AUDIT,
+    "higuchi_ladder": SQL_HIGUCHI_LADDER,
+    "higuchi_fd": SQL_HIGUCHI_FD,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

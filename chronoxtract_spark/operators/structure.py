@@ -373,3 +373,222 @@ def hurst_rs(
         n_r.cast("long").alias("n_rungs"),
         rnd(h).alias("hurst"),
     )
+
+
+HIGUCHI_KS = (1, 2, 3, 4, 5, 6)
+
+
+def higuchi_ladder(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    ks: tuple[int, ...] = HIGUCHI_KS,
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Higuchi curve-length ladder per key: at stride k the series
+    splits into k decimated sub-curves (offsets m = 1..k); sub-curve
+    length L_m(k) = [sum |x_{m+ik} - x_{m+(i-1)k}|] * (N-1) /
+    (n_m * k^2) with n_m = floor((N-m)/k) terms, and
+    L(k) = mean_m L_m(k). ln L(k) vs ln k is the Higuchi
+    log-log line whose negative slope is the fractal dimension (see
+    ``higuchi_fd``): ~2 for white noise, ~1.5 for a random walk,
+    -> 1 for a smooth curve. Third leg of the complexity triad with
+    DFA's alpha (kernel/seasonality.py) and the R/S Hurst above —
+    Higuchi reads the CURVE LENGTH scaling and converges on far
+    shorter windows than either.
+
+    Exactness: the stride-class trick — the i-th difference of
+    sub-curve (k, m) is exactly the lag-k difference at position
+    j = m + i*k, so A_{m,k} = sum of |x_j - x_{j-k}| over the residue
+    class j = m (mod k) is an exact integer-cent sum off ONE lag
+    column per k, and L_m(k) = (A * (N-1)) / (n_m * k^2) is one float
+    division of two exact decimal(38,0)/HUGEINT products. The per-k
+    mean folds the k sub-curve lengths sorted by offset m (the proven
+    sorted-fold contract; arrays bounded by k <= max(ks)).
+
+    Spark-first shape: ONE window pass computes every lag column
+    (bounded: len(ks) lags), one bounded explode emits the populated
+    (k, m, |dx|) triples, one (key, k, m) groupBy and one (key, k)
+    sorted fold. No UDF. Returns ``key, k, n_offsets, l_k``
+    (offsets with n_m = 0 — series shorter than the stride — carry no
+    row; keys shorter than 2 samples emit nothing).
+    """
+    ks = tuple(int(k) for k in ks)
+    if not ks or any(k < 1 for k in ks):
+        raise ValueError(f"strides must be >= 1, got {ks!r}")
+    unit = 10 ** scale
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(df, ts_col).alias("_s"),
+        F.round(F.col(value_col) * F.lit(unit), 0).cast("long").alias("_v"),
+        *[F.col(c) for c in order_cols],
+    )
+    w = Window.partitionBy("_k").orderBy("_s", *order_cols)
+    wall = Window.partitionBy("_k")
+    lagged = d.select(
+        "_k",
+        F.row_number().over(w).cast("long").alias("j"),
+        F.count("*").over(wall).alias("n"),
+        *[
+            F.abs(F.col("_v") - F.lag("_v", k).over(w)).alias(f"adx{k}")
+            for k in ks
+        ],
+    )
+    triples = lagged.select(
+        "_k",
+        "n",
+        F.explode(
+            F.filter(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).cast("long").alias("kk"),
+                            (
+                                (F.col("j") - F.lit(1)) % F.lit(k) + F.lit(1)
+                            ).alias("m"),
+                            F.col(f"adx{k}").alias("adx"),
+                        )
+                        for k in ks
+                    ]
+                ),
+                lambda s: s["adx"].isNotNull(),
+            )
+        ).alias("t"),
+    ).select(
+        "_k",
+        "n",
+        F.col("t.kk").alias("kk"),
+        F.col("t.m").alias("m"),
+        F.col("t.adx").alias("adx"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    per_m = triples.groupBy("_k", "kk", "m").agg(
+        F.max("n").alias("n"),
+        F.count("*").cast("long").alias("n_m"),
+        F.sum("adx").alias("a"),
+    )
+    l_m = per_m.select(
+        "_k",
+        "kk",
+        "m",
+        (
+            (dec(F.col("a")) * dec(F.col("n") - F.lit(1))).cast("double")
+            / dec(
+                F.col("n_m") * F.col("kk") * F.col("kk")
+            ).cast("double")
+        ).alias("lm"),
+    )
+    agg = l_m.groupBy("_k", "kk").agg(
+        F.count("*").cast("long").alias("n_offsets"),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("m", "lm"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["lm"],
+        ).alias("lsum"),
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("kk").alias("k"),
+        "n_offsets",
+        rnd(F.col("lsum") / F.col("kk").cast("double")).alias("l_k"),
+    )
+
+
+def higuchi_fd(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    ks: tuple[int, ...] = HIGUCHI_KS,
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Higuchi fractal dimension per key: the NEGATIVE log-log OLS
+    slope of the curve-length ladder, HFD = -d ln L(k) / d ln k.
+    ~2 white noise, ~1.5 random walk, -> 1 smooth/deterministic.
+    The ln(k) regressors are injected Python double literals (never
+    an engine ln of an integer) and the OLS sums fold the at most
+    len(ks) rungs in one pinned left-associated conditional chain —
+    the exact construction proven by ``hurst_rs``. Needs >= 2
+    populated rungs with L(k) > 0, else null.
+
+    Returns ``key, n_rungs, hfd``.
+    """
+    import math
+
+    ks = tuple(int(k) for k in ks)
+    ladder = higuchi_ladder(
+        df,
+        key_col=key_col,
+        ts_col=ts_col,
+        value_col=value_col,
+        order_cols=order_cols,
+        ks=ks,
+        scale=scale,
+        round_digits=None,
+    )
+    piv = ladder.groupBy(key_col).agg(
+        *[
+            F.max(F.when(F.col("k") == k, F.col("l_k"))).alias(f"l{k}")
+            for k in ks
+        ]
+    )
+    lnk = {k: math.log(float(k)) for k in ks}
+    avail = {
+        k: F.col(f"l{k}").isNotNull() & (F.col(f"l{k}") > 0) for k in ks
+    }
+
+    def chain(terms):
+        out = None
+        for t in terms:
+            out = t if out is None else out + t
+        return out
+
+    n_r = chain([F.when(avail[k], 1).otherwise(0) for k in ks]).cast(
+        "double"
+    )
+    sx = chain(
+        [F.when(avail[k], F.lit(lnk[k])).otherwise(F.lit(0.0)) for k in ks]
+    )
+    sy = chain(
+        [
+            F.when(avail[k], F.log(F.col(f"l{k}"))).otherwise(F.lit(0.0))
+            for k in ks
+        ]
+    )
+    sxx = chain(
+        [
+            F.when(avail[k], F.lit(lnk[k] * lnk[k])).otherwise(F.lit(0.0))
+            for k in ks
+        ]
+    )
+    sxy = chain(
+        [
+            F.when(
+                avail[k], F.lit(lnk[k]) * F.log(F.col(f"l{k}"))
+            ).otherwise(F.lit(0.0))
+            for k in ks
+        ]
+    )
+    den = n_r * sxx - sx * sx
+    fd = F.when(
+        (n_r >= F.lit(2.0)) & (den > F.lit(0.0)),
+        -((n_r * sxy - sx * sy) / den),
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return piv.select(
+        F.col(key_col),
+        n_r.cast("long").alias("n_rungs"),
+        rnd(fd).alias("hfd"),
+    )
