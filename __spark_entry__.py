@@ -8447,6 +8447,57 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_vocab_overlap(spark, sf_dir):
+    """Pairwise top-200 vocabulary overlap between document sources
+    (operators.divergence.vocab_overlap): the set-based complement of
+    lang_divergence's JSD — intersection size, Jaccard, and overlap
+    coefficient of (count DESC, term ASC)-pinned top-k term sets,
+    exact int64 set sizes into one float division each; zero-overlap
+    pairs still emit their row. Oracle-exact."""
+    from chronoxtract_spark.operators.divergence import vocab_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return vocab_overlap(docs)
+
+
+SQL_VOCAB_OVERLAP = """
+WITH toks AS (
+  SELECT CAST(source AS VARCHAR) AS sl,
+         unnest(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           x -> x <> '')) AS term
+  FROM documents
+), counts AS (
+  SELECT sl, term, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), topk AS (
+  SELECT sl, term
+  FROM (
+    SELECT sl, term,
+           row_number() OVER (PARTITION BY sl ORDER BY c DESC, term)
+             AS r
+    FROM counts
+  ) WHERE r <= 200
+), sizes AS (
+  SELECT sl, COUNT(*)::BIGINT AS ksz FROM topk GROUP BY sl
+), common AS (
+  SELECT a.sl AS sa, b.sl AS sb, COUNT(*)::BIGINT AS n_common
+  FROM topk a JOIN topk b ON a.term = b.term AND a.sl < b.sl
+  GROUP BY a.sl, b.sl
+), grid AS (
+  SELECT sa.sl AS sa, sb.sl AS sb, sa.ksz AS k_a, sb.ksz AS k_b,
+         COALESCE(common.n_common, 0)::BIGINT AS n_common
+  FROM sizes sa
+  JOIN sizes sb ON sa.sl < sb.sl
+  LEFT JOIN common ON common.sa = sa.sl AND common.sb = sb.sl
+)
+SELECT sa AS slice_a, sb AS slice_b, k_a, k_b, n_common,
+       round(n_common::DOUBLE / (k_a + k_b - n_common)::DOUBLE, 6)
+         AS jaccard,
+       round(n_common::DOUBLE / least(k_a, k_b)::DOUBLE, 6) AS overlap
+FROM grid
+"""
+
+
 def q_higuchi_ladder(spark, sf_dir):
     """Per-user Higuchi curve-length ladder at strides k = 1..6
     (operators.structure.higuchi_ladder): the stride-class trick makes
@@ -9842,6 +9893,7 @@ _EXTRA_QUERIES = {
     "embedding_audit": q_embedding_audit,
     "higuchi_ladder": q_higuchi_ladder,
     "higuchi_fd": q_higuchi_fd,
+    "vocab_overlap": q_vocab_overlap,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -9966,6 +10018,7 @@ _EXTRA_ORACLES = {
     "embedding_audit": SQL_EMBEDDING_AUDIT,
     "higuchi_ladder": SQL_HIGUCHI_LADDER,
     "higuchi_fd": SQL_HIGUCHI_FD,
+    "vocab_overlap": SQL_VOCAB_OVERLAP,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

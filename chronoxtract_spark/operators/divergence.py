@@ -40,7 +40,7 @@ dedup/fingerprint family so the surfaces can never disagree.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from .text import normalized_text
 
@@ -134,4 +134,98 @@ def slice_divergence(
         rnd(
             F.aggregate("arr", F.lit(0.0), lambda a, x: a + x["tv"])
         ).alias("tv_dist"),
+    )
+
+
+def vocab_overlap(
+    df: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    top_k: int = 200,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Pairwise top-k vocabulary overlap between corpus slices — the
+    set-based complement of ``slice_divergence``'s distributional
+    JSD: which sources even SHARE a headline vocabulary, the screen a
+    curation pipeline runs before mixing sources or weighting a
+    sampler. For every unordered slice pair it reports the slice's
+    top-``top_k`` term sets' intersection size, Jaccard similarity
+    |A n B| / |A u B|, and overlap coefficient |A n B| / min(|A|,|B|)
+    (robust when one slice is much smaller than k).
+
+    Determinism/exactness: top-k is pinned by (count DESC, term ASC)
+    row_number; every reported number is a ratio of exact int64 set
+    sizes with one float division. Tokenization shares
+    ``operators.text.normalized_text`` with the dedup / fingerprint /
+    divergence family so the surfaces can never disagree.
+
+    Spark-first shape: one (slice, term) count groupBy over the
+    exploded tokens (the only corpus-sized shuffle, map-side
+    partials), a rank window over the REDUCED count table, then a
+    bounded slices x k self-equi-join on term and a tiny slice-pair
+    grid (pairs sharing NOTHING still emit their zero row). Slices
+    with no tokens at all carry no rows. Returns ``slice_a, slice_b,
+    k_a, k_b, n_common, jaccard, overlap``.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    toks = df.select(
+        F.col(slice_col).cast("string").alias("_sl"),
+        F.explode(
+            F.filter(
+                F.split(normalized_text(text_col), " "),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    counts = toks.groupBy("_sl", "term").agg(
+        F.count("*").cast("long").alias("c")
+    )
+    wr = Window.partitionBy("_sl").orderBy(
+        F.col("c").desc(), F.col("term").asc()
+    )
+    topk = counts.select(
+        "_sl", "term", F.row_number().over(wr).alias("r")
+    ).where(F.col("r") <= top_k)
+    sizes = topk.groupBy("_sl").agg(F.count("*").cast("long").alias("ksz"))
+    common = (
+        topk.select(F.col("_sl").alias("sa"), "term")
+        .join(topk.select(F.col("_sl").alias("sb"), "term"), "term")
+        .where(F.col("sa") < F.col("sb"))
+        .groupBy("sa", "sb")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    grid = (
+        sizes.select(F.col("_sl").alias("sa"), F.col("ksz").alias("k_a"))
+        .join(
+            sizes.select(F.col("_sl").alias("sb"), F.col("ksz").alias("k_b"))
+        )
+        .where(F.col("sa") < F.col("sb"))
+        .join(common, ["sa", "sb"], "left")
+        .select(
+            "sa",
+            "sb",
+            "k_a",
+            "k_b",
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("long").alias(
+                "n_common"
+            ),
+        )
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    union = (F.col("k_a") + F.col("k_b") - F.col("n_common")).cast("double")
+    return grid.select(
+        F.col("sa").alias("slice_a"),
+        F.col("sb").alias("slice_b"),
+        "k_a",
+        "k_b",
+        "n_common",
+        rnd(F.col("n_common").cast("double") / union).alias("jaccard"),
+        rnd(
+            F.col("n_common").cast("double")
+            / F.least("k_a", "k_b").cast("double")
+        ).alias("overlap"),
     )
