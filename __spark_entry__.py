@@ -8447,6 +8447,52 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_hill_tail(spark, sf_dir):
+    """Per-source Hill tail index of the document-size distribution
+    (operators.corpus_stats.hill_tail): the heavy-tail screen for
+    length pathologies — truncation pushes alpha up, concatenation /
+    boilerplate explosion pulls it toward 1. The k = n//10 order-
+    statistic cut is pinned by (size DESC, doc_id ASC); the log sum
+    folds rank-sorted over only the k retained rows. Oracle-exact."""
+    from chronoxtract_spark.operators.corpus_stats import hill_tail
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return hill_tail(docs)
+
+
+SQL_HILL_TAIL = """
+WITH d AS (
+  SELECT CAST(source AS VARCHAR) AS sl,
+         CAST(n_chars AS BIGINT) AS x, doc_id
+  FROM documents WHERE n_chars >= 1
+), rk AS (
+  SELECT sl, x,
+         row_number() OVER (PARTITION BY sl ORDER BY x DESC, doc_id)
+           AS r,
+         COUNT(*) OVER (PARTITION BY sl) AS n
+  FROM d
+), cut AS (
+  SELECT sl, x, r, n,
+         least(greatest(1, n // 10), n - 1) AS k
+  FROM rk
+), tl AS (
+  SELECT * FROM cut WHERE r <= k + 1
+), ag AS (
+  SELECT sl, MAX(n)::BIGINT AS n, MAX(k)::BIGINT AS k,
+         list_sum(list(ln(x::DOUBLE) ORDER BY r) FILTER (r <= k))
+           AS lsum,
+         MAX(CASE WHEN r = k + 1 THEN x END)::BIGINT AS xk1
+  FROM tl GROUP BY sl
+)
+SELECT sl AS source, n AS n_docs, k AS k_tail, xk1 AS x_threshold,
+       round(CASE WHEN n >= 2 AND xk1 >= 1
+                  AND (lsum - k::DOUBLE * ln(xk1::DOUBLE)) > 0.0
+             THEN k::DOUBLE / (lsum - k::DOUBLE * ln(xk1::DOUBLE)) END,
+             6) AS hill_alpha
+FROM ag
+"""
+
+
 def q_vocab_overlap(spark, sf_dir):
     """Pairwise top-200 vocabulary overlap between document sources
     (operators.divergence.vocab_overlap): the set-based complement of
@@ -9894,6 +9940,7 @@ _EXTRA_QUERIES = {
     "higuchi_ladder": q_higuchi_ladder,
     "higuchi_fd": q_higuchi_fd,
     "vocab_overlap": q_vocab_overlap,
+    "hill_tail": q_hill_tail,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10019,6 +10066,7 @@ _EXTRA_ORACLES = {
     "higuchi_ladder": SQL_HIGUCHI_LADDER,
     "higuchi_fd": SQL_HIGUCHI_FD,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
+    "hill_tail": SQL_HILL_TAIL,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

@@ -310,3 +310,101 @@ def tfidf_terms(
         .where(F.col("rank") <= k)
         .select(key_col, "term", "tf", "doc_freq", "score", "rank")
     )
+
+
+def hill_tail(
+    df: DataFrame,
+    slice_col: str = "source",
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    tail_frac: int = 10,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Hill tail-index estimator of each slice's document-size
+    distribution — the curation screen for length pathologies: a
+    healthy natural corpus has a Pareto-ish size tail with index
+    alpha ~ 1-3; truncation caps push alpha up sharply, concatenation
+    / boilerplate explosion pulls it toward 1 and below. With the
+    slice's sizes sorted descending x_(1) >= ... >= x_(n),
+
+        alpha_hat = k / sum_{i=1..k} ln(x_(i) / x_(k+1))
+
+    over the top k = min(max(1, n // tail_frac), n - 1) order
+    statistics (the standard 1/tail_frac-of-sample choice, derived
+    from n by integer arithmetic so both engines agree).
+
+    Determinism/exactness: sizes are integers; the order statistic
+    cut is pinned by (size DESC, id ASC) row_number; the log sum
+    folds the k tail terms sorted by rank (the proven sorted-fold
+    contract, arrays bounded by k) as sum ln x_(i) - k * ln x_(k+1),
+    each ln an engine ln of an integer-valued double. Non-positive
+    sizes are excluded up front (a log-scale tail has none, and
+    DuckDB's ln(0) is an error, not a null); guards: n < 2 or a zero
+    log sum (top k+1 sizes all equal) null the index.
+
+    Spark-first: one rank window on the slice shuffle, the fold over
+    only the k+1 retained rows. Returns ``slice, n_docs, k_tail,
+    x_threshold, hill_alpha`` (alpha < 2 flags a heavy tail whose
+    sample means are unstable — weight by doc count, not bytes).
+    """
+    if tail_frac < 1:
+        raise ValueError(f"tail_frac must be >= 1, got {tail_frac}")
+    d = df.select(
+        F.col(slice_col).cast("string").alias("_sl"),
+        F.col(size_col).cast("long").alias("x"),
+        F.col(id_col).alias("_id"),
+    ).where(F.col("x") >= 1)  # a log-scale tail has no <= 0 sizes
+    w = Window.partitionBy("_sl").orderBy(
+        F.col("x").desc(), F.col("_id").asc()
+    )
+    wall = Window.partitionBy("_sl")
+    ranked = d.select(
+        "_sl",
+        "x",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*").over(wall).alias("n"),
+    )
+    k = F.least(
+        F.greatest(F.lit(1), (F.col("n") / F.lit(tail_frac)).cast("long")),
+        F.col("n") - F.lit(1),
+    )
+    tail = ranked.where(F.col("r") <= k + F.lit(1)).select(
+        "_sl", "n", k.alias("k"), "r", "x"
+    )
+    agg = tail.groupBy("_sl").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.when(
+                        F.col("r") <= F.col("k"),
+                        F.struct(F.col("r"), F.log(F.col("x").cast("double")).alias("lx")),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["lx"],
+        ).alias("lsum"),
+        F.max(F.when(F.col("r") == F.col("k") + F.lit(1), F.col("x"))).alias(
+            "xk1"
+        ),
+    )
+    denom = F.col("lsum") - F.col("k").cast("double") * F.log(
+        F.col("xk1").cast("double")
+    )
+    alpha = F.when(
+        (F.col("n") >= F.lit(2)) & (F.col("xk1") >= F.lit(1)) & (denom > F.lit(0.0)),
+        F.col("k").cast("double") / denom,
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_sl").alias(slice_col),
+        F.col("n").alias("n_docs"),
+        F.col("k").alias("k_tail"),
+        F.col("xk1").alias("x_threshold"),
+        rnd(alpha).alias("hill_alpha"),
+    )
