@@ -8447,6 +8447,67 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_gumbel(spark, sf_dir):
+    """Per-event-type Gumbel fit over daily value maxima
+    (operators.extremes.gumbel_blocks): method-of-moments
+    beta = s*sqrt(6)/pi, mu = xbar - gamma*beta, and the 100-day
+    return level — the capacity-planning number the raw p99
+    understates. Block maxima exact integer cents, the sample
+    variance n-scaled to exact HUGEINT, one pinned float chain over
+    three injected Python double literals. Oracle-exact."""
+    from chronoxtract_spark.operators.extremes import gumbel_blocks
+
+    return gumbel_blocks(_events(spark, sf_dir))
+
+
+def _sql_gumbel(block_s=86400, return_blocks=100) -> str:
+    import math
+
+    sqrt6_pi = math.sqrt(6.0) / math.pi
+    tq = -math.log(-math.log(1.0 - 1.0 / float(return_blocks)))
+    gamma = 0.5772156649015329
+    return f"""
+WITH t AS (
+  SELECT event_type AS k,
+         CAST(floor(epoch(ts)) AS BIGINT) // {block_s} AS b,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), blk AS (
+  SELECT k, b, MAX(v) AS m FROM t GROUP BY k, b
+), ag AS (
+  SELECT k, COUNT(*)::BIGINT AS n,
+         SUM(CAST(m AS HUGEINT)) AS s,
+         SUM(CAST(m AS HUGEINT) * CAST(m AS HUGEINT)) AS ss
+  FROM blk GROUP BY k
+), st AS (
+  SELECT k, n,
+         CAST(n AS HUGEINT) * ss - s * s AS vn,
+         s::DOUBLE / (n::DOUBLE * 100.0) AS mean_v,
+         sqrt((CAST(n AS HUGEINT) * ss - s * s)::DOUBLE
+              / (n::DOUBLE * (n::DOUBLE - 1.0))) / 100.0 AS sd
+  FROM ag
+), fit AS (
+  SELECT k, n, mean_v,
+         CASE WHEN n >= 2 AND vn > 0 THEN sd * ({sqrt6_pi!r}) END
+           AS beta
+  FROM st
+), fit2 AS (
+  SELECT k, n, mean_v, beta,
+         mean_v - ({gamma!r}) * beta AS mu
+  FROM fit
+)
+SELECT k AS event_type, n AS n_blocks,
+       round(mean_v, 6) AS block_max_mean,
+       round(mu, 6) AS gumbel_mu,
+       round(beta, 6) AS gumbel_beta,
+       round(mu + beta * ({tq!r}), 6) AS rl
+FROM fit2
+"""
+
+
+SQL_GUMBEL = _sql_gumbel()
+
+
 def q_hill_tail(spark, sf_dir):
     """Per-source Hill tail index of the document-size distribution
     (operators.corpus_stats.hill_tail): the heavy-tail screen for
@@ -9941,6 +10002,7 @@ _EXTRA_QUERIES = {
     "higuchi_fd": q_higuchi_fd,
     "vocab_overlap": q_vocab_overlap,
     "hill_tail": q_hill_tail,
+    "gumbel_blocks": q_gumbel,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10067,6 +10129,7 @@ _EXTRA_ORACLES = {
     "higuchi_fd": SQL_HIGUCHI_FD,
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "hill_tail": SQL_HILL_TAIL,
+    "gumbel_blocks": SQL_GUMBEL,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

@@ -125,3 +125,97 @@ def drawdown_stats(
         rnd(F.col("final_u")).alias("final_cum"),
         rnd(F.col("peak_u")).alias("peak_cum"),
     )
+
+
+#: Euler-Mascheroni constant, the Gumbel mean offset; injected as the
+#: SAME Python double literal into both engines
+EULER_GAMMA = 0.5772156649015329
+
+
+def gumbel_blocks(
+    df: DataFrame,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    block_s: int = 86400,
+    return_blocks: int = 100,
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Gumbel extreme-value fit over per-block maxima — the classical
+    'how bad can a day get' reading: block (default daily) maxima of
+    a light-tailed process converge to Gumbel(mu, beta), fit here by
+    method of moments
+
+        beta = s * sqrt(6)/pi,   mu = xbar - gamma * beta
+
+    (gamma the Euler-Mascheroni constant), with the T-block return
+    level x_T = mu - beta * ln(-ln(1 - 1/T)) — the value exceeded on
+    average once per T blocks, the capacity-planning number the raw
+    p99 understates. Complements drawdown_stats (path extremes) with
+    the distributional extreme-value model.
+
+    Exactness: block maxima are exact integer cents (one max per
+    block); the sample variance clears its divisions n-scaled —
+    n*SS - S^2 is exact decimal(38,0)/HUGEINT — so beta, mu and the
+    return level are ONE pinned float chain over two exact decimals
+    and three injected Python double literals (sqrt(6)/pi, gamma,
+    and the T-quantile -ln(-ln(1 - 1/T))). Guards: n < 2 blocks or
+    zero variance (constant maxima) null the fit.
+
+    Spark-first: one (key, block) max groupBy over the events (the
+    only event-sized shuffle, map-side combine), one per-key
+    aggregate. No UDF, no window. Returns ``key, n_blocks,
+    block_max_mean, gumbel_mu, gumbel_beta, rl`` where ``rl`` is the
+    ``return_blocks``-block return level.
+    """
+    import math
+
+    if return_blocks < 2:
+        raise ValueError(f"return_blocks must be >= 2, got {return_blocks}")
+    sqrt6_pi = math.sqrt(6.0) / math.pi
+    tq = -math.log(-math.log(1.0 - 1.0 / float(return_blocks)))
+    unit = 10 ** scale
+    blocks = (
+        df.select(
+            F.col(key_col).alias("_k"),
+            F.floor(epoch_seconds(df, ts_col) / F.lit(int(block_s)))
+            .cast("long")
+            .alias("b"),
+            F.round(F.col(value_col) * F.lit(unit), 0)
+            .cast("long")
+            .alias("_v"),
+        )
+        .groupBy("_k", "b")
+        .agg(F.max("_v").alias("m"))
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = blocks.groupBy("_k").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(dec(F.col("m"))).alias("s"),
+        F.sum(dec(F.col("m")) * dec(F.col("m"))).alias("ss"),
+    )
+    nd = F.col("n").cast("double")
+    var_num = (
+        dec(F.col("n")) * F.col("ss") - F.col("s") * F.col("s")
+    )
+    valid = (F.col("n") >= F.lit(2)) & (var_num > F.lit(0))
+    sd = F.sqrt(
+        var_num.cast("double") / (nd * (nd - F.lit(1.0)))
+    ) / F.lit(float(unit))
+    mean = F.col("s").cast("double") / (nd * F.lit(float(unit)))
+    beta = F.when(valid, sd * F.lit(sqrt6_pi))
+    mu = F.when(valid, mean - F.lit(EULER_GAMMA) * beta)
+    rl = F.when(valid, mu + beta * F.lit(tq))
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        F.col("n").alias("n_blocks"),
+        rnd(mean).alias("block_max_mean"),
+        rnd(mu).alias("gumbel_mu"),
+        rnd(beta).alias("gumbel_beta"),
+        rnd(rl).alias("rl"),
+    )
