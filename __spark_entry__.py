@@ -8447,6 +8447,98 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_mix_drift(spark, sf_dir):
+    """Per-user categorical mix drift, early half vs late half
+    (operators.drift.mix_drift): chi-square homogeneity of the
+    event-type x half contingency table — every cell term cleared to
+    (n*O - R*C)^2/(n*R*C) over exact HUGEINT products, zero cells
+    included — plus Cramér's V with the conventional 0.1/0.3 effect
+    bands. The categorical sibling of the KS/PSI value drift.
+    Oracle-exact."""
+    from chronoxtract_spark.operators.drift import mix_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "event_type",
+    )
+    return mix_drift(ev)
+
+
+SQL_MIX_DRIFT = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         event_type AS c
+  FROM events
+), idx AS (
+  SELECT conv_id, c,
+         row_number() OVER (PARTITION BY conv_id ORDER BY s, turn_idx)
+           - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM t
+), h AS (
+  SELECT conv_id, c,
+         CASE WHEN rn >= n // 2 THEN 0 ELSE 1 END AS is_ref,
+         CASE WHEN rn >= n // 2 THEN 1 ELSE 0 END AS is_cur
+  FROM idx
+), pc AS (
+  SELECT conv_id, c,
+         SUM(is_ref)::BIGINT AS o_ref, SUM(is_cur)::BIGINT AS o_cur
+  FROM h GROUP BY conv_id, c
+), tot AS (
+  SELECT conv_id, SUM(o_ref)::BIGINT AS c_ref,
+         SUM(o_cur)::BIGINT AS c_cur,
+         COUNT(*)::BIGINT AS n_cats
+  FROM pc GROUP BY conv_id
+), cells AS (
+  SELECT pc.conv_id, c, n_cats, c_ref, c_cur,
+         c_ref + c_cur AS n, o_ref + o_cur AS r, o_ref, o_cur
+  FROM pc JOIN tot ON pc.conv_id = tot.conv_id
+), terms AS (
+  SELECT conv_id, c, n_cats, n,
+         CASE WHEN c_ref > 0 AND c_cur > 0 THEN
+           ((CAST(n AS HUGEINT) * CAST(o_ref AS HUGEINT)
+               - CAST(r AS HUGEINT) * CAST(c_ref AS HUGEINT))
+            * (CAST(n AS HUGEINT) * CAST(o_ref AS HUGEINT)
+               - CAST(r AS HUGEINT) * CAST(c_ref AS HUGEINT)))::DOUBLE
+           / (CAST(n AS HUGEINT) * CAST(r AS HUGEINT)
+              * CAST(c_ref AS HUGEINT))::DOUBLE
+           +
+           ((CAST(n AS HUGEINT) * CAST(o_cur AS HUGEINT)
+               - CAST(r AS HUGEINT) * CAST(c_cur AS HUGEINT))
+            * (CAST(n AS HUGEINT) * CAST(o_cur AS HUGEINT)
+               - CAST(r AS HUGEINT) * CAST(c_cur AS HUGEINT)))::DOUBLE
+           / (CAST(n AS HUGEINT) * CAST(r AS HUGEINT)
+              * CAST(c_cur AS HUGEINT))::DOUBLE
+         END AS t
+  FROM cells
+), ag AS (
+  SELECT conv_id, MAX(n_cats)::BIGINT AS n_cats, MAX(n)::BIGINT AS n,
+         bool_and(t IS NOT NULL) AS ok,
+         list_sum(list(t ORDER BY c) FILTER (t IS NOT NULL)) AS chi2
+  FROM terms GROUP BY conv_id
+), fin AS (
+  SELECT conv_id, n, n_cats,
+         CASE WHEN ok AND n_cats >= 2 THEN chi2 END AS chi2,
+         CASE WHEN ok AND n_cats >= 2
+              THEN sqrt(chi2 / n::DOUBLE) END AS v
+  FROM ag
+)
+SELECT conv_id, n, n_cats,
+       round(chi2, 6) AS chi2,
+       round(v, 6) AS cramers_v,
+       CASE WHEN v IS NULL THEN NULL
+            WHEN v < 0.1 THEN 'none'
+            WHEN v < 0.3 THEN 'weak'
+            ELSE 'strong'
+       END AS verdict
+FROM fin
+"""
+
+
 def q_gumbel(spark, sf_dir):
     """Per-event-type Gumbel fit over daily value maxima
     (operators.extremes.gumbel_blocks): method-of-moments
@@ -10003,6 +10095,7 @@ _EXTRA_QUERIES = {
     "vocab_overlap": q_vocab_overlap,
     "hill_tail": q_hill_tail,
     "gumbel_blocks": q_gumbel,
+    "mix_drift": q_mix_drift,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10130,6 +10223,7 @@ _EXTRA_ORACLES = {
     "vocab_overlap": SQL_VOCAB_OVERLAP,
     "hill_tail": SQL_HILL_TAIL,
     "gumbel_blocks": SQL_GUMBEL,
+    "mix_drift": SQL_MIX_DRIFT,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

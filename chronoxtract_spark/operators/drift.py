@@ -239,3 +239,136 @@ def distribution_drift(
         .when(psi_c.isNotNull(), F.lit("stable"))
         .alias("psi_verdict"),
     )
+
+
+CRAMERS_WEAK = 0.1
+CRAMERS_STRONG = 0.3
+
+
+def mix_drift(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    cat_col: str = "event_type",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Categorical mix drift per key: did the composition of
+    ``cat_col`` change between the stream's early and late halves?
+    The categorical sibling of ``distribution_drift`` above (which
+    reads a NUMERIC column): a chi-square homogeneity test over the
+    category x half contingency table plus Cramér's V effect size,
+    with the conventional verdict bands (V < 0.1 none, < 0.3 weak,
+    else strong — effect size, deliberately not a p-value, so the
+    reading is sample-size-stable).
+
+    Exactness: every cell term clears its expectations —
+    (O - E)^2 / E = (n*O - R*C)^2 / (n*R*C) with R the category
+    total and C the half total, both exact int64 — so chi2 is a
+    category-sorted fold of one-float-division terms over exact
+    decimal(38,0)/HUGEINT products (cells with O = 0 contribute
+    their real (R*C)^2 term: the grid is categories x 2, never
+    sparse-dropped). For the 2-column table dof = T - 1 and
+    V = sqrt(chi2 / n). Guards: an empty half or a single category
+    null the test.
+
+    Spark-first: one (key, category) groupBy carrying both halves'
+    conditional counts (the only event-sized shuffle), one per-key
+    fold over the bounded category list. No UDF, no window beyond
+    the shared half-split rank. Returns ``key, n, n_cats, chi2,
+    cramers_v, verdict``.
+    """
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(df, ts_col).alias("_s"),
+        F.col(cat_col).cast("string").alias("_c"),
+        *[F.col(c) for c in order_cols],
+    )
+    wall = Window.partitionBy("_k")
+    w = wall.orderBy("_s", *order_cols)
+    halves = d.select(
+        "_k",
+        "_c",
+        (
+            (F.row_number().over(w) - F.lit(1))
+            >= (F.count("*").over(wall) / F.lit(2)).cast("long")
+        ).alias("_cur"),
+    )
+    per_cat = halves.groupBy("_k", "_c").agg(
+        F.sum(F.when(~F.col("_cur"), 1).otherwise(0))
+        .cast("long")
+        .alias("o_ref"),
+        F.sum(F.when(F.col("_cur"), 1).otherwise(0))
+        .cast("long")
+        .alias("o_cur"),
+    )
+    totals = per_cat.groupBy("_k").agg(
+        F.sum("o_ref").cast("long").alias("c_ref"),
+        F.sum("o_cur").cast("long").alias("c_cur"),
+        F.count("*").cast("long").alias("n_cats"),
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    cells = per_cat.join(totals, "_k").select(
+        "_k",
+        "_c",
+        "n_cats",
+        "c_ref",
+        "c_cur",
+        (F.col("c_ref") + F.col("c_cur")).alias("n"),
+        (F.col("o_ref") + F.col("o_cur")).alias("r"),
+        "o_ref",
+        "o_cur",
+    )
+
+    def term(o, c):
+        num = dec(F.col("n")) * dec(F.col(o)) - dec(F.col("r")) * dec(
+            F.col(c)
+        )
+        return (num * num).cast("double") / (
+            dec(F.col("n")) * dec(F.col("r")) * dec(F.col(c))
+        ).cast("double")
+
+    valid_half = (F.col("c_ref") > 0) & (F.col("c_cur") > 0)
+    terms = cells.select(
+        "_k",
+        "_c",
+        "n_cats",
+        "n",
+        F.when(valid_half, term("o_ref", "c_ref") + term("o_cur", "c_cur"))
+        .alias("t"),
+    )
+    agg = terms.groupBy("_k").agg(
+        F.max("n_cats").alias("n_cats"),
+        F.max("n").alias("n"),
+        F.min(F.col("t").isNotNull()).alias("ok"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("t").isNotNull(), F.struct("_c", "t"))
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("chi2"),
+    )
+    valid = F.col("ok") & (F.col("n_cats") >= F.lit(2))
+    chi2 = F.when(valid, F.col("chi2"))
+    v = F.when(valid, F.sqrt(F.col("chi2") / F.col("n").cast("double")))
+    verdict = F.when(
+        v.isNotNull(),
+        F.when(v < F.lit(CRAMERS_WEAK), F.lit("none"))
+        .when(v < F.lit(CRAMERS_STRONG), F.lit("weak"))
+        .otherwise(F.lit("strong")),
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_k").alias(key_col),
+        "n",
+        "n_cats",
+        rnd(chi2).alias("chi2"),
+        rnd(v).alias("cramers_v"),
+        verdict.alias("verdict"),
+    )
