@@ -8447,6 +8447,99 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_ess(spark, sf_dir):
+    """Per-user effective sample size via integrated autocorrelation
+    time (operators.armodel.ess_autocorr): tau = 1 + 2*sum rho_k under
+    the initial-positive truncation, n_eff = n/tau — the statistical
+    weight a tier average actually carries. Mean and all 10 lag
+    autocovariances are position-sorted sequential folds (the proven
+    yule_walker construction widened); gates and the tau sum are one
+    pinned conditional chain. Oracle-exact."""
+    from chronoxtract_spark.operators.armodel import ess_autocorr
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return ess_autocorr(ev)
+
+
+def _sql_ess(max_lag=10) -> str:
+    lags = range(1, max_lag + 1)
+    leads = ",\n         ".join(
+        f"lead(x, {k}) OVER (PARTITION BY k ORDER BY i) AS x{k}"
+        for k in lags
+    )
+    tms = ",\n         ".join(
+        f"COALESCE((x - mu) * (x{k} - mu), 0.0) AS t{k}" for k in lags
+    )
+    cvs = ",\n         ".join(
+        f"list_sum(list(t{k} ORDER BY i)) / n AS c{k}" for k in lags
+    )
+    rhos = ",\n         ".join(
+        f"c{k} / nullif(c0, 0.0) AS r{k}" for k in lags
+    )
+    gates = {1: "(r1 > 0.0)"}
+    for k in lags:
+        if k > 1:
+            gates[k] = f"({gates[k - 1]} AND r{k} > 0.0)"
+    s = " + ".join(
+        f"CASE WHEN {gates[k]} THEN r{k} ELSE 0.0 END" for k in lags
+    )
+    m_used = " + ".join(
+        f"CASE WHEN {gates[k]} THEN 1 ELSE 0 END" for k in lags
+    )
+    return f"""
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+         CAST(row_number() OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT), CAST(event_id AS INT)
+         ) - 1 AS BIGINT) AS i,
+         CAST(value AS DOUBLE) AS x
+  FROM events
+), l AS (
+  SELECT k, i, x,
+         {leads}
+  FROM t
+), m AS (
+  SELECT k, COUNT(*)::BIGINT AS n,
+         list_sum(list(x ORDER BY i)) / COUNT(*)::BIGINT AS mu
+  FROM l GROUP BY k HAVING COUNT(*) >= 2
+), tm AS (
+  SELECT l.k, n, mu, i,
+         (x - mu) * (x - mu) AS t0,
+         {tms}
+  FROM l JOIN m ON l.k = m.k
+), cv AS (
+  SELECT k, n,
+         list_sum(list(t0 ORDER BY i)) / n AS c0,
+         {cvs}
+  FROM tm GROUP BY k, n, mu
+), rr AS (
+  SELECT k, n, c0,
+         {rhos}
+  FROM cv
+), fin AS (
+  SELECT k, n, c0,
+         ({s}) AS s,
+         ({m_used})::BIGINT AS m_used
+  FROM rr
+)
+SELECT k AS conv_id, n,
+       CASE WHEN c0 <> 0.0 THEN m_used END AS n_lags_used,
+       round(CASE WHEN c0 <> 0.0 THEN 1.0 + 2.0 * s END, 6) AS tau_int,
+       round(CASE WHEN c0 <> 0.0
+             THEN n::DOUBLE / (1.0 + 2.0 * s) END, 6) AS n_eff
+FROM fin
+"""
+
+
+SQL_ESS = _sql_ess()
+
+
 def q_mix_drift(spark, sf_dir):
     """Per-user categorical mix drift, early half vs late half
     (operators.drift.mix_drift): chi-square homogeneity of the
@@ -10096,6 +10189,7 @@ _EXTRA_QUERIES = {
     "hill_tail": q_hill_tail,
     "gumbel_blocks": q_gumbel,
     "mix_drift": q_mix_drift,
+    "ess": q_ess,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10224,6 +10318,7 @@ _EXTRA_ORACLES = {
     "hill_tail": SQL_HILL_TAIL,
     "gumbel_blocks": SQL_GUMBEL,
     "mix_drift": SQL_MIX_DRIFT,
+    "ess": SQL_ESS,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

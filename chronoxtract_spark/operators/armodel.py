@@ -518,3 +518,158 @@ def variance_ratio(
         F.col("rung.z").alias("z"),
         F.col("rung.verdict").alias("verdict"),
     )
+
+
+ESS_MAX_LAG = 10
+
+
+def ess_autocorr(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    max_lag: int = ESS_MAX_LAG,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Effective sample size per key via the integrated
+    autocorrelation time — the 'how many INDEPENDENT samples does
+    this stream really carry' diagnostic every averaged metric
+    silently assumes:
+
+        tau_int = 1 + 2 * sum_{k=1..M} rho_k,    n_eff = n / tau_int
+
+    with the initial-positive truncation rule: lags contribute only
+    while every rho up to and including them is positive (the
+    standard bias/variance compromise — summing into the noise floor
+    makes tau itself noise). tau ~ 1 for white data; a tau of 20
+    means a '10,000-sample' daily mean has the statistical weight of
+    500 — the number that belongs next to every tier average.
+
+    Exactness: mean and every autocovariance are sequential left
+    folds over position-sorted term arrays (lag products folded as
+    COALESCE(term, 0.0) over ALL positions — the exact construction
+    proven by ``yule_walker`` above, widened to ``max_lag`` leads);
+    the truncation gates and the tau sum are one pinned
+    left-associated conditional chain, so no order ambiguity exists
+    anywhere. c0 = 0 (constant series) nulls the statistic.
+
+    One row_number + ``max_lag`` leads on the shared key window (one
+    shuffle), one mean fold, one term-array fold per lag. Returns
+    ``key, n, n_lags_used, tau_int, n_eff``.
+    """
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    lags = tuple(range(1, max_lag + 1))
+    w = Window.partitionBy(key_col).orderBy(
+        epoch_seconds(df, ts_col).asc(), *[F.col(c).asc() for c in order_cols]
+    )
+    base = df.select(
+        F.col(key_col).alias("_k"),
+        (F.row_number().over(w) - F.lit(1)).cast("long").alias("_i"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    wi = Window.partitionBy("_k").orderBy("_i")
+    base = base.select(
+        "_k",
+        "_i",
+        "_x",
+        *[F.lead("_x", k).over(wi).alias(f"_x{k}") for k in lags],
+    )
+    mean = (
+        base.groupBy("_k")
+        .agg(
+            F.count("*").cast("long").alias("n"),
+            F.array_sort(F.collect_list(F.struct("_i", "_x"))).alias("arr"),
+        )
+        .where(F.col("n") >= 2)
+        .select(
+            "_k",
+            "n",
+            (
+                F.aggregate("arr", F.lit(0.0), lambda acc, x: acc + x["_x"])
+                / F.col("n").cast("double")
+            ).alias("_m"),
+        )
+    )
+    terms = base.join(F.broadcast(mean), "_k").select(
+        "_k",
+        "n",
+        "_m",
+        "_i",
+        ((F.col("_x") - F.col("_m")) * (F.col("_x") - F.col("_m"))).alias(
+            "_t0"
+        ),
+        *[
+            (
+                (F.col("_x") - F.col("_m"))
+                * (F.col(f"_x{k}") - F.col("_m"))
+            ).alias(f"_t{k}")
+            for k in lags
+        ],
+    )
+
+    def fold(field):
+        return F.aggregate(
+            "arr",
+            F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x[field], F.lit(0.0)),
+        )
+
+    cov = (
+        terms.groupBy("_k", "n", "_m")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct("_i", "_t0", *[f"_t{k}" for k in lags])
+                )
+            ).alias("arr")
+        )
+        .select(
+            "_k",
+            "n",
+            (fold("_t0") / F.col("n").cast("double")).alias("c0"),
+            *[
+                (fold(f"_t{k}") / F.col("n").cast("double")).alias(f"c{k}")
+                for k in lags
+            ],
+        )
+    )
+    c0nz = F.nullif(F.col("c0"), F.lit(0.0))
+    rho = {k: F.col(f"c{k}") / c0nz for k in lags}
+    # initial-positive gates: g_k = AND_{j<=k} rho_j > 0, as a pinned
+    # left-associated chain
+    gates = {}
+    g = None
+    for k in lags:
+        g = (rho[k] > F.lit(0.0)) if g is None else g & (rho[k] > F.lit(0.0))
+        gates[k] = g
+
+    def chain(terms_):
+        out = None
+        for t in terms_:
+            out = t if out is None else out + t
+        return out
+
+    s = chain(
+        [
+            F.when(gates[k], rho[k]).otherwise(F.lit(0.0))
+            for k in lags
+        ]
+    )
+    m_used = chain(
+        [F.when(gates[k], 1).otherwise(0) for k in lags]
+    ).cast("long")
+    tau = F.lit(1.0) + F.lit(2.0) * s
+    n_eff = F.col("n").cast("double") / tau
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return cov.select(
+        F.col("_k").alias(key_col),
+        "n",
+        F.when(F.col("c0") != F.lit(0.0), m_used).alias("n_lags_used"),
+        rnd(F.when(F.col("c0") != F.lit(0.0), tau)).alias("tau_int"),
+        rnd(F.when(F.col("c0") != F.lit(0.0), n_eff)).alias("n_eff"),
+    )
