@@ -8447,6 +8447,50 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_boilerplate(spark, sf_dir):
+    """Per-source template/boilerplate screen
+    (operators.corpus_stats.boilerplate_prefixes): concentration of
+    8-token document openings — distinct-prefix count, the (count
+    DESC, prefix ASC)-pinned top prefix with its share, and the
+    prefix-distribution entropy via the one-fold identity
+    H = ln n - (1/n) sum c ln c over exact int64 counts.
+    Oracle-exact."""
+    from chronoxtract_spark.operators.corpus_stats import (
+        boilerplate_prefixes,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return boilerplate_prefixes(docs)
+
+
+SQL_BOILERPLATE = """
+WITH d AS (
+  SELECT CAST(source AS VARCHAR) AS sl,
+         array_to_string(
+           (list_filter(string_split(
+              regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+              x -> x <> ''))[1:8], ' ') AS p
+  FROM documents
+), counts AS (
+  SELECT sl, p, COUNT(*)::BIGINT AS c FROM d GROUP BY sl, p
+), ag AS (
+  SELECT sl, SUM(c)::BIGINT AS n_docs, COUNT(*)::BIGINT AS n_prefixes,
+         list_sum(list(c::DOUBLE * ln(c::DOUBLE) ORDER BY p)) AS clnc
+  FROM counts GROUP BY sl
+), tp AS (
+  SELECT sl, p, c,
+         row_number() OVER (PARTITION BY sl ORDER BY c DESC, p) AS r
+  FROM counts
+)
+SELECT ag.sl AS source, n_docs, n_prefixes,
+       tp.p AS top_prefix,
+       round(tp.c::DOUBLE / n_docs::DOUBLE, 6) AS top_share,
+       round(ln(n_docs::DOUBLE) - clnc / n_docs::DOUBLE, 6)
+         AS prefix_entropy
+FROM ag JOIN tp ON tp.sl = ag.sl AND tp.r = 1
+"""
+
+
 def q_ess(spark, sf_dir):
     """Per-user effective sample size via integrated autocorrelation
     time (operators.armodel.ess_autocorr): tau = 1 + 2*sum rho_k under
@@ -10190,6 +10234,7 @@ _EXTRA_QUERIES = {
     "gumbel_blocks": q_gumbel,
     "mix_drift": q_mix_drift,
     "ess": q_ess,
+    "boilerplate": q_boilerplate,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10319,6 +10364,7 @@ _EXTRA_ORACLES = {
     "gumbel_blocks": SQL_GUMBEL,
     "mix_drift": SQL_MIX_DRIFT,
     "ess": SQL_ESS,
+    "boilerplate": SQL_BOILERPLATE,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

@@ -408,3 +408,93 @@ def hill_tail(
         F.col("xk1").alias("x_threshold"),
         rnd(alpha).alias("hill_alpha"),
     )
+
+
+def boilerplate_prefixes(
+    df: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    prefix_tokens: int = 8,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Template/boilerplate screen per corpus slice: how concentrated
+    are document OPENINGS? Scraped templates, auto-generated pages
+    and header boilerplate all collapse the first few tokens onto a
+    handful of prefixes long before full-document dedup fires — the
+    cheap early-warning a curation pipeline runs per source. For each
+    slice the documents' first ``prefix_tokens`` normalized tokens
+    form the prefix key; reported are the distinct-prefix count, the
+    most common prefix with its share, and the prefix-distribution
+    entropy in nats (ln(n_docs) = all unique, -> 0 = one template).
+
+    Determinism/exactness: prefixes come from the shared
+    ``normalized_text`` tokenization (identical to the dedup /
+    fingerprint family); counts are exact int64; the top prefix is
+    pinned by (count DESC, prefix ASC); the entropy folds
+    (c/n) ln(c/n) terms in prefix-sorted order (the proven
+    sorted-fold contract — the array is bounded by the DISTINCT
+    prefix count, which boilerplate itself keeps small; a
+    pathological all-unique slice is bounded by its doc count, the
+    same bound profile_table's mode already carries).
+
+    Spark-first: one (slice, prefix) count groupBy over the documents
+    (the only corpus-sized shuffle; the prefix projection is pure
+    column expressions), one per-slice fold + struct-min argmax
+    (min over (-count, prefix) = highest count, lowest prefix). Empty/
+    whitespace-only documents count under the empty prefix ''.
+    Returns ``slice, n_docs, n_prefixes, top_prefix, top_share,
+    prefix_entropy``.
+    """
+    if prefix_tokens < 1:
+        raise ValueError(f"prefix_tokens must be >= 1, got {prefix_tokens}")
+    from .text import normalized_text
+
+    prefix = F.array_join(
+        F.slice(
+            F.filter(
+                F.split(normalized_text(text_col), " "),
+                lambda x: x != "",
+            ),
+            1,
+            prefix_tokens,
+        ),
+        " ",
+    )
+    counts = (
+        df.select(
+            F.col(slice_col).cast("string").alias("_sl"),
+            prefix.alias("p"),
+        )
+        .groupBy("_sl", "p")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    agg = counts.groupBy("_sl").agg(
+        F.sum("c").cast("long").alias("n_docs"),
+        F.count("*").cast("long").alias("n_prefixes"),
+        F.min(F.struct((-F.col("c")).alias("negc"), F.col("p"))).alias(
+            "_top"
+        ),
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("p", "c"))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["c"].cast("double") * F.log(
+                s["c"].cast("double")
+            ),
+        ).alias("_clnc"),
+    )
+    nd = F.col("n_docs").cast("double")
+    # H = ln n - (1/n) * sum c ln c  — one fold, exact-int counts
+    entropy = F.log(nd) - F.col("_clnc") / nd
+    top_share = (-F.col("_top.negc")).cast("double") / nd
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_sl").alias(slice_col),
+        "n_docs",
+        "n_prefixes",
+        F.col("_top.p").alias("top_prefix"),
+        rnd(top_share).alias("top_share"),
+        rnd(entropy).alias("prefix_entropy"),
+    )
