@@ -8447,6 +8447,72 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_charclass(spark, sf_dir):
+    """Per-source character-class composition
+    (operators.text.charclass_profile): letter/digit/space/punct/other
+    shares plus the 5-class entropy — the cheapest non-text detector
+    (base64 soup, mojibake, code-heavy slices). Classes are explicit
+    ASCII ranges (no \\s/\\w shorthands: Java regex and RE2 disagree
+    on their contents); counts are regexp_replace length differences,
+    exact int64 end to end. Oracle-exact."""
+    from chronoxtract_spark.operators.text import charclass_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return charclass_profile(docs)
+
+
+def _sql_charclass() -> str:
+    classes = (
+        ("letter", "[A-Za-z]"),
+        ("digit", "[0-9]"),
+        ("space", "[ \\t\\n\\r]"),
+        ("punct", "[!-/:-@\\[-`{-~]"),
+    )
+    per_doc = ",\n         ".join(
+        f"(length(text) - length(regexp_replace(text, '{pat}', '', 'g')))"
+        f"::BIGINT AS c_{name}"
+        for name, pat in classes
+    )
+    sums = ",\n         ".join(
+        f"SUM(c_{name})::BIGINT AS c_{name}" for name, _ in classes
+    )
+    names = [name for name, _ in classes] + ["other"]
+    share_cols = ",\n       ".join(
+        f"round(CASE WHEN n_chars > 0 THEN c_{n}::DOUBLE / n_chars::DOUBLE"
+        f" END, 6) AS {n}_share"
+        for n in names
+    )
+    ent_terms = "\n           + ".join(
+        f"CASE WHEN c_{n} > 0 THEN (c_{n}::DOUBLE / n_chars::DOUBLE)"
+        f" * ln(c_{n}::DOUBLE / n_chars::DOUBLE) ELSE 0.0 END"
+        for n in names
+    )
+    return f"""
+WITH d AS (
+  SELECT CAST(source AS VARCHAR) AS sl,
+         length(text)::BIGINT AS n,
+         {per_doc}
+  FROM documents
+), ag AS (
+  SELECT sl, SUM(n)::BIGINT AS n_chars,
+         {sums}
+  FROM d GROUP BY sl
+), w AS (
+  SELECT sl, n_chars, c_letter, c_digit, c_space, c_punct,
+         n_chars - (c_letter + c_digit + c_space + c_punct) AS c_other
+  FROM ag
+)
+SELECT sl AS source, n_chars,
+       {share_cols},
+       round(CASE WHEN n_chars > 0 THEN -({ent_terms}) END, 6)
+         AS class_entropy
+FROM w
+"""
+
+
+SQL_CHARCLASS = _sql_charclass()
+
+
 def q_boilerplate(spark, sf_dir):
     """Per-source template/boilerplate screen
     (operators.corpus_stats.boilerplate_prefixes): concentration of
@@ -10235,6 +10301,7 @@ _EXTRA_QUERIES = {
     "mix_drift": q_mix_drift,
     "ess": q_ess,
     "boilerplate": q_boilerplate,
+    "charclass": q_charclass,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10365,6 +10432,7 @@ _EXTRA_ORACLES = {
     "mix_drift": SQL_MIX_DRIFT,
     "ess": SQL_ESS,
     "boilerplate": SQL_BOILERPLATE,
+    "charclass": SQL_CHARCLASS,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

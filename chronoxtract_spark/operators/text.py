@@ -131,3 +131,102 @@ def with_redactions(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         red = F.regexp_replace(red, pat, f"<{name.upper()}>")
     return out.withColumn("redacted_text", red)
+
+
+#: character classes for the composition profile, each a regex whose
+#: semantics are IDENTICAL in Java regex (Spark) and RE2 (DuckDB):
+#: explicit ranges only, no \s/\w shorthands (their class contents
+#: differ between the two engines)
+CHAR_CLASSES = (
+    ("letter", "[A-Za-z]"),
+    ("digit", "[0-9]"),
+    ("space", "[ \\t\\n\\r]"),
+    ("punct", "[!-/:-@\\[-`{-~]"),
+)
+
+
+def charclass_profile(
+    df: DataFrame,
+    slice_col: str = "source",
+    text_col: str = "text",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Character-class composition per corpus slice — the cheapest
+    non-text detector there is: base64 blobs read as letter+digit
+    soup with no spaces, binary-ish junk and mojibake pile up in
+    'other', tables and code inflate punct, healthy prose sits near
+    ~80% letters / ~17% spaces. Reports each class's share of the
+    slice's characters plus the 5-class composition entropy in nats
+    (degenerate single-class content -> 0).
+
+    Classes are ASCII letters / digits / explicit whitespace
+    ( \\t\\n\\r) / ASCII punctuation, with 'other' the exact
+    remainder (all non-ASCII, control chars, unicode letters —
+    a slice legitimately heavy in non-Latin script shows up as
+    'other'-dominant by design; split further per deployment).
+    Shorthand classes (\\s, \\w) are deliberately avoided: their
+    contents differ between Java regex and RE2.
+
+    Exactness: per-document class counts are length differences
+    under regexp_replace (exact int64 both engines, length = chars),
+    slice totals are integer sums, every share is one float division
+    and the entropy is a pinned 5-term conditional chain — zero
+    classes contribute zero exactly. One map-only projection + one
+    slice groupBy; no UDF. Returns ``slice, n_chars, letter_share,
+    digit_share, space_share, punct_share, other_share,
+    class_entropy``.
+    """
+    t = F.col(text_col)
+    total = F.length(t).cast("long")
+    cls_counts = [
+        (name, (total - F.length(F.regexp_replace(t, pat, ""))).cast("long"))
+        for name, pat in CHAR_CLASSES
+    ]
+    per_doc = df.select(
+        F.col(slice_col).cast("string").alias("_sl"),
+        total.alias("_n"),
+        *[c.alias(f"_c_{name}") for name, c in cls_counts],
+    )
+    agg = per_doc.groupBy("_sl").agg(
+        F.sum("_n").cast("long").alias("n_chars"),
+        *[
+            F.sum(f"_c_{name}").cast("long").alias(f"c_{name}")
+            for name, _ in CHAR_CLASSES
+        ],
+    )
+    known = None
+    for name, _ in CHAR_CLASSES:
+        c = F.col(f"c_{name}")
+        known = c if known is None else known + c
+    agg = agg.select(
+        "_sl",
+        "n_chars",
+        *[F.col(f"c_{name}") for name, _ in CHAR_CLASSES],
+        (F.col("n_chars") - known).alias("c_other"),
+    )
+    names = [name for name, _ in CHAR_CLASSES] + ["other"]
+    nd = F.col("n_chars").cast("double")
+    shares = {name: F.col(f"c_{name}").cast("double") / nd for name in names}
+    ent = None
+    for name in names:
+        term = F.when(
+            F.col(f"c_{name}") > 0,
+            shares[name] * F.log(shares[name]),
+        ).otherwise(F.lit(0.0))
+        ent = term if ent is None else ent + term
+    entropy = F.when(F.col("n_chars") > 0, -ent)
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return agg.select(
+        F.col("_sl").alias(slice_col),
+        "n_chars",
+        *[
+            rnd(F.when(F.col("n_chars") > 0, shares[name])).alias(
+                f"{name}_share"
+            )
+            for name in names
+        ],
+        rnd(entropy).alias("class_entropy"),
+    )
