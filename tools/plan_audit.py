@@ -59,6 +59,15 @@ EXPECTED_FLAGS = {
     "corr_matrix": "BNLJ = broadcast of the 1-row global (g_lo, g_hi) "
     "span onto the handful of series names to build the dense spine; "
     "the pair moments come from a time-key hash equi-join",
+    "spearman_matrix": "BNLJ = the same 1-row global-span spine "
+    "attach as corr_matrix (names x broadcast span); the doubled-rank "
+    "pair moments ride the identical time-key hash equi-join",
+    "vocab_overlap": "BNLJ = the deliberate bounded slices x slices "
+    "pair grid (non-equi a < b over per-slice top-k SIZES, "
+    "<= |slices|^2 rows by construction — zero-overlap pairs must "
+    "still emit); the corpus-sized work is the single (slice, term) "
+    "count exchange and the top-k intersection is a term hash "
+    "equi-join",
     "survival": "BNLJ = broadcast of the 1-row observation-horizon "
     "scalar (max ts, the censoring cutoff) onto the per-key lifetime "
     "table — the standard scalar-attach pattern; everything else is "
