@@ -8447,6 +8447,64 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_spectral_summary(spark, sf_dir):
+    """Per-event-type spectral entropy / flatness / dominant bin
+    (operators.spectral.spectral_summary): the frequency-domain
+    siblings of the entropy battery, reduced from the north-star
+    Welch PSD. The kernel PSD quantizes to 6 decimals FIRST
+    (quantize-then-compute, the embedding-audit contract) so both
+    engines fold identical doubles; entropy rides the one-fold
+    identity (ln S - sum p ln p / S)/ln m; the dominant bin is
+    (psd DESC, k ASC)-pinned. Oracle = the welch cos/sin-grid SQL
+    wrapped as a CTE. Oracle-exact."""
+    from chronoxtract_spark.operators.spectral import spectral_summary
+
+    return spectral_summary(_events(spark, sf_dir))
+
+
+def _sql_spectral_summary() -> str:
+    import math
+
+    ln_m = math.log(32.0)
+    return f"""
+WITH psd AS ({{welch}}),
+p1 AS (
+  SELECT event_type, k, psd FROM psd WHERE k >= 1
+), rk AS (
+  SELECT event_type, k, psd,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY psd DESC, k) AS r
+  FROM p1
+), ag AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_bins,
+         list_sum(list(psd ORDER BY k)) AS s,
+         list_sum(list(CASE WHEN psd > 0.0 THEN psd * ln(psd)
+                            ELSE 0.0 END ORDER BY k)) AS plnp,
+         MIN(psd) AS pmin,
+         list_sum(list(CASE WHEN psd > 0.0 THEN ln(psd)
+                            ELSE 0.0 END ORDER BY k)) AS lsum,
+         MAX(CASE WHEN r = 1 THEN k END) AS dominant_k,
+         MAX(CASE WHEN r = 1 THEN psd END) AS pdom
+  FROM rk GROUP BY event_type
+)
+SELECT event_type, n_bins,
+       round(CASE WHEN s > 0.0
+             THEN (ln(s) - plnp / s) / ({ln_m!r}) END, 6)
+         AS spectral_entropy,
+       round(CASE WHEN s > 0.0 THEN
+             CASE WHEN pmin > 0.0
+                  THEN exp(lsum / n_bins::DOUBLE)
+                       / (s / n_bins::DOUBLE)
+                  ELSE 0.0 END END, 6) AS spectral_flatness,
+       CASE WHEN s > 0.0 THEN dominant_k END AS dominant_k,
+       round(CASE WHEN s > 0.0 THEN pdom / s END, 6) AS dominant_share
+FROM ag
+"""
+
+
+SQL_SPECTRAL_SUMMARY = _sql_spectral_summary().format(welch=SQL_WELCH_PSD)
+
+
 def q_charclass(spark, sf_dir):
     """Per-source character-class composition
     (operators.text.charclass_profile): letter/digit/space/punct/other
@@ -10302,6 +10360,7 @@ _EXTRA_QUERIES = {
     "ess": q_ess,
     "boilerplate": q_boilerplate,
     "charclass": q_charclass,
+    "spectral_summary": q_spectral_summary,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10433,6 +10492,7 @@ _EXTRA_ORACLES = {
     "ess": SQL_ESS,
     "boilerplate": SQL_BOILERPLATE,
     "charclass": SQL_CHARCLASS,
+    "spectral_summary": SQL_SPECTRAL_SUMMARY,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
