@@ -8447,6 +8447,48 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_lexical_stats(spark, sf_dir):
+    """Per-source lexical-diversity battery
+    (operators.corpus_stats.lexical_stats): TTR, hapax share,
+    Simpson repeat probability and Yule's K — every statistic ONE
+    float division of exact HUGEINT moments of the term-count
+    distribution, tokenization shared with the dedup/divergence
+    family. Oracle-exact."""
+    from chronoxtract_spark.operators.corpus_stats import lexical_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lexical_stats(docs)
+
+
+SQL_LEXICAL_STATS = """
+WITH toks AS (
+  SELECT CAST(source AS VARCHAR) AS sl,
+         unnest(list_filter(string_split(
+           regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+           x -> x <> '')) AS term
+  FROM documents
+), counts AS (
+  SELECT sl, term, COUNT(*)::BIGINT AS c FROM toks GROUP BY 1, 2
+), ag AS (
+  SELECT sl, SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS v,
+         SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS hapax,
+         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS s2,
+         SUM(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT)) AS rep
+  FROM counts GROUP BY sl
+)
+SELECT sl AS source, n AS n_tokens, v AS n_types,
+       round(v::DOUBLE / n::DOUBLE, 6) AS ttr,
+       round(hapax::DOUBLE / v::DOUBLE, 6) AS hapax_share,
+       round(CASE WHEN n >= 2 THEN rep::DOUBLE
+             / (CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT))::DOUBLE
+             END, 6) AS simpson,
+       round(10000.0 * (s2 - CAST(n AS HUGEINT))::DOUBLE
+             / (CAST(n AS HUGEINT) * CAST(n AS HUGEINT))::DOUBLE, 6)
+         AS yule_k
+FROM ag
+"""
+
+
 def q_spectral_summary(spark, sf_dir):
     """Per-event-type spectral entropy / flatness / dominant bin
     (operators.spectral.spectral_summary): the frequency-domain
@@ -10361,6 +10403,7 @@ _EXTRA_QUERIES = {
     "boilerplate": q_boilerplate,
     "charclass": q_charclass,
     "spectral_summary": q_spectral_summary,
+    "lexical_stats": q_lexical_stats,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10493,6 +10536,7 @@ _EXTRA_ORACLES = {
     "boilerplate": SQL_BOILERPLATE,
     "charclass": SQL_CHARCLASS,
     "spectral_summary": SQL_SPECTRAL_SUMMARY,
+    "lexical_stats": SQL_LEXICAL_STATS,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
