@@ -8447,6 +8447,63 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_qq_drift(spark, sf_dir):
+    """Per-user decile QQ ladder between stream halves
+    (operators.drift.qq_drift): WHERE the distribution moved — both
+    halves' exact type-1 decile order statistics (the same
+    ceil(k*n/10) cut the PSI edges use) and their per-rung shift; the
+    only float is the final unit rescale. Oracle-exact."""
+    from chronoxtract_spark.operators.drift import qq_drift
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    return qq_drift(ev)
+
+
+SQL_QQ_DRIFT = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), idx AS (
+  SELECT conv_id, v,
+         row_number() OVER (PARTITION BY conv_id ORDER BY s, turn_idx)
+           - 1 AS rn,
+         COUNT(*) OVER (PARTITION BY conv_id) AS n
+  FROM t
+), h AS (
+  SELECT conv_id, v, (rn >= n // 2) AS cur FROM idx
+), rk AS (
+  SELECT conv_id, cur, v,
+         row_number() OVER (PARTITION BY conv_id, cur ORDER BY v) AS r,
+         COUNT(*) OVER (PARTITION BY conv_id, cur) AS nh
+  FROM h
+), ed AS (
+  SELECT conv_id, cur, v, kq AS decile
+  FROM rk
+  CROSS JOIN (SELECT unnest([1,2,3,4,5,6,7,8,9]) AS kq) k9
+  WHERE (kq * nh + 9) // 10 = r
+), piv AS (
+  SELECT conv_id, decile,
+         MAX(CASE WHEN NOT cur THEN v END) AS vr,
+         MAX(CASE WHEN cur THEN v END) AS vc
+  FROM ed GROUP BY conv_id, decile
+)
+SELECT conv_id, decile::BIGINT AS decile,
+       round(vr::DOUBLE / 100.0, 6) AS q_ref,
+       round(vc::DOUBLE / 100.0, 6) AS q_cur,
+       round((vc - vr)::DOUBLE / 100.0, 6) AS shift
+FROM piv
+WHERE vr IS NOT NULL AND vc IS NOT NULL
+"""
+
+
 def q_lexical_stats(spark, sf_dir):
     """Per-source lexical-diversity battery
     (operators.corpus_stats.lexical_stats): TTR, hapax share,
@@ -10404,6 +10461,7 @@ _EXTRA_QUERIES = {
     "charclass": q_charclass,
     "spectral_summary": q_spectral_summary,
     "lexical_stats": q_lexical_stats,
+    "qq_drift": q_qq_drift,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10537,6 +10595,7 @@ _EXTRA_ORACLES = {
     "charclass": SQL_CHARCLASS,
     "spectral_summary": SQL_SPECTRAL_SUMMARY,
     "lexical_stats": SQL_LEXICAL_STATS,
+    "qq_drift": SQL_QQ_DRIFT,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

@@ -372,3 +372,96 @@ def mix_drift(
         rnd(v).alias("cramers_v"),
         verdict.alias("verdict"),
     )
+
+
+def qq_drift(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    order_cols: tuple[str, ...] = ("turn_idx",),
+    n_bins: int = PSI_BINS,
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Per-key decile QQ ladder between the stream's early and late
+    halves — WHERE the distribution moved, the per-quantile
+    complement of ``distribution_drift``'s scalar KS/PSI verdicts
+    (a pure location shift moves every decile equally; a tail
+    blow-up moves only the top rungs; variance growth fans the
+    ladder out symmetrically).
+
+    For k = 1..n_bins-1 both halves' k-th decile is the exact type-1
+    order statistic at rank ceil(k * n_half / n_bins) (the same cut
+    the PSI edges use), pinned by the integer-cent value sort.
+    ``shift`` is the current-minus-reference decile difference in
+    value units. Keys where either half is empty emit nothing.
+
+    Exactness: order statistics of integer cents — the only float is
+    the final unit rescale. One key shuffle shared by both halves'
+    rank windows; the candidate ranks are pure expressions in the
+    half size (array_contains filter, no explode of data rows — the
+    bounded k-list explodes only on the <= 2*(n_bins-1) edge rows
+    per key). Returns ``key, decile, q_ref, q_cur, shift``.
+    """
+    if n_bins < 2:
+        raise ValueError(f"n_bins must be >= 2, got {n_bins}")
+    unit = 10 ** scale
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        epoch_seconds(df, ts_col).alias("_s"),
+        F.round(F.col(value_col) * F.lit(unit), 0).cast("long").alias("_v"),
+        *[F.col(c) for c in order_cols],
+    )
+    wall = Window.partitionBy("_k")
+    w = wall.orderBy("_s", *order_cols)
+    halves = d.select(
+        "_k",
+        "_v",
+        (
+            (F.row_number().over(w) - F.lit(1))
+            >= (F.count("*").over(wall) / F.lit(2)).cast("long")
+        ).alias("_cur"),
+    )
+    wh = Window.partitionBy("_k", "_cur").orderBy("_v")
+    whall = Window.partitionBy("_k", "_cur")
+    ranked = halves.select(
+        "_k",
+        "_cur",
+        "_v",
+        F.row_number().over(wh).alias("r"),
+        F.count("*").over(whall).alias("nh"),
+    )
+    k_seq = F.sequence(F.lit(1), F.lit(n_bins - 1))
+    target = lambda k: (  # noqa: E731
+        (k * F.col("nh") + F.lit(n_bins - 1)) / n_bins
+    ).cast("long")
+    edges = (
+        ranked.where(
+            F.array_contains(F.transform(k_seq, target), F.col("r"))
+        )
+        .select(
+            "_k",
+            "_cur",
+            "_v",
+            F.explode(
+                F.filter(k_seq, lambda k: target(k) == F.col("r"))
+            ).alias("decile"),
+        )
+    )
+    piv = edges.groupBy("_k", "decile").agg(
+        F.max(F.when(~F.col("_cur"), F.col("_v"))).alias("vr"),
+        F.max(F.when(F.col("_cur"), F.col("_v"))).alias("vc"),
+    ).where(F.col("vr").isNotNull() & F.col("vc").isNotNull())
+    uf = F.lit(float(unit))
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return piv.select(
+        F.col("_k").alias(key_col),
+        F.col("decile").cast("long").alias("decile"),
+        rnd(F.col("vr").cast("double") / uf).alias("q_ref"),
+        rnd(F.col("vc").cast("double") / uf).alias("q_cur"),
+        rnd((F.col("vc") - F.col("vr")).cast("double") / uf).alias("shift"),
+    )
