@@ -8447,6 +8447,89 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_robust_location(spark, sf_dir):
+    """Per-user robust-location battery
+    (operators.robust.robust_location): exact median and MAD via the
+    doubled-median integer trick applied twice (2*median and
+    2*median(|2x - m2|) are ALWAYS integers), 10%-trimmed and
+    winsorized means as exact integer sums over capped rank cuts, and
+    the Iglewicz-Hoaglin modified-z outlier count with its divisions
+    cleared (z > 3.5 iff 2*0.6745*d2 > 3.5*mad4). Oracle-exact."""
+    from chronoxtract_spark.operators.robust import robust_location
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        "value",
+    )
+    return robust_location(ev)
+
+
+SQL_ROBUST_LOCATION = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS k,
+         CAST(round(value * 100, 0) AS BIGINT) AS v
+  FROM events
+), rk AS (
+  SELECT k, v,
+         row_number() OVER (PARTITION BY k ORDER BY v) AS r,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM t
+), st AS (
+  SELECT k, MAX(n)::BIGINT AS n,
+         SUM(CASE WHEN r = (n + 1) // 2 THEN v ELSE 0 END
+             + CASE WHEN r = (n + 2) // 2
+                    AND (n + 2) // 2 <> (n + 1) // 2
+                    THEN v ELSE 0 END
+             + CASE WHEN r = (n + 1) // 2
+                    AND (n + 2) // 2 = (n + 1) // 2
+                    THEN v ELSE 0 END)::BIGINT AS m2,
+         MAX(least(n // 10, (n - 1) // 2))::BIGINT AS kk,
+         SUM(CASE WHEN r > least(n // 10, (n - 1) // 2)
+                  AND r <= n - least(n // 10, (n - 1) // 2)
+                  THEN v ELSE 0 END)::BIGINT AS mid_sum,
+         MAX(CASE WHEN r = least(n // 10, (n - 1) // 2) + 1
+                  THEN v END)::BIGINT AS x_lo,
+         MAX(CASE WHEN r = n - least(n // 10, (n - 1) // 2)
+                  THEN v END)::BIGINT AS x_hi
+  FROM rk GROUP BY k
+), d2 AS (
+  SELECT rk.k, abs(2 * rk.v - st.m2) AS d2
+  FROM rk JOIN st ON rk.k = st.k
+), rk2 AS (
+  SELECT k, d2,
+         row_number() OVER (PARTITION BY k ORDER BY d2) AS r,
+         COUNT(*) OVER (PARTITION BY k) AS n
+  FROM d2
+), mad AS (
+  SELECT k,
+         SUM(CASE WHEN r = (n + 1) // 2 THEN d2 ELSE 0 END
+             + CASE WHEN r = (n + 2) // 2
+                    AND (n + 2) // 2 <> (n + 1) // 2
+                    THEN d2 ELSE 0 END
+             + CASE WHEN r = (n + 1) // 2
+                    AND (n + 2) // 2 = (n + 1) // 2
+                    THEN d2 ELSE 0 END)::BIGINT AS mad4
+  FROM rk2 GROUP BY k
+), outs AS (
+  SELECT d2.k, MAX(mad4)::BIGINT AS mad4,
+         SUM(CASE WHEN 1.349 * d2::DOUBLE > 3.5 * mad4::DOUBLE
+                  THEN 1 ELSE 0 END)::BIGINT AS n_out
+  FROM d2 JOIN mad ON d2.k = mad.k
+  GROUP BY d2.k
+)
+SELECT st.k AS conv_id, n,
+       round(m2::DOUBLE / (2.0 * 100.0), 6) AS median,
+       round(mad4::DOUBLE / (4.0 * 100.0), 6) AS mad,
+       round(mid_sum::DOUBLE / ((n - 2 * kk)::DOUBLE * 100.0), 6)
+         AS trimmed_mean,
+       round((mid_sum + kk * (x_lo + x_hi))::DOUBLE
+             / (n::DOUBLE * 100.0), 6) AS winsor_mean,
+       CASE WHEN mad4 > 0 THEN n_out END AS n_outliers
+FROM st
+JOIN outs ON st.k = outs.k
+"""
+
+
 def q_qq_drift(spark, sf_dir):
     """Per-user decile QQ ladder between stream halves
     (operators.drift.qq_drift): WHERE the distribution moved — both
@@ -10462,6 +10545,7 @@ _EXTRA_QUERIES = {
     "spectral_summary": q_spectral_summary,
     "lexical_stats": q_lexical_stats,
     "qq_drift": q_qq_drift,
+    "robust_location": q_robust_location,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10596,6 +10680,7 @@ _EXTRA_ORACLES = {
     "spectral_summary": SQL_SPECTRAL_SUMMARY,
     "lexical_stats": SQL_LEXICAL_STATS,
     "qq_drift": SQL_QQ_DRIFT,
+    "robust_location": SQL_ROBUST_LOCATION,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

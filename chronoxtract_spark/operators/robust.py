@@ -195,3 +195,153 @@ def mann_kendall(
         .otherwise(F.lit("none"))
         .alias("trend"),
     )
+
+
+def robust_location(
+    df: DataFrame,
+    key_col: str = "conv_id",
+    value_col: str = "value",
+    trim_frac: int = 10,
+    z_cut: float = 3.5,
+    scale: int = 2,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Classical robust-location battery per key — the outlier-proof
+    siblings of the mean/stddev the tier tables carry: exact median,
+    MAD (median absolute deviation), the 1/``trim_frac``-trimmed and
+    winsorized means, and the count of modified-z outliers
+    (|0.6745 (x - med) / MAD| > ``z_cut``, the Iglewicz-Hoaglin
+    screen). One bursty order can drag a mean and explode a stddev;
+    none of these move.
+
+    Exactness — the doubled-median trick, twice: with integer cents,
+    m2 = 2*median is ALWAYS an integer (odd n: 2 x_mid; even n:
+    x_a + x_b), so d2_i = |2 x_i - m2| = 2|x_i - med| is exact int64,
+    and mad4 = 2*median(d2) is again exact — median and MAD carry NO
+    float until the final unit rescale. The trimmed mean drops
+    k = min(n // trim_frac, (n-1) // 2) ranks from each end (capped so
+    the kept middle is never empty; exact integer sum over the kept
+    ranks, one division); the winsorized mean clamps them to
+    the surviving boundary order statistics x_(k+1) / x_(n-k) (exact
+    integer sum identity: middle + k*(x_(k+1) + x_(n-k))). The
+    outlier test clears its divisions: z > cut iff
+    2*0.6745*d2 > cut*mad4, two shared literals on exact integers —
+    identical booleans in both engines. MAD = 0 (over half the values
+    at the median) nulls the outlier count, the standard degeneracy.
+
+    One rank window on the key shuffle, one derived-rank window for
+    the MAD median, one aggregate. No UDF. Returns ``key, n, median,
+    mad, trimmed_mean, winsor_mean, n_outliers``.
+    """
+    if trim_frac < 2:
+        raise ValueError(f"trim_frac must be >= 2, got {trim_frac}")
+    unit = 10 ** scale
+    d = df.select(
+        F.col(key_col).alias("_k"),
+        F.round(F.col(value_col) * F.lit(unit), 0).cast("long").alias("_v"),
+    )
+    w = Window.partitionBy("_k").orderBy("_v")
+    wall = Window.partitionBy("_k")
+    ranked = d.select(
+        "_k",
+        "_v",
+        F.row_number().over(w).cast("long").alias("r"),
+        F.count("*").over(wall).alias("n"),
+    )
+
+    def med2(vcol, rcol, ncol):
+        """2 * median as conditional sums over ranked rows."""
+        lo = (F.col(ncol) + F.lit(1)) / F.lit(2)
+        hi = (F.col(ncol) + F.lit(2)) / F.lit(2)
+        lo = lo.cast("long")
+        hi = hi.cast("long")
+        return F.sum(
+            F.when(F.col(rcol) == lo, F.col(vcol)).otherwise(F.lit(0))
+            + F.when(
+                (F.col(rcol) == hi) & (hi != lo), F.col(vcol)
+            ).otherwise(F.lit(0))
+            + F.when(
+                (F.col(rcol) == lo) & (hi == lo), F.col(vcol)
+            ).otherwise(F.lit(0))
+        )
+
+    # k is capped at (n-1)//2 so the kept middle is never empty
+    k_ = F.least(
+        (F.col("n") / F.lit(trim_frac)).cast("long"),
+        ((F.col("n") - F.lit(1)) / F.lit(2)).cast("long"),
+    )
+    stats = ranked.groupBy("_k").agg(
+        F.max("n").alias("n"),
+        med2("_v", "r", "n").alias("m2"),
+        F.max(k_).alias("kk"),
+        F.sum(
+            F.when(
+                (F.col("r") > k_) & (F.col("r") <= F.col("n") - k_),
+                F.col("_v"),
+            ).otherwise(F.lit(0))
+        ).alias("mid_sum"),
+        F.max(F.when(F.col("r") == k_ + F.lit(1), F.col("_v"))).alias(
+            "x_lo"
+        ),
+        F.max(
+            F.when(F.col("r") == F.col("n") - k_, F.col("_v"))
+        ).alias("x_hi"),
+    )
+    d2 = ranked.join(stats.select("_k", "m2"), "_k").select(
+        "_k",
+        "_v",
+        F.abs(F.lit(2) * F.col("_v") - F.col("m2")).alias("d2"),
+    )
+    w2 = Window.partitionBy("_k").orderBy("d2")
+    ranked2 = d2.select(
+        "_k",
+        "d2",
+        F.row_number().over(w2).cast("long").alias("r"),
+        F.count("*").over(Window.partitionBy("_k")).alias("n"),
+    )
+    madagg = ranked2.groupBy("_k").agg(med2("d2", "r", "n").alias("mad4"))
+    # outlier count: z > cut  <=>  2*0.6745*d2 > cut*mad4
+    outs = (
+        d2.join(madagg, "_k")
+        .groupBy("_k")
+        .agg(
+            F.max("mad4").alias("mad4"),
+            F.sum(
+                F.when(
+                    F.lit(2.0 * 0.6745) * F.col("d2").cast("double")
+                    > F.lit(float(z_cut)) * F.col("mad4").cast("double"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_out"),
+        )
+    )
+    uf = F.lit(float(unit))
+    nd = F.col("n").cast("double")
+    kept = (F.col("n") - F.lit(2) * F.col("kk")).cast("double")
+    trimmed = F.col("mid_sum").cast("double") / (kept * uf)
+    winsor = (
+        F.col("mid_sum")
+        + F.col("kk") * (F.col("x_lo") + F.col("x_hi"))
+    ).cast("double") / (nd * uf)
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return (
+        stats.join(outs, "_k")
+        .select(
+            F.col("_k").alias(key_col),
+            "n",
+            rnd(F.col("m2").cast("double") / (F.lit(2.0) * uf)).alias(
+                "median"
+            ),
+            rnd(
+                F.col("mad4").cast("double") / (F.lit(4.0) * uf)
+            ).alias("mad"),
+            rnd(trimmed).alias("trimmed_mean"),
+            rnd(winsor).alias("winsor_mean"),
+            F.when(F.col("mad4") > 0, F.col("n_out")).alias("n_outliers"),
+        )
+    )
