@@ -8447,6 +8447,80 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_cooccurrence_mi(spark, sf_dir):
+    """Pairwise hourly co-occurrence MI + phi between event types
+    (operators.cohort.cooccurrence_mi): the 2x2 presence table from
+    exact int64 SET sizes (|A ∩ B| via one bucket equi-join, the
+    complements by H-arithmetic — no dense spine), MI terms over
+    exact HUGEINT ratio operands folded in pinned cell order, phi one
+    float division over a sqrt of an exact product. Oracle-exact."""
+    from chronoxtract_spark.operators.cohort import cooccurrence_mi
+
+    return cooccurrence_mi(_events(spark, sf_dir))
+
+
+SQL_COOCCURRENCE_MI = """
+WITH t AS (
+  SELECT DISTINCT event_type AS n_,
+         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS b
+  FROM events
+), span AS (
+  SELECT (MAX(b) - MIN(b) + 1)::BIGINT AS h FROM t
+), sizes AS (
+  SELECT n_, COUNT(*)::BIGINT AS sz FROM t GROUP BY n_
+), bth AS (
+  SELECT a.n_ AS na, b2.n_ AS nb, COUNT(*)::BIGINT AS n11
+  FROM t a JOIN t b2 ON a.b = b2.b AND a.n_ < b2.n_
+  GROUP BY 1, 2
+), grid AS (
+  SELECT sa.n_ AS na, sb.n_ AS nb, span.h,
+         sa.sz AS sa, sb.sz AS sb,
+         COALESCE(bth.n11, 0)::BIGINT AS n11
+  FROM sizes sa
+  JOIN sizes sb ON sa.n_ < sb.n_
+  CROSS JOIN span
+  LEFT JOIN bth ON bth.na = sa.n_ AND bth.nb = sb.n_
+), cells AS (
+  SELECT na, nb, h, sa, sb, n11,
+         sa - n11 AS n10, sb - n11 AS n01,
+         h - sa - sb + n11 AS n00
+  FROM grid
+)
+SELECT na AS name_a, nb AS name_b, h AS n_buckets,
+       sa AS n_a, sb AS n_b, n11 AS n_both,
+       round(
+         CASE WHEN n11 > 0 THEN (n11::DOUBLE / h::DOUBLE)
+           * ln((CAST(h AS HUGEINT) * CAST(n11 AS HUGEINT))::DOUBLE
+                / (CAST(sa AS HUGEINT) * CAST(sb AS HUGEINT))::DOUBLE)
+           ELSE 0.0 END
+         + CASE WHEN n10 > 0 THEN (n10::DOUBLE / h::DOUBLE)
+           * ln((CAST(h AS HUGEINT) * CAST(n10 AS HUGEINT))::DOUBLE
+                / (CAST(sa AS HUGEINT)
+                   * CAST(h - sb AS HUGEINT))::DOUBLE)
+           ELSE 0.0 END
+         + CASE WHEN n01 > 0 THEN (n01::DOUBLE / h::DOUBLE)
+           * ln((CAST(h AS HUGEINT) * CAST(n01 AS HUGEINT))::DOUBLE
+                / (CAST(h - sa AS HUGEINT)
+                   * CAST(sb AS HUGEINT))::DOUBLE)
+           ELSE 0.0 END
+         + CASE WHEN n00 > 0 THEN (n00::DOUBLE / h::DOUBLE)
+           * ln((CAST(h AS HUGEINT) * CAST(n00 AS HUGEINT))::DOUBLE
+                / (CAST(h - sa AS HUGEINT)
+                   * CAST(h - sb AS HUGEINT))::DOUBLE)
+           ELSE 0.0 END, 6) AS mi_nats,
+       round(CASE WHEN (CAST(sa AS HUGEINT) * CAST(h - sa AS HUGEINT)
+                        * CAST(sb AS HUGEINT)
+                        * CAST(h - sb AS HUGEINT)) > 0 THEN
+             (CAST(n11 AS HUGEINT) * CAST(n00 AS HUGEINT)
+              - CAST(n10 AS HUGEINT) * CAST(n01 AS HUGEINT))::DOUBLE
+             / sqrt((CAST(sa AS HUGEINT) * CAST(h - sa AS HUGEINT)
+                     * CAST(sb AS HUGEINT)
+                     * CAST(h - sb AS HUGEINT))::DOUBLE) END, 6)
+         AS phi
+FROM cells
+"""
+
+
 def q_robust_location(spark, sf_dir):
     """Per-user robust-location battery
     (operators.robust.robust_location): exact median and MAD via the
@@ -10546,6 +10620,7 @@ _EXTRA_QUERIES = {
     "lexical_stats": q_lexical_stats,
     "qq_drift": q_qq_drift,
     "robust_location": q_robust_location,
+    "cooccurrence_mi": q_cooccurrence_mi,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10681,6 +10756,7 @@ _EXTRA_ORACLES = {
     "lexical_stats": SQL_LEXICAL_STATS,
     "qq_drift": SQL_QQ_DRIFT,
     "robust_location": SQL_ROBUST_LOCATION,
+    "cooccurrence_mi": SQL_COOCCURRENCE_MI,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,

@@ -207,3 +207,129 @@ def spearman_matrix(
         "name1", "name2", "n",
         F.when((dx > 0) & (dy > 0), num / F.sqrt(dx * dy)).alias("rho"),
     )
+
+
+def cooccurrence_mi(
+    df: DataFrame,
+    name_col: str = "event_type",
+    ts_col: str = "ts",
+    bucket_s: int = 3600,
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Pairwise temporal co-occurrence between the per-``name``
+    activity indicators: in which hours is each pair active TOGETHER,
+    beyond what their individual activity rates explain? The binary
+    sibling of ``corr_matrix``/``spearman_matrix`` (which need count
+    co-MOVEMENT; this fires on mere co-presence — the right screen
+    for sparse or on/off signals):
+
+    - ``mi_nats`` — mutual information of the two presence indicators
+      over the shared global bucket span (0 independent, up to ln 2),
+    - ``phi`` — the 2x2 phi coefficient (signed: negative means the
+      pair AVOIDS each other's hours),
+    - ``n_both`` and the span ``n_buckets`` for the raw reading.
+
+    Exactness: the whole 2x2 table comes from exact int64 SET sizes —
+    n11 = |A ∩ B| (one bucket equi-join of the distinct-bucket sets),
+    marginals |A|, |B|, and the global span H = max - min + 1; no
+    dense spine is ever materialized (the complement cells are
+    H-arithmetic). Every MI term is (nij/H) * ln((H*nij)/(ri*cj))
+    with both ratio operands exact decimal(38,0)/HUGEINT products,
+    folded in the pinned (11, 10, 01, 00) order with zero cells
+    contributing exactly zero; phi clears to one float division over
+    a sqrt of an exact product. Degenerate marginals (a name active
+    in every bucket or none) null phi and zero the conditional MI
+    terms consistently in both engines.
+
+    One distinct-(name, bucket) projection off the events (the only
+    event-sized work), a bucket equi-join between bounded distinct
+    sets, a names x names grid (pairs sharing nothing still emit),
+    and the 1-row global-span scalar attach (the corr_matrix
+    pattern). Returns ``name_a, name_b, n_buckets, n_a, n_b, n_both,
+    mi_nats, phi``.
+    """
+    from ._util import epoch_seconds
+
+    hrs = (
+        df.select(
+            F.col(name_col).cast("string").alias("_n"),
+            F.floor(epoch_seconds(df, ts_col) / F.lit(int(bucket_s)))
+            .cast("long")
+            .alias("b"),
+        )
+        .distinct()
+    )
+    span = hrs.agg(
+        (F.max("b") - F.min("b") + F.lit(1)).cast("long").alias("h")
+    )
+    sizes = hrs.groupBy("_n").agg(F.count("*").cast("long").alias("sz"))
+    both = (
+        hrs.select(F.col("_n").alias("na"), "b")
+        .join(hrs.select(F.col("_n").alias("nb"), "b"), "b")
+        .where(F.col("na") < F.col("nb"))
+        .groupBy("na", "nb")
+        .agg(F.count("*").cast("long").alias("n11"))
+    )
+    grid = (
+        sizes.select(F.col("_n").alias("na"), F.col("sz").alias("sa"))
+        .join(sizes.select(F.col("_n").alias("nb"), F.col("sz").alias("sb")))
+        .where(F.col("na") < F.col("nb"))
+        .join(both, ["na", "nb"], "left")
+        .crossJoin(F.broadcast(span))
+        .select(
+            "na",
+            "nb",
+            "h",
+            "sa",
+            "sb",
+            F.coalesce(F.col("n11"), F.lit(0)).cast("long").alias("n11"),
+        )
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    n10 = (F.col("sa") - F.col("n11")).alias("n10")
+    n01 = (F.col("sb") - F.col("n11")).alias("n01")
+    n00 = (F.col("h") - F.col("sa") - F.col("sb") + F.col("n11")).alias(
+        "n00"
+    )
+    cells = grid.select("na", "nb", "h", "sa", "sb", "n11", n10, n01, n00)
+    hd = F.col("h").cast("double")
+
+    def term(nij, ri, cj):
+        num = dec(F.col("h")) * dec(F.col(nij))
+        den = dec(ri) * dec(cj)
+        return F.when(
+            F.col(nij) > 0,
+            (F.col(nij).cast("double") / hd)
+            * F.log(num.cast("double") / den.cast("double")),
+        ).otherwise(F.lit(0.0))
+
+    ca, cb = F.col("sa"), F.col("sb")
+    ia, ib = F.col("h") - F.col("sa"), F.col("h") - F.col("sb")
+    mi = (
+        term("n11", ca, cb)
+        + term("n10", ca, ib)
+        + term("n01", ia, cb)
+        + term("n00", ia, ib)
+    )
+    phi_den = dec(ca) * dec(ia) * dec(cb) * dec(ib)
+    phi_num = dec(F.col("n11")) * dec(F.col("n00")) - dec(
+        F.col("n10")
+    ) * dec(F.col("n01"))
+    phi = F.when(
+        phi_den > F.lit(0),
+        phi_num.cast("double") / F.sqrt(phi_den.cast("double")),
+    )
+
+    def rnd(c):
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    return cells.select(
+        F.col("na").alias("name_a"),
+        F.col("nb").alias("name_b"),
+        F.col("h").alias("n_buckets"),
+        F.col("sa").alias("n_a"),
+        F.col("sb").alias("n_b"),
+        F.col("n11").alias("n_both"),
+        rnd(mi).alias("mi_nats"),
+        rnd(phi).alias("phi"),
+    )

@@ -62,6 +62,12 @@ EXPECTED_FLAGS = {
     "spearman_matrix": "BNLJ = the same 1-row global-span spine "
     "attach as corr_matrix (names x broadcast span); the doubled-rank "
     "pair moments ride the identical time-key hash equi-join",
+    "cooccurrence_mi": "BNLJ/cross = the 1-row global-span scalar "
+    "attach (corr_matrix pattern) plus the bounded names x names "
+    "pair grid (non-equi a < b over per-name distinct-bucket SIZES "
+    "— zero-co-occurrence pairs must still emit); the event-sized "
+    "work is one distinct projection and n11 is a bucket hash "
+    "equi-join between bounded distinct sets",
     "vocab_overlap": "BNLJ = the deliberate bounded slices x slices "
     "pair grid (non-equi a < b over per-slice top-k SIZES, "
     "<= |slices|^2 rows by construction — zero-overlap pairs must "
