@@ -8447,6 +8447,85 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_corpus_health(spark, sf_dir):
+    """Composite per-source corpus health report — the corpus-
+    forensics stack's ops_health: charclass composition, lexical
+    diversity, boilerplate concentration and the Hill tail index
+    joined on the shared source key in ONE DataFrame graph, plus a
+    screen-flag count over four curation thresholds (template
+    top_share > 0.05, hapax_share < 0.01, hill_alpha > 20 —
+    truncation-flat tails — and other_share > 0.3). Flags compare the
+    same rounded columns both engines hash, and the thresholds split
+    the sf0.01 sources (flag counts are MIXED — anti-vacuous). The
+    oracle splices the four proven battery SQLs verbatim as CTEs and
+    joins them identically. Oracle-exact."""
+    from chronoxtract_spark.operators.corpus_stats import (
+        boilerplate_prefixes,
+        hill_tail,
+        lexical_stats,
+    )
+    from chronoxtract_spark.operators.text import charclass_profile
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cc = charclass_profile(docs).select(
+        "source", "letter_share", "other_share"
+    )
+    lx = lexical_stats(docs).select(
+        "source", "n_tokens", "ttr", "hapax_share"
+    )
+    bp = boilerplate_prefixes(docs).select(
+        "source", "n_docs", "top_share", "prefix_entropy"
+    )
+    ht = hill_tail(docs).select("source", "hill_alpha")
+    j = cc.join(lx, "source").join(bp, "source").join(ht, "source")
+    flag = lambda c: F.when(c, 1).otherwise(0)  # noqa: E731
+    flags = (
+        flag(F.col("top_share") > F.lit(0.05))
+        + flag(F.col("hapax_share") < F.lit(0.01))
+        + flag(
+            F.col("hill_alpha").isNotNull()
+            & (F.col("hill_alpha") > F.lit(20.0))
+        )
+        + flag(F.col("other_share") > F.lit(0.3))
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "letter_share",
+        "other_share",
+        "ttr",
+        "hapax_share",
+        "top_share",
+        "prefix_entropy",
+        "hill_alpha",
+        flags.cast("long").alias("n_flags"),
+    )
+
+
+SQL_CORPUS_HEALTH = """
+WITH cc AS ({charclass}),
+lx AS ({lexical}),
+bp AS ({boilerplate}),
+ht AS ({hill})
+SELECT cc.source, bp.n_docs, lx.n_tokens,
+       cc.letter_share, cc.other_share,
+       lx.ttr, lx.hapax_share,
+       bp.top_share, bp.prefix_entropy,
+       ht.hill_alpha,
+       (CASE WHEN bp.top_share > 0.05 THEN 1 ELSE 0 END
+        + CASE WHEN lx.hapax_share < 0.01 THEN 1 ELSE 0 END
+        + CASE WHEN ht.hill_alpha IS NOT NULL AND ht.hill_alpha > 20.0
+               THEN 1 ELSE 0 END
+        + CASE WHEN cc.other_share > 0.3 THEN 1 ELSE 0 END)::BIGINT
+         AS n_flags
+FROM cc
+JOIN lx ON cc.source = lx.source
+JOIN bp ON cc.source = bp.source
+JOIN ht ON cc.source = ht.source
+"""
+
+
 def q_cooccurrence_mi(spark, sf_dir):
     """Pairwise hourly co-occurrence MI + phi between event types
     (operators.cohort.cooccurrence_mi): the 2x2 presence table from
@@ -10621,6 +10700,7 @@ _EXTRA_QUERIES = {
     "qq_drift": q_qq_drift,
     "robust_location": q_robust_location,
     "cooccurrence_mi": q_cooccurrence_mi,
+    "corpus_health": q_corpus_health,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10719,6 +10799,14 @@ _EXTRA_QUERIES = {
     "stratified_sample": q_stratified_sample,
 }
 
+SQL_CORPUS_HEALTH = SQL_CORPUS_HEALTH.format(
+    charclass=SQL_CHARCLASS,
+    lexical=SQL_LEXICAL_STATS,
+    boilerplate=SQL_BOILERPLATE,
+    hill=SQL_HILL_TAIL,
+)
+
+
 _EXTRA_ORACLES = {
     "interarrival": SQL_INTERARRIVAL,
     "haar_energy": SQL_HAAR_ENERGY,
@@ -10757,6 +10845,7 @@ _EXTRA_ORACLES = {
     "qq_drift": SQL_QQ_DRIFT,
     "robust_location": SQL_ROBUST_LOCATION,
     "cooccurrence_mi": SQL_COOCCURRENCE_MI,
+    "corpus_health": SQL_CORPUS_HEALTH,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
