@@ -8447,6 +8447,96 @@ LEFT JOIN psi USING (conv_id)
 """
 
 
+def q_stationarity_report(spark, sf_dir):
+    """Composite per-user stationarity classification — the textbook
+    ADF x KPSS quadrant (opposite nulls make the PAIR the test:
+    both-pass -> 'stationary', both-fail -> 'unit_root' [the two
+    tests agree on the random walk], ADF-only -> 'trend_or_
+    longmemory' [the contradiction cell: trend-stationarity vs
+    difference-stationarity, or long memory], KPSS-only ->
+    'inconclusive' [low power]) joined with
+    the long-memory readings (R/S Hurst, integrated autocorrelation
+    time and effective sample size) in ONE DataFrame graph on the
+    shared user key. The oracle splices the four proven battery SQLs
+    verbatim as CTEs with the identical join types. Oracle-exact."""
+    from chronoxtract_spark.operators.armodel import (
+        adf_test,
+        ess_autocorr,
+        kpss_test,
+    )
+    from chronoxtract_spark.operators.structure import hurst_rs
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        "ts",
+        "value",
+    )
+    adf = adf_test(ev).select(
+        "conv_id",
+        F.col("n_obs").alias("n"),
+        F.col("t_stat").alias("adf_t"),
+        F.col("stationary").alias("adf_stationary"),
+    )
+    kp = kpss_test(ev).select(
+        "conv_id",
+        F.col("eta").alias("kpss_eta"),
+        F.col("stationary").alias("kpss_stationary"),
+    )
+    hu = hurst_rs(ev).select("conv_id", "hurst")
+    es = ess_autocorr(ev).select("conv_id", "tau_int", "n_eff")
+    j = (
+        adf.join(kp, "conv_id")
+        .join(hu, "conv_id", "left")
+        .join(es, "conv_id", "left")
+    )
+    a, k = F.col("adf_stationary"), F.col("kpss_stationary")
+    verdict = F.when(
+        a.isNotNull() & k.isNotNull(),
+        F.when(a & k, F.lit("stationary"))
+        .when(~a & ~k, F.lit("unit_root"))
+        .when(a & ~k, F.lit("trend_or_longmemory"))
+        .otherwise(F.lit("inconclusive")),
+    )
+    return j.select(
+        "conv_id",
+        "n",
+        "adf_t",
+        "adf_stationary",
+        "kpss_eta",
+        "kpss_stationary",
+        "hurst",
+        "tau_int",
+        "n_eff",
+        verdict.alias("verdict"),
+    )
+
+
+SQL_STATIONARITY_REPORT = """
+WITH adf AS (SELECT * FROM ({adf}) WHERE variant = 'raw'),
+kp AS ({kpss}),
+hu AS ({hurst}),
+es AS ({ess})
+SELECT adf.conv_id, adf.n_obs AS n, adf.t_stat AS adf_t,
+       adf.stationary AS adf_stationary,
+       kp.eta AS kpss_eta, kp.stationary AS kpss_stationary,
+       hu.hurst, es.tau_int, es.n_eff,
+       CASE WHEN adf.stationary IS NULL OR kp.stationary IS NULL
+              THEN NULL
+            WHEN adf.stationary AND kp.stationary THEN 'stationary'
+            WHEN NOT adf.stationary AND NOT kp.stationary
+              THEN 'unit_root'
+            WHEN adf.stationary AND NOT kp.stationary
+              THEN 'trend_or_longmemory'
+            ELSE 'inconclusive'
+       END AS verdict
+FROM adf
+JOIN kp ON adf.conv_id = kp.conv_id
+LEFT JOIN hu ON adf.conv_id = hu.conv_id
+LEFT JOIN es ON adf.conv_id = es.conv_id
+"""
+
+
 def q_corpus_health(spark, sf_dir):
     """Composite per-source corpus health report — the corpus-
     forensics stack's ops_health: charclass composition, lexical
@@ -10701,6 +10791,7 @@ _EXTRA_QUERIES = {
     "robust_location": q_robust_location,
     "cooccurrence_mi": q_cooccurrence_mi,
     "corpus_health": q_corpus_health,
+    "stationarity_report": q_stationarity_report,
     "phase_fold": q_phase_fold,
     "allan_variance": q_allan,
     "transition_entropy": q_transition_entropy,
@@ -10807,6 +10898,14 @@ SQL_CORPUS_HEALTH = SQL_CORPUS_HEALTH.format(
 )
 
 
+SQL_STATIONARITY_REPORT = SQL_STATIONARITY_REPORT.format(
+    adf=SQL_ADF,
+    kpss=SQL_KPSS,
+    hurst=SQL_HURST,
+    ess=SQL_ESS,
+)
+
+
 _EXTRA_ORACLES = {
     "interarrival": SQL_INTERARRIVAL,
     "haar_energy": SQL_HAAR_ENERGY,
@@ -10846,6 +10945,7 @@ _EXTRA_ORACLES = {
     "robust_location": SQL_ROBUST_LOCATION,
     "cooccurrence_mi": SQL_COOCCURRENCE_MI,
     "corpus_health": SQL_CORPUS_HEALTH,
+    "stationarity_report": SQL_STATIONARITY_REPORT,
     "phase_fold": SQL_PHASE_FOLD,
     "allan_variance": SQL_ALLAN,
     "transition_entropy": SQL_TRANSITION_ENTROPY,
