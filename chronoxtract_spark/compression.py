@@ -172,14 +172,17 @@ def encode_values(vals: np.ndarray) -> bytes:
     xor = bits[1:] ^ bits[:-1]
 
     zero = xor == 0
-    # leading zeros via bit-length; clamp lz to 63 for the 6-bit field
-    with np.errstate(all="ignore"):
-        # bit_length of xor: position of highest set bit
-        highbit = np.zeros(xor.size, dtype=np.int64)
-        nz = ~zero
-        # log2 on float conversion is exact for the high bit position
-        highbit[nz] = np.floor(np.log2(xor[nz].astype(np.float64))).astype(np.int64)
-    lz = np.where(zero, 64, 63 - highbit)
+    nz = ~zero
+    # leading zeros: exact successive-halving count (float log2 rounds
+    # values within 2^11 of 2^64 up to 2^64 and yields lz = -1, which
+    # overflows the 6-bit field — hypothesis-found on full-width XORs)
+    l = np.zeros(xor.size, dtype=np.int64)
+    lw = xor.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        sel = nz & ((lw >> np.uint64(64 - shift)) == 0)
+        l[sel] += shift
+        lw[sel] <<= np.uint64(shift)
+    lz = np.where(zero, 64, l)
     tz = np.zeros(xor.size, dtype=np.int64)
     x = xor.copy()
     # trailing zeros: count via successive halving (6 vectorized steps)
@@ -200,8 +203,11 @@ def encode_values(vals: np.ndarray) -> bytes:
     head = (ctrl << np.uint64(12)) | (
         np.where(zero, 0, lz).astype(np.uint64) << np.uint64(6)
     ) | np.where(zero, 0, ml - 1).clip(0).astype(np.uint64)
-    codes = (head << ml.astype(np.uint64)) | meaningful
     nbits = np.where(zero, 1, 13 + ml)
+    # rows with nbits > 64 are re-emitted by _pack_wide; zero their
+    # shift here so the uint64 << stays defined (x86 shifts are mod 64)
+    ml_shift = np.where(nbits > 64, 0, ml).astype(np.uint64)
+    codes = (head << ml_shift) | meaningful
     codes = np.where(zero, np.uint64(0), codes)
     # entries with ml > 51 overflow the 64-bit code word (13+ml > 64):
     # fall back to a two-word emit for those rare rows
