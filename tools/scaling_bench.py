@@ -141,8 +141,11 @@ PLAN_EQUIV_CLASSES = [
     # d800ca5e703d == 56eaf25c9076 (r4 opt-in tdigest branch, dead in
     # the measured job); 714b84f227ab == 56eaf25c9076 (r4b compaction +
     # review fixes in tableio.py — compact_partitions is never called
-    # by the rollup legs; diff EMPTY, re-run 2026-08-18 16:00)
-    {"d800ca5e703d", "56eaf25c9076", "714b84f227ab"},
+    # by the rollup legs; diff EMPTY, re-run 2026-08-18 16:00);
+    # 9813ad741dc7 == 714b84f227ab (Gorilla lz-count fix inside the
+    # chunk Arrow UDF — numpy-internal, plan untouched; diff EMPTY vs
+    # BENCH/MEASURED_PLANS.txt, re-run 2026-08-19, 394 lines identical)
+    {"d800ca5e703d", "56eaf25c9076", "714b84f227ab", "9813ad741dc7"},
 ]
 
 
