@@ -11058,7 +11058,8 @@ _BASE_QUERIES = queries
 # recorded every round by tools/check_oracle.py --json (CORRECTNESS_local.json).
 _PRIORITY_ORDER = [
     # flagship compositions + rollup engine
-    "curate_corpus", "ops_health", "rollup_tiers", "rollup_1d",
+    "curate_corpus", "ops_health", "corpus_health", "stationarity_report",
+    "rollup_tiers", "rollup_1d",
     "rollup_quantiles",
     "chunk_layout", "retention_expiry", "gapfill_spans",
     # newly oracled round 4: payload bytes rebuilt bit-for-bit in SQL —
