@@ -52,6 +52,24 @@ def test_chunk_roundtrip_bit_exact(t0, deltas, vals):
     assert ch["n"] == n
 
 
+def test_full_width_xor_roundtrip():
+    """Pinned hypothesis counterexample: a value pair whose XOR has the
+    top AND bottom bits set (64 meaningful bits) with magnitude within
+    2^11 of 2^64. The old float-log2 leading-zero count rounded such a
+    XOR up to exactly 2^64 (lz = -1, ml = 65), overflowing the 6-bit
+    Gorilla header fields — the encoded stream was undecodable."""
+    for pair in (
+        [2.2250738585072014e-308, -1.7976931348622991e308],
+        [2.2250738585072014e-308, -1.797693134862299e308],
+        [5e-324, -1.7976931348623157e308],
+    ):
+        v = np.array(pair, dtype=np.float64)
+        ts = np.array([0, 60], dtype=np.int64)
+        ch = cxc.encode_chunk(ts, v)
+        _, rt_v = cxc.decode_chunk(ch["ts_bytes"], ch["val_bytes"])
+        np.testing.assert_array_equal(rt_v.view(np.uint64), v.view(np.uint64))
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     n=st.integers(min_value=64, max_value=1440),
