@@ -3481,7 +3481,10 @@ FROM bits b JOIN walk p USING (event_type)
 def q_carma_mcmc(spark, sf_dir):
     """Seeded parallel-tempering CARMA(1,0) MCMC per user series
     (reference: src/carma/mcmc.rs:387-501) — rows-only; emits posterior
-    medians plus R-hat / ESS convergence diagnostics."""
+    medians plus R-hat / ESS convergence diagnostics. The Metropolis
+    machinery this runs (proposal/accept/swap fold) is oracle-exact via
+    ``carma_mcmc_fold``; what stays unoracled here is only the
+    production-length chain's summary diagnostics."""
     import pandas as pd
 
     from chronoxtract_spark.kernel import carma as k_carma
@@ -3540,6 +3543,231 @@ def q_carma_mcmc(spark, sf_dir):
     )
 
 
+# shared config for the carma_mcmc_fold oracle pair: the Spark side
+# runs the PRODUCTION carma_mcmc kernel with these pinned values and
+# the SQL generator regenerates the identical RNG draw stream from the
+# same seed (the kernel consumes 3 normals + 1 uniform per chain-step
+# unconditionally — mcmc.rs:155 — so the stream is data-independent)
+_MCMC_FOLD = dict(seed=202, n_burn=20, n_samples=80, n_chains=2,
+                  psc=0.05, init=(0.5, 1.0, 0.0), users=(2, 7))
+
+
+def q_carma_mcmc_fold(spark, sf_dir):
+    """The full parallel-tempering Metropolis fold of ``carma_mcmc``
+    made oracle-exact (reference: src/carma/mcmc.rs:140-312): a short
+    pinned-config CARMA(1,0) chain (2 temps, 20 burn + 80 kept, fixed
+    init, seeded draws) per user series, emitting the cold-chain
+    post-burn trace. Because the kernel draws its accept uniform
+    unconditionally (as the reference's accept_proposal does,
+    mcmc.rs:155), each chain's RNG stream is a fixed function of the
+    seed — so the oracle regenerates the identical draws with numpy,
+    embeds them as literals, and replays every proposal, accept/reject,
+    and adjacent-pair swap decision in a recursive-CTE state machine
+    whose per-proposal log posterior is the closed-form OU collapse
+    (same device as ``carma_loglik``). State columns (a, b0, lsig) are
+    bit-exact (identical scalar ops on identical draw literals); the
+    log-posterior column is quantized at 4dp because the two engines
+    sum its per-point terms in different orders. Decision margins are
+    O(1) while the Kalman-vs-closed-form lp difference is O(1e-13), so
+    accept decisions cannot flip. This greens the Metropolis machinery
+    itself; the production-length run (``carma_mcmc``) stays rows-only
+    for its R-hat/ESS diagnostics only."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import carma as k_carma
+
+    cfg = _MCMC_FOLD
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id").isin(*cfg["users"]))
+        .groupBy(
+            F.col("user_id").cast("long").alias("series_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("t", kind="mergesort")
+        t = pdf["t"].to_numpy(np.float64)
+        v = pdf["v"].to_numpy(np.float64)
+        e = np.full(t.size, 1e-9)
+        sid = int(pdf["series_id"].iloc[0])
+        out = k_carma.carma_mcmc(
+            t, v, e, p=1, q=0,
+            n_samples=cfg["n_samples"], n_burn=cfg["n_burn"],
+            n_chains=cfg["n_chains"], seed=cfg["seed"],
+            init_vec=np.asarray(cfg["init"]),
+            init_prop_scale=cfg["psc"],
+        )
+        return pd.DataFrame(
+            {
+                "series_id": sid,
+                "k": np.arange(cfg["n_samples"], dtype=np.int64),
+                "a": out["samples"][:, 0],
+                "b0": out["samples"][:, 1],
+                "lsig": out["samples"][:, 2],
+                "lp": out["log_posteriors"],
+            }
+        )
+
+    return (
+        ev.groupBy("series_id")
+        .applyInPandas(
+            fn,
+            schema="series_id long, k long, a double, b0 double, "
+            "lsig double, lp double",
+        )
+        .select(
+            "series_id", "k",
+            F.round("a", 10).alias("a"),
+            F.round("b0", 10).alias("b0"),
+            F.round("lsig", 10).alias("lsig"),
+            F.round("lp", 4).alias("lp"),
+        )
+    )
+
+
+def _sql_carma_mcmc_fold() -> str:
+    """DuckDB replay of the carma_mcmc Metropolis fold (see
+    q_carma_mcmc_fold): regenerates the kernel's seeded draw streams,
+    embeds them as VALUES literals, and folds the whole chain —
+    proposal, closed-form OU log posterior, tempered accept/reject,
+    adjacent-pair swap — in one recursive CTE keyed by series."""
+    import numpy as np
+
+    cfg = _MCMC_FOLD
+    seed, nc = cfg["seed"], cfg["n_chains"]
+    nit = cfg["n_burn"] + cfg["n_samples"]
+    psc = cfg["psc"]
+    assert nc == 2, "the SQL fold is written for the 2-chain ladder"
+
+    rngs = [np.random.RandomState((seed + 1000 * i) % 2**32) for i in range(nc)]
+    swap_rng = np.random.RandomState(seed % 2**32)
+    drows = []
+    for it in range(nit):
+        for i in range(nc):
+            n = rngs[i].normal(0, 1, 3)
+            u = rngs[i].rand()
+            drows.append((it, i, repr(n[0]), repr(n[1]), repr(n[2]), repr(u)))
+    srows = [(it, repr(swap_rng.rand())) for it in range(0, nit, 10)]
+    draw_values = ",\n".join(
+        f"({it},{ch},{n0},{n1},{n2},{u})" for it, ch, n0, n1, n2, u in drows
+    )
+    swap_values = ",\n".join(f"({it},{us})" for it, us in srows)
+
+    def lp_expr(A, B, S):
+        # clamped copy used INSIDE the aggregate: DuckDB evaluates CASE
+        # branches eagerly, so ln/exp must never see an invalid a; the
+        # OUTER case nullifies the result whenever the raw a is <= 0
+        As = f"(CASE WHEN ({A}) > 0 THEN ({A}) ELSE 1.0 END)"
+        ivar_first = f"({B})*({B})*exp({S})*exp({S})/(4*{As}*{As}) + 1e-18"
+        ivar_rest = (
+            f"({B})*({B})*exp({S})*exp({S})"
+            f"*(1-exp(-2*{As}*(l.t-l.pt)))/(4*{As}*{As}) + 1e-18"
+        )
+        innov = (
+            f"(CASE WHEN l.pt IS NULL THEN l.v "
+            f"ELSE l.v - l.pv*exp(-{As}*(l.t-l.pt)) END)"
+        )
+        ivar = f"(CASE WHEN l.pt IS NULL THEN {ivar_first} ELSE {ivar_rest} END)"
+        ll = (
+            f"(SELECT sum(-0.5*({innov}*{innov}/{ivar} + ln({ivar}) + 2*ln(pi())))"
+            f" FROM lagged l WHERE l.series_id = rec.series_id)"
+        )
+        return (
+            f"CASE WHEN ({A}) <= 0 OR exp({S}) <= 0 THEN NULL "
+            f"ELSE {ll} - 0.5*(({A})*({A})+({B})*({B})+({S})*({S}))/100.0 END"
+        )
+
+    def acc_case(nlp, u, lpc, temp, yes, no):
+        cond = (
+            f"{nlp} IS NOT NULL AND isfinite({nlp}) "
+            f"AND ln(greatest({u}, 1e-300)) < ({nlp} - {lpc}) / {temp}"
+        )
+        return f"CASE WHEN {cond} THEN {yes} ELSE {no} END"
+
+    swap = (
+        "sd.it IS NOT NULL AND ln(greatest(sd.us, 1e-300)) "
+        "< (1.0/1.0 - 1.0/1.5)*(acc.lp1 - acc.lp0)"
+    )
+    users = ", ".join(str(u) for u in cfg["users"])
+    i0, i1, i2 = (repr(float(x)) for x in cfg["init"])
+
+    return f"""
+WITH RECURSIVE draws(it, chain, n0, n1, n2, u) AS (VALUES {draw_values}),
+sdraws(it, us) AS (VALUES {swap_values}),
+s AS (
+  SELECT user_id AS series_id,
+         epoch_us(ts)::BIGINT / 1000000.0 / 3600.0 AS t,
+         avg(value) AS v
+  FROM events WHERE user_id IN ({users}) GROUP BY 1, 2
+), lagged AS (
+  SELECT series_id, t, v, lag(t) OVER w AS pt, lag(v) OVER w AS pv
+  FROM s WINDOW w AS (PARTITION BY series_id ORDER BY t)
+), rec AS (
+  SELECT series_id, -1 AS it,
+         CAST({i0} AS DOUBLE) AS a0, CAST({i1} AS DOUBLE) AS b0_0, CAST({i2} AS DOUBLE) AS s0,
+         CAST(NULL AS DOUBLE) AS lp0,
+         CAST({i0} AS DOUBLE) AS a1, CAST({i1} AS DOUBLE) AS b0_1, CAST({i2} AS DOUBLE) AS s1,
+         CAST(NULL AS DOUBLE) AS lp1
+  FROM (SELECT DISTINCT series_id FROM lagged) rec
+  UNION ALL
+  SELECT * FROM (
+    WITH cur AS (
+      SELECT rec.series_id, rec.it,
+             rec.a0, rec.b0_0, rec.s0,
+             CASE WHEN rec.it = -1 THEN {lp_expr('rec.a0','rec.b0_0','rec.s0')} ELSE rec.lp0 END AS lp0,
+             rec.a1, rec.b0_1, rec.s1,
+             CASE WHEN rec.it = -1 THEN {lp_expr('rec.a1','rec.b0_1','rec.s1')} ELSE rec.lp1 END AS lp1
+      FROM rec WHERE rec.it < {nit - 1}
+    ), prop AS (
+      SELECT cur.series_id, cur.it + 1 AS it,
+             cur.a0 + d0.n0*{psc} AS pa0, cur.b0_0 + d0.n1*{psc} AS pb0,
+             cur.s0 + d0.n2*{psc} AS ps0, d0.u AS u0,
+             cur.a1 + d1.n0*{psc} AS pa1, cur.b0_1 + d1.n1*{psc} AS pb1,
+             cur.s1 + d1.n2*{psc} AS ps1, d1.u AS u1,
+             cur.a0, cur.b0_0, cur.s0, cur.lp0, cur.a1, cur.b0_1, cur.s1, cur.lp1
+      FROM cur
+      JOIN draws d0 ON d0.it = cur.it + 1 AND d0.chain = 0
+      JOIN draws d1 ON d1.it = cur.it + 1 AND d1.chain = 1
+    ), ev AS (
+      SELECT prop.*,
+             {lp_expr('prop.pa0','prop.pb0','prop.ps0').replace('rec.series_id','prop.series_id')} AS nlp0,
+             {lp_expr('prop.pa1','prop.pb1','prop.ps1').replace('rec.series_id','prop.series_id')} AS nlp1
+      FROM prop
+    ), acc AS (
+      SELECT series_id, it,
+             {acc_case('nlp0','u0','lp0','1.0','pa0','a0')} AS a0,
+             {acc_case('nlp0','u0','lp0','1.0','pb0','b0_0')} AS b0_0,
+             {acc_case('nlp0','u0','lp0','1.0','ps0','s0')} AS s0,
+             {acc_case('nlp0','u0','lp0','1.0','nlp0','lp0')} AS lp0,
+             {acc_case('nlp1','u1','lp1','1.5','pa1','a1')} AS a1,
+             {acc_case('nlp1','u1','lp1','1.5','pb1','b0_1')} AS b0_1,
+             {acc_case('nlp1','u1','lp1','1.5','ps1','s1')} AS s1,
+             {acc_case('nlp1','u1','lp1','1.5','nlp1','lp1')} AS lp1
+      FROM ev
+    )
+    SELECT acc.series_id, acc.it,
+           CASE WHEN {swap} THEN acc.a1 ELSE acc.a0 END,
+           CASE WHEN {swap} THEN acc.b0_1 ELSE acc.b0_0 END,
+           CASE WHEN {swap} THEN acc.s1 ELSE acc.s0 END,
+           CASE WHEN {swap} THEN acc.lp1 ELSE acc.lp0 END,
+           CASE WHEN {swap} THEN acc.a0 ELSE acc.a1 END,
+           CASE WHEN {swap} THEN acc.b0_0 ELSE acc.b0_1 END,
+           CASE WHEN {swap} THEN acc.s0 ELSE acc.s1 END,
+           CASE WHEN {swap} THEN acc.lp0 ELSE acc.lp1 END
+    FROM acc LEFT JOIN sdraws sd ON sd.it = acc.it AND acc.it % 10 = 0
+  )
+)
+SELECT series_id, it - {cfg["n_burn"]} AS k,
+       round(a0, 10) AS a, round(b0_0, 10) AS b0, round(s0, 10) AS lsig,
+       round(lp0, 4) AS lp
+FROM rec WHERE it >= {cfg["n_burn"]}
+ORDER BY series_id, k
+"""
 
 
 def q_zdcf(spark, sf_dir):
@@ -10864,6 +11092,7 @@ _EXTRA_QUERIES = {
     "rollup_quantiles": q_rollup_quantiles,
     "carma_loglik": q_carma_loglik,
     "carma_mcmc": q_carma_mcmc,
+    "carma_mcmc_fold": q_carma_mcmc_fold,
     "hankel": q_hankel,
     "dup_clusters": q_dup_clusters,
     "quality_filter": q_quality_filter,
@@ -11045,6 +11274,7 @@ _EXTRA_ORACLES = {
     "turn_latency": SQL_TURN_LATENCY,
     "hash_split": _sql_hash_split(),
     "stratified_sample": _sql_stratified_sample(),
+    "carma_mcmc_fold": _sql_carma_mcmc_fold(),
 }
 
 _BASE_QUERIES = queries
@@ -11079,7 +11309,8 @@ _PRIORITY_ORDER = [
     "repetition_stats", "tfidf_terms", "lang_mixture", "asof_join",
     "ewma_irregular",
     # newly oracled this round
-    "kernel_features", "carma_fit", "carma_order_p1", "zdcf",
+    "kernel_features", "carma_fit", "carma_order_p1", "carma_mcmc_fold",
+    "zdcf",
     "enhanced_peak_stats", "haar_energy", "yule_walker", "mann_kendall",
     "lead_lag", "pettitt", "randomness", "holt_winters", "forecast_eval",
     # round-4 operator surfaces: resample/counter/anomaly/downsample/

@@ -433,6 +433,8 @@ def carma_mcmc(
     n_burn: int = 500,
     n_chains: int = 4,
     seed: int = 42,
+    init_vec=None,
+    init_prop_scale: float = 0.1,
 ) -> dict:
     """Parallel-tempering adaptive Metropolis (src/carma/mcmc.rs:387-501).
 
@@ -440,20 +442,37 @@ def carma_mcmc(
     RNG (seed + 1000*i, mcmc.rs:237); swap proposals every 10
     iterations; proposal-covariance adaptation every 100 during burn-in;
     cold-chain samples returned with R-hat / ESS diagnostics.
+
+    The accept uniform is drawn UNCONDITIONALLY per proposal — the
+    reference's accept_proposal always consumes rng.gen() regardless of
+    proposal validity (mcmc.rs:155) — so each chain's RNG stream is a
+    fixed function of (seed, n_iters): 3 normals + 1 uniform per step.
+    That data-independence is what lets the ``carma_mcmc_fold`` oracle
+    replay the whole Metropolis fold in SQL over pre-generated draws.
+
+    ``init_vec`` pins the start vector (skipping the carma_mle
+    multistart); ``init_prop_scale`` sets the pre-adaptation proposal
+    scale (reference default 0.1, mcmc.rs:120).
     """
     validate_time_series(times, values, errors)
     t = np.asarray(times, dtype=np.float64)
     v = np.asarray(values, dtype=np.float64)
     e = np.asarray(errors, dtype=np.float64)
 
-    init = carma_mle(t, v, e, p, q, n_starts=4)["params"]
+    if init_vec is None:
+        init = carma_mle(t, v, e, p, q, n_starts=4)["params"]
+        init_arr = _params_to_vector(init)
+    else:
+        init_arr = np.asarray(init_vec, dtype=np.float64)
+        if init_arr.size != p + q + 2:
+            raise CarmaError("init_vec length != p+q+2")
     dim = p + q + 2
     temps = 1.0 + 0.5 * np.arange(n_chains)
     rngs = [np.random.RandomState((seed + 1000 * i) % 2**32) for i in range(n_chains)]
     state = [
         {
-            "vec": _params_to_vector(init).copy(),
-            "cov_scale": np.full(dim, 0.1),
+            "vec": init_arr.copy(),
+            "cov_scale": np.full(dim, float(init_prop_scale)),
             "accepted": 0,
             "proposed": 0,
         }
@@ -471,10 +490,14 @@ def carma_mcmc(
         nonlocal lp
         s = state[i]
         prop = s["vec"] + rngs[i].normal(0, 1, dim) * s["cov_scale"]
+        # drawn before the validity check on purpose: the reference's
+        # accept_proposal consumes its uniform unconditionally
+        # (mcmc.rs:155), keeping the RNG stream data-independent
+        u = rngs[i].rand()
         new_lp = _log_posterior(prop, p, q, t, v, e)
         s["proposed"] += 1
         log_alpha = (new_lp - lp[i]) / temps[i]
-        if np.isfinite(new_lp) and math.log(max(rngs[i].rand(), 1e-300)) < log_alpha:
+        if np.isfinite(new_lp) and math.log(max(u, 1e-300)) < log_alpha:
             s["vec"] = prop
             lp[i] = new_lp
             s["accepted"] += 1

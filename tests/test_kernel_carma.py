@@ -167,6 +167,24 @@ class TestMcmc:
         assert np.isfinite(r1["log_posteriors"]).all()
         assert (r1["ess"] > 0).all()
 
+    def test_mcmc_pinned_init_and_draw_stream(self):
+        # init_vec pins the start (skipping the MLE multistart) and the
+        # accept uniform is drawn unconditionally per proposal, so the
+        # chain is a pure function of (seed, init_vec, n_iters) — the
+        # property the carma_mcmc_fold SQL oracle replays
+        t, y, e = _sim_car1(n=60, seed=7)
+        init = np.array([0.5, 1.0, 0.0])
+        r1 = K.carma_mcmc(t, y, e, 1, 0, n_samples=40, n_burn=10,
+                          n_chains=2, seed=202, init_vec=init,
+                          init_prop_scale=0.05)
+        r2 = K.carma_mcmc(t, y, e, 1, 0, n_samples=40, n_burn=10,
+                          n_chains=2, seed=202, init_vec=init,
+                          init_prop_scale=0.05)
+        np.testing.assert_array_equal(r1["samples"], r2["samples"])
+        with pytest.raises(K.CarmaError):
+            K.carma_mcmc(t, y, e, 1, 0, n_samples=10, n_burn=5,
+                         init_vec=np.array([0.5, 1.0]))
+
     def test_mcmc_params_surface(self):
         # mirrors src/carma/types.rs:185-224: defaults, order validation,
         # positional to_carma_params mapping with ma_coeffs[0] pinned to 1
