@@ -40,17 +40,29 @@ _MAGIC = b"CXG1"
 
 def _pack_varbits(codes: np.ndarray, nbits: np.ndarray) -> bytes:
     """Concatenate the low ``nbits[i]`` bits of ``codes[i]`` into a
-    packed big-endian bitstream. Fully vectorized: build an (n, 64) bit
-    matrix, mask each row to its width, flatten by selection."""
+    packed big-endian bitstream. Fully vectorized: left-align each
+    code's kept bits, explode to a uint8 bit plane with
+    ``np.unpackbits``, gather the ragged per-row prefixes with one
+    integer index, repack. (Replaces an (n, 64)-uint64 bit matrix +
+    boolean fancy-index — ~8x less memory traffic, same bytes out.)"""
     codes = codes.astype(np.uint64)
     nbits = nbits.astype(np.int64)
     n = codes.size
     if n == 0:
         return b""
-    shifts = np.arange(63, -1, -1, dtype=np.uint64)  # MSB first
-    bitmat = (codes[:, None] >> shifts[None, :]) & np.uint64(1)
-    keep = np.arange(64)[None, :] >= (64 - nbits)[:, None]
-    flat = bitmat[keep].astype(np.uint8)
+    # widths outside [1, 64] would make the alignment shift undefined
+    assert 1 <= nbits.min() and nbits.max() <= 64, "code width out of [1,64]"
+    # kept bits moved to the top of each word, then one C-speed bit
+    # explode; row i's payload is bit plane [i*64, i*64 + nbits[i])
+    aligned = codes << (64 - nbits).astype(np.uint64)
+    bits = np.unpackbits(aligned.astype(">u8").view(np.uint8))
+    total = int(nbits.sum())
+    ends = np.cumsum(nbits)
+    # gather index = (row*64 + position-within-run); the within-run
+    # arange and the row base fold into ONE repeat:
+    #   arange(total) - repeat(run_start) + repeat(row*64)
+    base = np.arange(n, dtype=np.int64) * 64 - (ends - nbits)
+    flat = bits[np.arange(total, dtype=np.int64) + np.repeat(base, nbits)]
     return np.packbits(flat).tobytes()
 
 
@@ -172,28 +184,23 @@ def encode_values(vals: np.ndarray) -> bytes:
     xor = bits[1:] ^ bits[:-1]
 
     zero = xor == 0
-    nz = ~zero
-    # leading zeros: exact successive-halving count (float log2 rounds
-    # values within 2^11 of 2^64 up to 2^64 and yields lz = -1, which
-    # overflows the 6-bit field — hypothesis-found on full-width XORs)
-    l = np.zeros(xor.size, dtype=np.int64)
-    lw = xor.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        sel = nz & ((lw >> np.uint64(64 - shift)) == 0)
-        l[sel] += shift
-        lw[sel] <<= np.uint64(shift)
-    lz = np.where(zero, 64, l)
-    tz = np.zeros(xor.size, dtype=np.int64)
-    x = xor.copy()
-    # trailing zeros: count via successive halving (6 vectorized steps)
-    t = np.zeros(xor.size, dtype=np.int64)
-    work = x.copy()
-    for shift in (32, 16, 8, 4, 2, 1):
-        mask = np.uint64((1 << shift) - 1)
-        sel = nz & ((work & mask) == 0)
-        t[sel] += shift
-        work[sel] >>= np.uint64(shift)
-    tz = np.where(zero, 0, t)
+    # leading zeros via exact bit length: frexp's exponent on
+    # float64(xor) IS the bit length except when rounding-to-nearest
+    # crosses a power of two UPWARD (a uint64 within 2^11 of 2^64
+    # rounds to exactly 2^64 — the hypothesis-found full-width-XOR
+    # bug class); rounding can never cross a boundary downward, so a
+    # single carry-back correction wherever bit (bl-1) is unset makes
+    # the estimate exact for every nonzero input
+    bl = np.frexp(xor.astype(np.float64))[1].astype(np.int64)
+    probe = xor >> np.clip(bl - 1, 0, 63).astype(np.uint64)
+    bl -= (bl > 64) | ((probe & np.uint64(1)) == 0)
+    lz = np.where(zero, 64, 64 - bl)
+    # trailing zeros: the lowest set bit (x & -x) is a power of two
+    # <= 2^63, exactly representable in float64, so its log2 is exact
+    lsb = xor & (np.uint64(0) - xor)
+    tz = np.where(
+        zero, 0, np.log2(np.where(zero, 1, lsb).astype(np.float64)).astype(np.int64)
+    )
 
     ml = np.where(zero, 0, 64 - lz - tz)  # meaningful bit length
     meaningful = np.where(zero, np.uint64(0), xor >> tz.astype(np.uint64))
@@ -218,27 +225,31 @@ def encode_values(vals: np.ndarray) -> bytes:
 
 
 def _pack_wide(codes, nbits, xor, lz, ml, zero, wide):
-    """Split wide rows (header word + payload word) and re-pack."""
-    idx = np.arange(xor.size)
-    out_codes = []
-    out_bits = []
-    for i in idx:
-        if zero[i]:
-            out_codes.append(0)
-            out_bits.append(1)
-        elif not wide[i]:
-            out_codes.append(int(codes[i]))
-            out_bits.append(int(nbits[i]))
-        else:
-            head = (1 << 12) | (int(lz[i]) << 6) | int(ml[i] - 1)
-            out_codes.append(head)
-            out_bits.append(13)
-            tz_i = int(64 - lz[i] - ml[i])
-            out_codes.append(int(xor[i]) >> tz_i)
-            out_bits.append(int(ml[i]))
-    return _pack_varbits(
-        np.asarray(out_codes, dtype=np.uint64), np.asarray(out_bits, dtype=np.int64)
+    """Split wide rows (header word + payload word) and re-pack.
+
+    Vectorized: each row owns a slot run (1 word, or 2 for wide rows)
+    in the output arrays; scatter the first words at each run start and
+    the wide payload words at start+1. Byte-identical to the old
+    per-row loop (same word order, same widths) — one wide row used to
+    drop the WHOLE chunk into Python; at ~7% wide rows on interpolated
+    gap-fill values that was nearly every production chunk."""
+    n = xor.size
+    counts = 1 + wide.astype(np.int64)
+    starts = np.cumsum(counts) - counts
+    out_codes = np.zeros(int(counts.sum()), dtype=np.uint64)
+    out_bits = np.empty(out_codes.size, dtype=np.int64)
+    head = (
+        (np.uint64(1) << np.uint64(12))
+        | (np.where(zero, 0, lz).astype(np.uint64) << np.uint64(6))
+        | np.where(zero, 0, ml - 1).clip(0).astype(np.uint64)
     )
+    out_codes[starts] = np.where(zero, np.uint64(0), np.where(wide, head, codes))
+    out_bits[starts] = np.where(zero, 1, np.where(wide, 13, nbits))
+    out_codes[starts[wide] + 1] = xor[wide] >> (64 - lz[wide] - ml[wide]).astype(
+        np.uint64
+    )
+    out_bits[starts[wide] + 1] = ml[wide]
+    return _pack_varbits(out_codes, out_bits)
 
 
 def decode_values(payload: bytes) -> np.ndarray:

@@ -146,6 +146,17 @@ PLAN_EQUIV_CLASSES = [
     # chunk Arrow UDF — numpy-internal, plan untouched; diff EMPTY vs
     # BENCH/MEASURED_PLANS.txt, re-run 2026-08-19, 394 lines identical)
     {"d800ca5e703d", "56eaf25c9076", "714b84f227ab", "9813ad741dc7"},
+    # 86c1a48d44e8 (r4e vectorized Gorilla encoder: _pack_wide scatter,
+    # unpackbits _pack_varbits, closed-form lz/tz) has an EMPTY plan
+    # diff vs BENCH/MEASURED_PLANS.txt too, but is deliberately NOT
+    # pooled with the class above: it is a ~2.5x kernel speedup, so the
+    # chunk phase does materially less wall-clock work per point. Plan
+    # equivalence licenses pooling only when the EXECUTION is the same
+    # (dead-code / bit-identical-cost edits); mixing old slow legs with
+    # new fast legs best-per-leg could pair a slow 2c leg with a fast
+    # 8c leg and inflate efficiency. Fresh pairs are measured at this
+    # revision on both sides.
+    {"86c1a48d44e8"},
 ]
 
 
