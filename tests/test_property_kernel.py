@@ -70,6 +70,73 @@ def test_full_width_xor_roundtrip():
         np.testing.assert_array_equal(rt_v.view(np.uint64), v.view(np.uint64))
 
 
+def _naive_pack_varbits(codes, nbits):
+    """Per-row spec of the packed bitstream: the low nbits[i] bits of
+    codes[i], MSB first, concatenated. The production packer is a
+    vectorized unpackbits/gather pipeline — this pins its byte layout
+    against an independent restatement."""
+    bitstr = "".join(
+        format(int(c) & ((1 << int(w)) - 1), f"0{int(w)}b")
+        for c, w in zip(codes, nbits)
+    )
+    out = bytearray()
+    for i in range(0, len(bitstr), 8):
+        out.append(int(bitstr[i : i + 8].ljust(8, "0"), 2))
+    return bytes(out)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**64 - 1),
+            st.integers(min_value=1, max_value=64),
+        ),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_pack_varbits_matches_naive_spec(rows):
+    codes = np.array([r[0] for r in rows], dtype=np.uint64)
+    nbits = np.array([r[1] for r in rows], dtype=np.int64)
+    assert cxc._pack_varbits(codes, nbits) == _naive_pack_varbits(codes, nbits)
+
+
+@settings(max_examples=200, deadline=None)
+@given(vals=_VALUES)
+def test_encode_values_matches_naive_spec(vals):
+    """The vectorized XOR encoder (closed-form lz/tz, scatter-packed
+    wide rows) against a per-row restatement of the format: '0' on
+    zero XOR, else '1' + 6b lz + 6b (ml-1) + ml meaningful bits."""
+    v = np.array(vals, dtype=np.float64)
+    bits = v.view(np.uint64) if v.size else np.array([], dtype=np.uint64)
+    codes, widths = [], []
+    for i in range(1, v.size):
+        x = int(bits[i] ^ bits[i - 1])
+        if x == 0:
+            codes.append(0)
+            widths.append(1)
+            continue
+        lz = 64 - x.bit_length()
+        tz = (x & -x).bit_length() - 1
+        ml = 64 - lz - tz
+        head = (1 << 12) | (lz << 6) | (ml - 1)
+        if 13 + ml <= 64:
+            codes.append((head << ml) | (x >> tz))
+            widths.append(13 + ml)
+        else:
+            codes.extend([head, x >> tz])
+            widths.extend([13, ml])
+    expected = cxc._MAGIC + np.uint32(v.size).tobytes()
+    if v.size:
+        expected += bits[0].tobytes()
+    if v.size > 1:
+        expected += _naive_pack_varbits(
+            np.array(codes, dtype=np.uint64), np.array(widths, dtype=np.int64)
+        )
+    assert cxc.encode_values(v) == expected
+
+
 @settings(max_examples=100, deadline=None)
 @given(
     n=st.integers(min_value=64, max_value=1440),
