@@ -70,7 +70,12 @@ def main():
     import __spark_entry__ as entry_mod
     from chronoxtract_spark.session import get_spark
 
-    spark = get_spark(app_name="oracle_check", master="local[8]", shuffle_partitions=8)
+    # local[16]: correctness is core-count-invariant (every oracle
+    # compare is order-insensitive); 16 threads just halves the
+    # full-registry wall time vs the old local[8]
+    spark = get_spark(
+        app_name="oracle_check", master="local[16]", shuffle_partitions=16
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.sql(
