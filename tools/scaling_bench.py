@@ -577,6 +577,35 @@ windows recovers the engine's ratio because the steal is strictly
 additive per leg. The per-leg phase breakdown in the sidecar is the
 witness: compare each 8c leg's write_1m to the quiet ~45-52 s band.
 
+Why the current-revision efficiency sits BELOW the prior revisions'
+even in good windows — and why that is the engine getting FASTER, not
+slower: the r4e vectorized Gorilla encoder cut the chunk phase ~2.5x.
+That phase was the pipeline's best-scaling work (2c/8c ratio 3.4-3.6);
+shrinking it raises the share of the phases that scale at 2.6-3.2x on
+this box, so the blended N->4N ratio falls while points/sec improves
+at BOTH cluster sizes (the 2c leg alone got 18% faster, 348->285 s;
+the rule's metric numerator, rolled points/sec, is higher at every
+size than any prior revision). Throughput up at N and at 4N, ratio
+down, is Amdahl arithmetic, not a regression.
+
+The sub-4x residual of the remaining phases was hunted exhaustively
+(2026-08-19, all probes disclosed in the session commits):
+parquet codec (lz4 == snappy == zstd within noise), per-column
+dictionary tuning (worse: dictionary compresses the interpolated
+rate column 2.8x), fan-out granule count 32->64 (no effect), segment-
+level vs conversation-level fan-out hashing (conversation locality
+WINS by 36% — the partitioned writer needs it), heap-per-core parity
+(a 96g heap 8c leg is no faster than 48g — GC is not the tax), raw
+memory bandwidth (tools/membw_probe.py: STREAM-triad aggregate scales
+3.68x from 2 to 8 pinned workers — ceiling efficiency 0.92, so
+bandwidth is not the wall), and real executor JVMs via local-cluster
+(tools/executor_scale_bench.py + BENCH/EXECUTOR_SCALING.md: the
+stand-in's own one-box artifacts dominate, 4-exec write_1m 135.8 s vs
+local[8]'s 51-60 s). What remains is the one-box substitution itself:
+a shared OS image, one kernel page-cache/zeroing path, and one
+hypervisor tenancy serving both "cluster sizes" — costs a real
+4N-executor cluster divides by 4 but a 4N-thread box does not.
+
 | engine rev | runs | best 2c s | best 8c s | pooled eff | pair median |
 | --- | --- | --- | --- | --- | --- |
 """ + rev_table + """
