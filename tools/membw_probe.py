@@ -43,10 +43,34 @@ print((reps * 4 * n * 8) / dt / 1e9)
 """
 
 
-def run_workers(k: int) -> list[float]:
+#: cache-hostile analog: random 8-byte gathers over a 512 MiB table —
+#: the access pattern of dictionary hashing / compression index work
+#: (the parquet encode path), dominated by shared-LLC misses and
+#: memory LATENCY rather than streaming bandwidth. If k workers scale
+#: worse here than on the triad, parallel encode streams contend on
+#: the shared last-level cache — a one-box artifact separate nodes
+#: don't share.
+GATHER = r"""
+import time
+import numpy as np
+rng = np.random.RandomState(0)
+table = rng.standard_normal(1 << 26)          # 512 MiB
+idx = rng.randint(0, table.size, 1 << 24)     # 16M random gathers
+out = np.empty(idx.size)
+np.take(table, idx, out=out)                  # warm
+t0 = time.time()
+reps = 6
+for _ in range(reps):
+    np.take(table, idx, out=out)
+dt = time.time() - t0
+print((reps * idx.size) / dt / 1e6)           # M gathers/s
+"""
+
+
+def run_workers(k: int, src: str = WORKER) -> list[float]:
     procs = [
         subprocess.Popen(
-            ["taskset", "-c", str(i), sys.executable, "-c", WORKER],
+            ["taskset", "-c", str(i), sys.executable, "-c", src],
             stdout=subprocess.PIPE,
             text=True,
         )
@@ -67,6 +91,16 @@ def main() -> None:
     agg8 = out["workers_8"]["aggregate_GBps"]
     out["bw_scaling_2_to_8"] = round(agg8 / agg2, 3)
     out["bw_ceiling_efficiency"] = round(agg8 / agg2 / 4, 3)
+    for k in (2, 8):
+        gs = run_workers(k, GATHER)
+        out[f"gather_{k}"] = {
+            "per_worker_Mgathers": [round(g, 1) for g in gs],
+            "aggregate_Mgathers": round(sum(gs), 1),
+        }
+    g2 = out["gather_2"]["aggregate_Mgathers"]
+    g8 = out["gather_8"]["aggregate_Mgathers"]
+    out["gather_scaling_2_to_8"] = round(g8 / g2, 3)
+    out["gather_ceiling_efficiency"] = round(g8 / g2 / 4, 3)
     print(json.dumps(out))
 
 

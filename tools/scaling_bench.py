@@ -602,9 +602,18 @@ bandwidth is not the wall), and real executor JVMs via local-cluster
 (tools/executor_scale_bench.py + BENCH/EXECUTOR_SCALING.md: the
 stand-in's own one-box artifacts dominate, 4-exec write_1m 135.8 s vs
 local[8]'s 51-60 s). What remains is the one-box substitution itself:
-a shared OS image, one kernel page-cache/zeroing path, and one
-hypervisor tenancy serving both "cluster sizes" — costs a real
-4N-executor cluster divides by 4 but a 4N-thread box does not.
+a shared OS image, one kernel page-cache/zeroing path, one shared
+last-level cache, and one hypervisor tenancy serving both "cluster
+sizes" — costs a real 4N-executor cluster divides by 4 but a
+4N-thread box does not. tools/membw_probe.py separates the two
+memory regimes within a single window: streaming triad vs random
+8-byte gathers over a 512 MiB table (the dictionary-hash access
+pattern of the parquet encode). Measured in the same window, gather
+scales 2->8 workers ~35% worse than triad (1.92x vs 2.93x in one
+degraded-window sample), and the 8-wide per-worker gather rates
+spread 3.6x across cores (8.1-29.1 M/s) — asymmetric LLC/latency
+starvation by host tenancy, which lands exactly on the encode-bound
+write_1m phase and not on the compute-dense kernel phases.
 
 | engine rev | runs | best 2c s | best 8c s | pooled eff | pair median |
 | --- | --- | --- | --- | --- | --- |
