@@ -36,6 +36,37 @@ def noise_canary() -> float:
     return round(time.time() - t0, 3)
 
 
+def parallel_noise_canary(n: int = 8) -> list[float]:
+    """n concurrent core-pinned copies of the single-thread canary.
+    The single-thread probe is blind to MULTI-core contention: on
+    2026-08-19 a storm made this bench ~3-6x slower at local[32] while
+    the single-thread canary read a healthy 0.86 s — but 8 pinned
+    copies read 1.5-2.5 s each. Quiet window: all readings ~0.7-1.0 s.
+    Returns the sorted per-copy seconds so the artifact carries the
+    multi-core witness too."""
+    import subprocess
+
+    code = (
+        "import time,numpy as np\n"
+        "x=np.random.RandomState(0).standard_normal(1<<21)\n"
+        "t0=time.time()\n"
+        "for _ in range(12): np.fft.rfft(x)\n"
+        "print(round(time.time()-t0,3))"
+    )
+    try:
+        procs = [
+            subprocess.Popen(
+                ["taskset", "-c", str(i), sys.executable, "-c", code],
+                stdout=subprocess.PIPE,
+                text=True,
+            )
+            for i in range(n)
+        ]
+        return sorted(float(p.communicate()[0].strip()) for p in procs)
+    except Exception:
+        return []
+
+
 def read_cpu_stat() -> dict | None:
     """Aggregate jiffies from /proc/stat — steal time is the direct
     measurement of the hypervisor taking CPU away from this VM, which
@@ -79,6 +110,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from chronoxtract_spark.sources.tableio import temp_warehouse
 
     canary_pre = noise_canary()
+    par_canary_pre = parallel_noise_canary()
     stat_pre = read_cpu_stat()
     spark = get_spark(
         app_name="cx_bench",
@@ -187,6 +219,10 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
         "input_events": n_events,
         "cpus": cpus,
         "host_noise_canary_sec": {"pre": canary_pre, "post": noise_canary()},
+        "host_parallel_canary_sec": {
+            "pre": par_canary_pre,
+            "post": parallel_noise_canary(),
+        },
         "host_cpu_pressure": cpu_pressure(stat_pre, read_cpu_stat()),
     }
     spark.stop()
