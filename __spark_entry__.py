@@ -5617,8 +5617,12 @@ WITH t AS (
   WINDOW w AS (PARTITION BY conv_id ORDER BY ts_s, turn_idx)
 ), s AS (
   SELECT conv_id, ts_s,
-         SUM(is_new) OVER (PARTITION BY conv_id ORDER BY ts_s, turn_idx
-                           ROWS UNBOUNDED PRECEDING) - 1 AS session_idx
+         -- ::BIGINT: DuckDB SUM(int) is HUGEINT, which lands in pandas
+         -- as float64 and hash-diverges from Spark's int64 even though
+         -- every value is identical (the r4 driver's one red row)
+         CAST(SUM(is_new) OVER (PARTITION BY conv_id ORDER BY ts_s, turn_idx
+                                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT)
+           AS session_idx
   FROM m
 )
 SELECT conv_id, session_idx, COUNT(*)::BIGINT AS n_turns,

@@ -31,18 +31,30 @@ def sessionize(
     gap_s: int = 1800,
 ) -> DataFrame:
     """Add ``session_idx`` (0-based per conversation) and
-    ``session_id`` (``conv_id/session_idx``) to every row."""
-    w = Window.partitionBy(conv_col).orderBy(ts_col, *order_cols)
-    prev_ts = F.lag(F.col(ts_col)).over(w)
+    ``session_id`` (``conv_id/session_idx``) to every row.
+
+    The window orders by the SAME floored-second value the gaps are
+    measured in (plus the unique tiebreakers), not the raw sub-second
+    timestamp — so same-second ties are ordered by the tiebreaker
+    alone, identically in any engine that only has whole seconds
+    (the ``turn_latency`` pattern). ``ts_col`` may be a timestamp or
+    an already-floored numeric epoch column.
+    """
+    from pyspark.sql.types import NumericType
+
+    if isinstance(df.schema[ts_col].dataType, NumericType):
+        sec = F.col(ts_col).cast("long")
+    else:
+        sec = F.unix_timestamp(F.col(ts_col))
+    d = df.withColumn("__sess_ts_s", sec)
+    w = Window.partitionBy(conv_col).orderBy("__sess_ts_s", *order_cols)
+    prev_s = F.lag(F.col("__sess_ts_s")).over(w)
     is_new = (
-        prev_ts.isNull()
-        | (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev_ts) > gap_s)
+        prev_s.isNull() | (F.col("__sess_ts_s") - prev_s > gap_s)
     ).cast("int")
-    run = Window.partitionBy(conv_col).orderBy(ts_col, *order_cols).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    sess = (F.sum(is_new).over(run) - F.lit(1)).alias("session_idx")
-    out = df.withColumn("session_idx", sess)
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (F.sum(is_new).over(run) - F.lit(1)).cast("long")
+    out = d.withColumn("session_idx", sess).drop("__sess_ts_s")
     return out.withColumn(
         "session_id",
         F.concat_ws("/", F.col(conv_col), F.col("session_idx").cast("string")),

@@ -50,6 +50,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     a, b = canon(spark_pdf), canon(duck_pdf)
     if len(a) == len(b):
         for c in a.columns:
+            # dtype-CLASS skew (int64 vs float64) compares numerically
+            # equal below but hash-diverges in the driver's canonical
+            # form — the exact failure mode of r4's sessionize row
+            # (DuckDB HUGEINT -> pandas float64 vs Spark int64)
+            ai = pd.api.types.is_integer_dtype(a[c])
+            bi = pd.api.types.is_integer_dtype(b[c])
+            af = pd.api.types.is_float_dtype(a[c])
+            bf = pd.api.types.is_float_dtype(b[c])
+            if (ai and bf) or (af and bi):
+                issues.append(
+                    f"col '{c}': dtype-class skew spark={a[c].dtype} "
+                    f"duck={b[c].dtype} (driver hash would diverge)"
+                )
             av, bv = a[c].to_numpy(), b[c].to_numpy()
             if pd.api.types.is_float_dtype(a[c]):
                 both_nan = pd.isna(av) & pd.isna(bv)
