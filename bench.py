@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -53,18 +54,22 @@ def parallel_noise_canary(n: int = 8) -> list[float]:
         "for _ in range(12): np.fft.rfft(x)\n"
         "print(round(time.time()-t0,3))"
     )
+    n = min(n, os.cpu_count() or 1)
+    have_taskset = shutil.which("taskset") is not None
+    procs = []
     try:
-        procs = [
-            subprocess.Popen(
-                ["taskset", "-c", str(i), sys.executable, "-c", code],
-                stdout=subprocess.PIPE,
-                text=True,
-            )
-            for i in range(n)
-        ]
+        for i in range(n):
+            cmd = [sys.executable, "-c", code]
+            if have_taskset:
+                cmd = ["taskset", "-c", str(i)] + cmd
+            procs.append(subprocess.Popen(cmd, stdout=subprocess.PIPE, text=True))
         return sorted(float(p.communicate()[0].strip()) for p in procs)
-    except Exception:
+    except (OSError, ValueError):
         return []
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
 
 
 def read_cpu_stat() -> dict | None:
@@ -101,6 +106,36 @@ def cpu_pressure(before: dict | None, after: dict | None) -> dict | None:
     }
 
 
+def wait_for_quiet_window(
+    max_tries: int | None = None, sleep_s: int = 45
+) -> dict:
+    """Pre-flight gate (r4 verdict #2): BENCH_r04 was measured inside a
+    host-contention storm its own sidecar detected but did not act on.
+    Before the expensive run, poll the 8-wide canary until the window
+    is quiet — median <= 1.05 s and max <= 1.35 s, the empirical quiet
+    band (quiet readings ~0.65-1.0 s; storm readings 1.25-2.5 s) — or
+    give up after ``max_tries`` polls and proceed with
+    ``passed: false`` stamped in the artifact, so a noisy number is a
+    witnessed disclosure rather than a silent misrepresentation."""
+    if max_tries is None:
+        max_tries = int(os.environ.get("SPARK_GRAFT_QUIET_RETRIES", "8"))
+    attempts = []
+    for i in range(max(1, max_tries)):
+        readings = parallel_noise_canary()
+        med = readings[len(readings) // 2] if readings else None
+        mx = readings[-1] if readings else None
+        attempts.append({"median": med, "max": mx})
+        if med is not None and med <= 1.05 and mx <= 1.35:
+            return {"passed": True, "attempts": attempts,
+                    "readings": readings}
+        print(f"[bench] window noisy (median {med}s, max {mx}s); "
+              f"retry {i + 1}/{max_tries} in {sleep_s}s", file=sys.stderr)
+        if i < max_tries - 1:
+            time.sleep(sleep_s)
+    return {"passed": False, "attempts": attempts,
+            "readings": attempts[-1] if attempts else None}
+
+
 def run_bench(sf_dir: str, cpus: str) -> dict:
     from pyspark.sql import functions as F
 
@@ -109,6 +144,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     from chronoxtract_spark.session import get_spark
     from chronoxtract_spark.sources.tableio import temp_warehouse
 
+    quiet_gate = wait_for_quiet_window()
     canary_pre = noise_canary()
     par_canary_pre = parallel_noise_canary()
     stat_pre = read_cpu_stat()
@@ -131,7 +167,6 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
     ev.cache()
     n_events = ev.count()
 
-    import shutil
 
     io = temp_warehouse(spark)
     eng = RollupEngine(spark, io, kernel_features=True, compress=True)
@@ -224,6 +259,7 @@ def run_bench(sf_dir: str, cpus: str) -> dict:
             "post": parallel_noise_canary(),
         },
         "host_cpu_pressure": cpu_pressure(stat_pre, read_cpu_stat()),
+        "quiet_gate": quiet_gate,
     }
     spark.stop()
     return result

@@ -51,7 +51,10 @@ def _pack_varbits(codes: np.ndarray, nbits: np.ndarray) -> bytes:
     if n == 0:
         return b""
     # widths outside [1, 64] would make the alignment shift undefined
-    assert 1 <= nbits.min() and nbits.max() <= 64, "code width out of [1,64]"
+    # (uint64 << 64 is platform-undefined); ValueError, not assert, so
+    # the guard survives python -O
+    if nbits.min() < 1 or nbits.max() > 64:
+        raise ValueError("code width out of [1,64]")
     # kept bits moved to the top of each word, then one C-speed bit
     # explode; row i's payload is bit plane [i*64, i*64 + nbits[i])
     aligned = codes << (64 - nbits).astype(np.uint64)

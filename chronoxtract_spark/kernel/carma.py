@@ -443,12 +443,16 @@ def carma_mcmc(
     iterations; proposal-covariance adaptation every 100 during burn-in;
     cold-chain samples returned with R-hat / ESS diagnostics.
 
-    The accept uniform is drawn UNCONDITIONALLY per proposal — the
-    reference's accept_proposal always consumes rng.gen() regardless of
-    proposal validity (mcmc.rs:155) — so each chain's RNG stream is a
-    fixed function of (seed, n_iters): 3 normals + 1 uniform per step.
-    That data-independence is what lets the ``carma_mcmc_fold`` oracle
-    replay the whole Metropolis fold in SQL over pre-generated draws.
+    The accept uniform is drawn UNCONDITIONALLY per proposal. This is a
+    DELIBERATE kernel-side determinism guarantee, not reference
+    behavior: the reference's step() propagates invalid-proposal errors
+    with ``?`` before accept_proposal (mcmc.rs:155) ever draws, so its
+    RNG stream is data-dependent on chains that hit a non-finite
+    proposal. Here each chain's stream is a fixed function of
+    (seed, n_iters) — 3 normals + 1 uniform per step — which is what
+    lets the ``carma_mcmc_fold`` oracle replay the whole Metropolis
+    fold in SQL over pre-generated draws; outputs diverge from the
+    reference only on chains that hit an invalid proposal.
 
     ``init_vec`` pins the start vector (skipping the carma_mle
     multistart); ``init_prop_scale`` sets the pre-adaptation proposal

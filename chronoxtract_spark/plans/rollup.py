@@ -151,45 +151,6 @@ class RollupEngine:
         )
         return {r[0] for r in rows}
 
-    def _write_lineage(self, df: DataFrame, tier: str, source_snapshot: str) -> int:
-        """One lineage row per day partition: row count + order-insensitive
-        content checksum (bit_xor of per-row xxhash64 — overflow-free
-        under ANSI mode and commutative, so shuffle order can't change it).
-        Returns the total row count across the committed partitions (the
-        lineage aggregation already computes it — no extra pass).
-
-        ``day`` is hashed as its canonical string form — a read-back of
-        the written files re-infers the partition column as DATE, and
-        the checksum must not depend on which side of the write it was
-        computed from. ``row_hash`` (persisted by ``_write_with_lineage``)
-        is excluded so checksums from either path stay interchangeable —
-        both hash exactly the data columns."""
-        df = df.withColumn("day", F.col("day").cast("string"))
-        # name-sorted hash order: a read-back re-appends the partition
-        # column last, so positional order is not canonical
-        cols = ", ".join(sorted(c for c in df.columns if c != "row_hash"))
-        rows = (
-            df.groupBy("day")
-            .agg(
-                F.count("*").alias("row_count"),
-                F.expr(f"bit_xor(xxhash64({cols}))").alias("checksum"),
-            )
-            .collect()
-        )
-        now = int(time.time() * 1000)
-        if rows:
-            lineage = self.spark.createDataFrame(
-                [
-                    (tier, str(r["day"]), source_snapshot, r["row_count"],
-                     r["checksum"], now)
-                    for r in rows
-                ],
-                "tier string, partition_key string, source_snapshot string, "
-                "row_count long, checksum long, committed_at long",
-            )
-            self.io.append(lineage, LINEAGE_TABLE)
-        return sum(r["row_count"] for r in rows)
-
     def _write_with_lineage(
         self,
         df: DataFrame,
@@ -200,8 +161,9 @@ class RollupEngine:
         observe_day_cap: int | None = None,
     ) -> int:
         """Partitioned dynamic-overwrite write whose per-day lineage
-        metrics (row count + bit_xor(xxhash64) content checksum, same
-        expressions as ``_write_lineage``) are collected by the write
+        metrics (row count + an order-insensitive bit_xor(xxhash64)
+        content checksum — commutative, so shuffle order can't change
+        it, and overflow-free under ANSI mode) are collected by the write
         action itself via ``df.observe`` — ONE scan produces both the
         tier files and the lineage commit; the written table is never
         re-read. The day partitions are known up front (the gap-fill
@@ -231,7 +193,9 @@ class RollupEngine:
             df = df.repartition(F.col("day"))
         if not days:
             return 0
-        cols = sorted(df.columns)  # canonical hash order (see _write_lineage)
+        # name-sorted hash order: a read-back re-appends the partition
+        # column last, so positional order is not canonical
+        cols = sorted(df.columns)
         hashed = df.withColumn(
             "row_hash",
             F.expr(

@@ -104,8 +104,8 @@ class TestKillResume:
             "day", F.date_format("minute_ts", "yyyy-MM-dd")
         )
         tier_1m = eng.build_rollup_1m(base)
-        io.overwrite_partitions(tier_1m, "rollup_1m", ["day"])
-        eng._write_lineage(io.read("rollup_1m"), "rollup_1m", "s")
+        days = sorted(r["day"] for r in tier_1m.select("day").distinct().collect())
+        eng._write_with_lineage(tier_1m, "rollup_1m", days, "s")
 
         # resume: full run against the same snapshot
         counts = eng.run(tr, source_snapshot="s")

@@ -20,6 +20,7 @@ Usage: python tools/membw_probe.py   (prints one JSON line)
 from __future__ import annotations
 
 import json
+import os
 import subprocess
 import sys
 
@@ -68,15 +69,22 @@ print((reps * idx.size) / dt / 1e6)           # M gathers/s
 
 
 def run_workers(k: int, src: str = WORKER) -> list[float]:
-    procs = [
-        subprocess.Popen(
-            ["taskset", "-c", str(i), sys.executable, "-c", src],
-            stdout=subprocess.PIPE,
-            text=True,
-        )
-        for i in range(k)
-    ]
-    return sorted(float(p.communicate()[0].strip()) for p in procs)
+    k = min(k, os.cpu_count() or 1)
+    procs = []
+    try:
+        for i in range(k):
+            procs.append(
+                subprocess.Popen(
+                    ["taskset", "-c", str(i), sys.executable, "-c", src],
+                    stdout=subprocess.PIPE,
+                    text=True,
+                )
+            )
+        return sorted(float(p.communicate()[0].strip()) for p in procs)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.terminate()
 
 
 def main() -> None:
