@@ -1736,6 +1736,96 @@ WHERE i::DOUBLE / (s1.n + s2.n - i) >= 0.25
 """
 
 
+def q_minhash_lsh_fast(spark, sf_dir):
+    """MinHash+LSH with the signature-agreement pre-verify filter —
+    the corpus-scale fast path (BENCH/DEDUP_SCALE.md): candidate pairs
+    whose estimated Jaccard (fraction of agreeing signature positions)
+    clears threshold+margin are accepted carrying the estimate, pairs
+    below threshold-margin are dropped, and only the in-between band
+    pays the exact shingle-intersection join. Fully deterministic given
+    the signatures, so oracle-exact end-to-end like minhash_lsh."""
+    from chronoxtract_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(
+        _documents(spark, sf_dir),
+        num_hashes=32,
+        bands=8,
+        verify_threshold=0.25,
+        hash_fn="md5_60",
+        preverify_margin=0.15,
+    )
+
+
+def _sql_minhash_lsh_fast() -> str:
+    """DuckDB mirror of q_minhash_lsh_fast: the minhash_lsh oracle's
+    signature/bucket/candidate CTEs plus the three-way pre-verify split
+    (accept ≥ 0.40 with round(est,6); drop < 0.10; exact-verify the
+    band between, emitting pairs ≥ 0.25)."""
+    from chronoxtract_spark.operators.dedup import MINHASH_P, minhash_coeffs
+
+    hashes = ", ".join(
+        f"{{'i': {i}, 'v': ({a}*hi + {b}*lo + {i}) % {MINHASH_P}}}"
+        for i, (a, b) in enumerate(minhash_coeffs(32))
+    )
+    return SQL_MINHASH_LSH_FAST_TMPL.replace("__HASHES__", hashes)
+
+
+SQL_MINHASH_LSH_FAST_TMPL = """
+WITH words AS (
+  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id AS d, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+  FROM words, unnest(generate_series(1, len(w) - 2)) AS t(i)
+), hparts AS (
+  SELECT d,
+         ('0x' || substr(md5(shingle || chr(1) || 'base'), 1, 15))::BIGINT >> 30
+           AS hi,
+         ('0x' || substr(md5(shingle || chr(1) || 'base'), 1, 15))::BIGINT
+           & 1073741823 AS lo
+  FROM sh
+), mins AS (
+  SELECT d, hh.i AS i, min(hh.v) AS h
+  FROM hparts, unnest([__HASHES__]) AS t(hh)
+  GROUP BY 1, 2
+), sig AS (
+  SELECT d, list(h ORDER BY i) AS sig FROM mins GROUP BY 1
+), buckets AS (
+  SELECT d, b.b AS band,
+         sig[b.b*4 + 1]::VARCHAR || ':' || sig[b.b*4 + 2]::VARCHAR || ':'
+           || sig[b.b*4 + 3]::VARCHAR || ':' || sig[b.b*4 + 4]::VARCHAR AS key
+  FROM sig, unnest(generate_series(0, 7)) AS b(b)
+), cand AS (
+  SELECT DISTINCT a.d AS d1, b.d AS d2
+  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key
+                               AND a.d < b.d
+), est AS (
+  SELECT c.d1, c.d2,
+         len(list_filter(generate_series(1, 32),
+             i -> sa.sig[i] = sb.sig[i])) / 32.0 AS est
+  FROM cand c
+  JOIN sig sa ON sa.d = c.d1
+  JOIN sig sb ON sb.d = c.d2
+), middle AS (
+  SELECT d1, d2 FROM est WHERE est >= 0.10 AND est < 0.40
+), sizes AS (
+  SELECT d, count(*) AS n FROM sh GROUP BY 1
+), inter AS (
+  SELECT c.d1, c.d2, count(*) AS i
+  FROM middle c
+  JOIN sh a ON a.d = c.d1
+  JOIN sh b ON b.d = c.d2 AND b.shingle = a.shingle
+  GROUP BY 1, 2
+)
+SELECT d1, d2, round(i::DOUBLE / (s1.n + s2.n - i), 6) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.d = d1
+JOIN sizes s2 ON s2.d = d2
+WHERE i::DOUBLE / (s1.n + s2.n - i) >= 0.25
+UNION ALL
+SELECT d1, d2, round(est, 6) AS jaccard FROM est WHERE est >= 0.40
+"""
+
+
 def q_simhash(spark, sf_dir):
     """SimHash banded near-dup candidates with Hamming distance —
     oracle-exact via the portable md5-prefix 60-bit hash (4 bands of
@@ -2374,6 +2464,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kernel_features": q_kernel_features,
         "rollup_tiers": q_rollup_tiers,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_lsh_fast": q_minhash_lsh_fast,
         "simhash": q_simhash,
         "lsh_ann": q_lsh_ann,
         "lang_id_pred": q_lang_id_pred,
@@ -3942,6 +4033,215 @@ def q_carma_order(spark, sf_dir):
     )
     grid = carma_order_grid(ev, max_p=2, max_q=1, n_starts=3)
     return best_order_per_series(grid)
+
+
+def q_carma_order_p2(spark, sf_dir):
+    """The FULL order-selection grid — p ∈ {1,2}, q < p — oracle-exact,
+    closing the r4 verdict's last CARMA rows-only gap. Every grid cell
+    is a genuine carma_mle multistart (n_starts=24; reference
+    src/carma/mle.rs:32-114, selection.rs:24-95): the p=1 cells embed
+    as 1-state Kalman chains, and the p=2 cells run the REAL 2-state
+    rotated Kalman filter — seeds 14 and 23 are the only draws in
+    0..23 whose CAR(2) roots are real, negative and distinct (the
+    kernel, like the reference math.rs:196-224, refuses complex
+    eigenvalues in transition()), so the oracle replays exactly those
+    candidates' filters step-by-step in a recursive CTE with the
+    seeded (λ₁, λ₂, h, σ) literals — the carma_mcmc_fold trick applied
+    to model selection. Series = first 12 hourly-mean points per user,
+    e=0.5, so the recursion is shallow and measurement error is
+    material (the gain never collapses to 1)."""
+    from pyspark.sql import Window
+
+    from chronoxtract_spark.operators.carma import (
+        best_order_per_series,
+        carma_order_grid,
+    )
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 10)
+        .groupBy(
+            F.col("user_id").cast("string").alias("series_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    w = Window.partitionBy("series_id").orderBy("t")
+    ev12 = (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 12)
+        .drop("rn")
+        .withColumn("e", F.lit(0.5))
+    )
+    grid = carma_order_grid(ev12, max_p=2, max_q=1, n_starts=24)
+    best = best_order_per_series(grid).select(
+        "series_id",
+        F.col("best_p").cast("long").alias("bp"),
+        F.col("best_q").cast("long").alias("bq"),
+    )
+    return (
+        grid.join(best, "series_id")
+        .select(
+            "series_id",
+            F.col("p").cast("long").alias("p"),
+            F.col("q").cast("long").alias("q"),
+            F.round("loglikelihood", 4).alias("ll"),
+            F.round("aicc", 4).alias("aicc"),
+            F.round("sigma", 6).alias("sigma"),
+            ((F.col("p") == F.col("bp")) & (F.col("q") == F.col("bq"))).alias(
+                "is_best"
+            ),
+        )
+    )
+
+
+def _carma_order_p2_candidates():
+    """(p, q, seed) → the rotated-state-space literals the oracle
+    replays: λ₁, λ₂ (real parts; p=1 pads a dead second state with
+    λ₂=-1, h₂=qc₂=v₂₂=0 — provably inert: h₂=0 keeps it out of every
+    innovation, gain and loglik term), observation h, per-state process
+    noise qc_i = σ²/(2|λ_i|) and stationary variance v_ii = -qc_i/(2λ_i),
+    all computed through the kernel's own numpy expressions so the
+    literals are bit-identical to what _kalman_core uses."""
+    import numpy as np
+
+    from chronoxtract_spark.kernel import carma as K
+
+    cands = []
+    for p, q in ((1, 0), (2, 0), (2, 1)):
+        for seed in range(24):
+            c = K._random_start(p, q, seed)
+            try:
+                c.validate()
+                lam = K.compute_ar_roots(c.ar_coeffs)
+            except K.CarmaError:
+                continue
+            if np.any(np.abs(lam.imag) > 1e-12) or np.any(lam.real >= 0):
+                # complex roots: transition() raises (math.rs:196-224),
+                # carma_mle skips the candidate — data-independent
+                continue
+            ss = K.StateSpace(c)
+            l = ss.lam.real
+            h = ss.observation
+            qc = np.diag(ss.process_noise_cov)
+            v = np.diag(ss.stationary_cov)
+            if p == 1:
+                row = (p, q, seed, float(l[0]), -1.0, float(h[0]), 0.0,
+                       float(qc[0]), 0.0, float(v[0]), 0.0, c.sigma)
+            else:
+                row = (p, q, seed, float(l[0]), float(l[1]), float(h[0]),
+                       float(h[1]), float(qc[0]), float(qc[1]), float(v[0]),
+                       float(v[1]), c.sigma)
+            cands.append(row)
+    return cands
+
+
+def _sql_carma_order_p2() -> str:
+    """DuckDB mirror of q_carma_order_p2: one generic 2-state rotated
+    Kalman recursion (lockstep over (series, p, q, seed) chains) with
+    the seeded candidate literals, strict first-seed-wins loglik argmax
+    per cell, the kernel's AICc formula, and the per-series AICc
+    argmin. Verified bit-exact against kernel._kalman_core on pinned
+    series before templating (round-5 build log)."""
+    def lit(x):
+        # ::DOUBLE — a bare float repr parses as DECIMAL in DuckDB and
+        # overflows scale 38 under repeated multiplication
+        return f"{x!r}::DOUBLE" if isinstance(x, float) else str(x)
+
+    rows = ", ".join(
+        "(" + ", ".join(lit(x) for x in r) + ")"
+        for r in _carma_order_p2_candidates()
+    )
+    return SQL_CARMA_ORDER_P2_TMPL.replace("__CANDS__", rows)
+
+
+SQL_CARMA_ORDER_P2_TMPL = """
+WITH RECURSIVE s AS (
+  SELECT series_id, t, v, row_number() OVER w AS k
+  FROM (
+    SELECT user_id::VARCHAR AS series_id,
+           epoch_us(ts)::BIGINT / 1000000.0 / 3600.0 AS t,
+           avg(value) AS v
+    FROM events WHERE user_id < 10 GROUP BY 1, 2
+  ) WINDOW w AS (PARTITION BY series_id ORDER BY t)
+  QUALIFY k <= 12
+), cand(p, q, seed, l1, l2, h1, h2, qc1, qc2, v11, v22, sigma) AS (
+  VALUES __CANDS__
+), kal(series_id, p, q, seed, k, t, m1, m2, p11, p12, p21, p22, ll) AS (
+  SELECT series_id, p, q, seed, k, t,
+         0.0 + g1*innov, 0.0 + g2*innov,
+         (1 - g1*h1)*v11 + (-(g1*h2))*0.0,
+         (1 - g1*h1)*0.0 + (-(g1*h2))*v22,
+         (-(g2*h1))*v11 + (1 - g2*h2)*0.0,
+         (-(g2*h1))*0.0 + (1 - g2*h2)*v22,
+         -0.5*(innov*innov/ivar + ln(ivar) + 2*ln(pi()))
+  FROM (
+    SELECT *, (v11*h1 + 0.0*h2)/ivar AS g1, (0.0*h1 + v22*h2)/ivar AS g2
+    FROM (
+      SELECT s.series_id, s.k, s.t, c.*, s.v AS innov,
+             (c.h1*c.v11 + c.h2*0.0)*c.h1 + (c.h1*0.0 + c.h2*c.v22)*c.h2
+               + 0.25 AS ivar
+      FROM s, cand c WHERE s.k = 1))
+  UNION ALL
+  SELECT series_id, p, q, seed, k, t,
+         m1p + g1*innov, m2p + g2*innov,
+         (1 - g1*h1)*p11p + (-(g1*h2))*p21p,
+         (1 - g1*h1)*p12p + (-(g1*h2))*p22p,
+         (-(g2*h1))*p11p + (1 - g2*h2)*p21p,
+         (-(g2*h1))*p12p + (1 - g2*h2)*p22p,
+         ll + (-0.5*(innov*innov/ivar + ln(ivar) + 2*ln(pi())))
+  FROM (
+    SELECT *, (p11p*h1 + p12p*h2)/ivar AS g1, (p21p*h1 + p22p*h2)/ivar AS g2
+    FROM (
+      SELECT *, vv - (h1*m1p + h2*m2p) AS innov,
+             (h1*p11p + h2*p21p)*h1 + (h1*p12p + h2*p22p)*h2 + 0.25 AS ivar
+      FROM (
+        SELECT kal.series_id, kal.p, kal.q, kal.seed, n.k AS k, n.t AS t,
+               n.v AS vv, c.h1, c.h2, kal.ll,
+               exp(c.l1*(n.t - kal.t))*kal.m1 AS m1p,
+               exp(c.l2*(n.t - kal.t))*kal.m2 AS m2p,
+               (exp(c.l1*(n.t - kal.t))*kal.p11)*exp(c.l1*(n.t - kal.t))
+                 + c.qc1*(-(1 - exp(2*c.l1*(n.t - kal.t)))/(2*c.l1)) AS p11p,
+               (exp(c.l1*(n.t - kal.t))*kal.p12)*exp(c.l2*(n.t - kal.t))
+                 + c.qc1*(-(1 - exp((c.l1+c.l2)*(n.t - kal.t)))/(c.l1+c.l2))
+                 AS p12p,
+               (exp(c.l2*(n.t - kal.t))*kal.p21)*exp(c.l1*(n.t - kal.t))
+                 + c.qc2*(-(1 - exp((c.l1+c.l2)*(n.t - kal.t)))/(c.l1+c.l2))
+                 AS p21p,
+               (exp(c.l2*(n.t - kal.t))*kal.p22)*exp(c.l2*(n.t - kal.t))
+                 + c.qc2*(-(1 - exp(2*c.l2*(n.t - kal.t)))/(2*c.l2)) AS p22p
+        FROM kal
+        JOIN s n ON n.series_id = kal.series_id AND n.k = kal.k + 1
+        JOIN cand c ON c.p = kal.p AND c.q = kal.q AND c.seed = kal.seed
+      ) q1) q2) q3
+), chain_ll AS (
+  SELECT series_id, p, q, seed, ll,
+         row_number() OVER (PARTITION BY series_id, p, q, seed
+                            ORDER BY k DESC) AS rk
+  FROM kal QUALIFY rk = 1
+), nobs AS (
+  SELECT series_id, count(*) AS n FROM s GROUP BY 1
+), best_seed AS (
+  SELECT series_id, p, q, seed, ll,
+         row_number() OVER (PARTITION BY series_id, p, q
+                            ORDER BY ll DESC, seed ASC) AS rs
+  FROM chain_ll QUALIFY rs = 1
+), cells AS (
+  SELECT b.series_id, b.p, b.q, b.ll, c.sigma,
+         (2*(b.p + b.q + 2)::DOUBLE - 2*b.ll)
+           + (2*(b.p + b.q + 2)::DOUBLE*((b.p + b.q + 2)::DOUBLE + 1))
+             / (nobs.n::DOUBLE - (b.p + b.q + 2)::DOUBLE - 1) AS aicc
+  FROM best_seed b
+  JOIN cand c ON c.p = b.p AND c.q = b.q AND c.seed = b.seed
+  JOIN nobs ON nobs.series_id = b.series_id
+)
+SELECT series_id, p::BIGINT AS p, q::BIGINT AS q,
+       round(ll, 4) AS ll, round(aicc, 4) AS aicc,
+       round(sigma, 6) AS sigma,
+       (row_number() OVER (PARTITION BY series_id ORDER BY aicc ASC) = 1)
+         AS is_best
+FROM cells
+"""
 
 
 def q_carma_order_p1(spark, sf_dir):
@@ -11089,6 +11389,7 @@ _EXTRA_QUERIES = {
     "zdcf": q_zdcf,
     "carma_order": q_carma_order,
     "carma_order_p1": q_carma_order_p1,
+    "carma_order_p2": q_carma_order_p2,
     "embedding_near_dups": q_embedding_near_dups,
     "seasonality_acf": q_seasonality_acf,
     "strict_peaks": q_strict_peaks,
@@ -11233,6 +11534,7 @@ _EXTRA_ORACLES = {
     "carma_fit": SQL_CARMA_FIT,
     "zdcf": SQL_ZDCF,
     "carma_order_p1": SQL_CARMA_ORDER_P1,
+    "carma_order_p2": _sql_carma_order_p2(),
     "find_peaks": SQL_FIND_PEAKS,
     "lzc": SQL_LZC,
     "media_features": SQL_MEDIA_FEATURES,
@@ -11350,6 +11652,7 @@ def oracle_sql() -> dict[str, str]:  # noqa: F811
     out["lsh_ann"] = _sql_lsh_ann()
     out["embedding_near_dups"] = _sql_embedding_near_dups()
     out["minhash_lsh"] = _sql_minhash_lsh()
+    out["minhash_lsh_fast"] = _sql_minhash_lsh_fast()
     try:
         out["ivf_ann"] = _sql_ivf_ann()
     except (ValueError, FileNotFoundError, OSError) as e:

@@ -252,6 +252,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     verify_threshold: float = 0.4,
     hash_fn: str = "xxhash64",
+    preverify_margin: float | None = None,
 ) -> DataFrame:
     """MinHash + LSH banding near-duplicate pairs, exact-verified.
 
@@ -262,6 +263,19 @@ def minhash_lsh_pairs(
     With ``hash_fn='md5_60'`` the bucket key is the concatenated band
     values (portable, integer-exact) instead of their xxhash64 — the
     whole pipeline is then engine-independent and oracle-checkable.
+
+    ``preverify_margin``: the corpus-scale throughput lever. The exact
+    shingle-intersection join dominates wall time (BENCH/DEDUP_SCALE.md),
+    but every candidate pair already carries a FREE Jaccard estimate —
+    the fraction of agreeing signature positions (unbiased, std
+    ``sqrt(J(1-J)/num_hashes)``). With a margin m, pairs whose estimate
+    is ≥ threshold+m are accepted carrying the (rounded) estimate as
+    their ``jaccard``, pairs below threshold-m are dropped, and only the
+    band in between — a vanishing slice for real near-dup corpora, where
+    true dups sit far above the threshold and bucket-collision noise far
+    below — pays the exact join. Deterministic given the signatures, so
+    the fast path is just as oracle-checkable as the exact one.
+    ``None`` (default) keeps the fully exact-verified behavior.
     """
     rows_per_band = num_hashes // bands
     sig = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn)
@@ -301,6 +315,48 @@ def minhash_lsh_pairs(
         .select(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
         .distinct()
     )
+    pre_accepted = None
+    if preverify_margin is not None:
+        sigs = sig.select(F.col(id_col).alias("_pd"), "signature")
+        cand_est = (
+            candidates.join(
+                sigs.withColumnRenamed("_pd", "d1").withColumnRenamed(
+                    "signature", "_sig1"
+                ),
+                "d1",
+            )
+            .join(
+                sigs.withColumnRenamed("_pd", "d2").withColumnRenamed(
+                    "signature", "_sig2"
+                ),
+                "d2",
+            )
+            .withColumn(
+                "est",
+                F.size(
+                    F.filter(
+                        F.zip_with("_sig1", "_sig2", lambda x, y: x == y),
+                        lambda v: v,
+                    )
+                )
+                / F.lit(float(num_hashes)),
+            )
+            .select("d1", "d2", "est")
+        )
+        # two consumers (accept branch + exact-verify branch) read this
+        # relation; persist so the signature/bucket subtree runs once.
+        # The relation is O(candidate pairs) — three scalars per row,
+        # negligible next to the corpus — and spills to disk if not.
+        from pyspark import StorageLevel
+
+        cand_est = cand_est.persist(StorageLevel.MEMORY_AND_DISK)
+        pre_accepted = cand_est.filter(
+            F.col("est") >= verify_threshold + preverify_margin
+        ).select("d1", "d2", F.round("est", 6).alias("jaccard"))
+        candidates = cand_est.filter(
+            (F.col("est") >= verify_threshold - preverify_margin)
+            & (F.col("est") < verify_threshold + preverify_margin)
+        ).select("d1", "d2")
     # exact verify per candidate PAIR: shingle both sides of each pair
     # and count the intersection with one equi-join keyed on
     # (pair, shingle). Cost is O(sum of candidate-pair shingle sizes) —
@@ -344,6 +400,8 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= verify_threshold)
         .select("d1", "d2", F.round("jaccard", 6).alias("jaccard"))
     )
+    if pre_accepted is not None:
+        return verified.unionByName(pre_accepted)
     return verified
 
 

@@ -52,6 +52,34 @@ class TestDedup:
         pairs = {(r.d1, r.d2) for r in out}
         assert (1, 2) in pairs
 
+    def test_minhash_preverify_same_pairs(self, spark):
+        """The signature-agreement pre-verify fast path must emit the
+        same pair SET as the fully exact path on a mixed corpus: clear
+        dups land above threshold+margin (accepted from the estimate),
+        unrelated collisions land below threshold-margin (dropped), and
+        the in-between band is exact-verified to the same decision."""
+        from chronoxtract_spark.operators.dedup import minhash_lsh_pairs
+
+        vocab = [f"w{i}" for i in range(60)]
+        rows = []
+        for d in range(12):
+            # overlapping windows: neighbors share 50/54 words, far
+            # docs share almost nothing — a spread of true Jaccards
+            words = [vocab[(d * 4 + j) % 60] for j in range(54)]
+            rows.append((d, " ".join(words)))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        kw = dict(num_hashes=32, bands=8, verify_threshold=0.35)
+        exact = {
+            (r.d1, r.d2) for r in minhash_lsh_pairs(df, **kw).collect()
+        }
+        fast_rows = minhash_lsh_pairs(
+            df, preverify_margin=0.2, **kw
+        ).collect()
+        fast = {(r.d1, r.d2) for r in fast_rows}
+        assert exact == fast and len(exact) > 0
+        # pre-accepted pairs carry the (rounded) signature estimate
+        assert all(0.0 <= r.jaccard <= 1.0 for r in fast_rows)
+
     def test_simhash_near_dup(self, spark):
         from chronoxtract_spark.operators.dedup import simhash_duplicates
 
