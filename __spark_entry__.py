@@ -3655,12 +3655,16 @@ def q_carma_mcmc_fold(spark, sf_dir):
     embeds them as literals, and replays every proposal, accept/reject,
     and adjacent-pair swap decision in a recursive-CTE state machine
     whose per-proposal log posterior is the closed-form OU collapse
-    (same device as ``carma_loglik``). State columns (a, b0, lsig) are
-    bit-exact (identical scalar ops on identical draw literals); the
-    log-posterior column is quantized at 4dp because the two engines
-    sum its per-point terms in different orders. Decision margins are
-    O(1) while the Kalman-vs-closed-form lp difference is O(1e-13), so
-    accept decisions cannot flip. This greens the Metropolis machinery
+    (same device as ``carma_loglik``). Only the bit-exact state columns
+    (a, b0, lsig — identical scalar ops on identical draw literals) are
+    emitted for comparison: the log posterior is computed by two
+    independent routes (Kalman vs closed-form OU, ~1e-13 apart), so ANY
+    fixed-decimal rounding of it has a nonzero boundary-flip
+    probability (r4 ADVICE) — and the state trace already pins every
+    proposal/accept/swap decision, since a single flipped accept would
+    diverge the entire downstream chain. Decision margins are O(1)
+    while the lp route difference is O(1e-13), so accept decisions
+    themselves cannot flip. This greens the Metropolis machinery
     itself; the production-length run (``carma_mcmc``) stays rows-only
     for its R-hat/ESS diagnostics only."""
     import pandas as pd
@@ -3716,7 +3720,6 @@ def q_carma_mcmc_fold(spark, sf_dir):
             F.round("a", 10).alias("a"),
             F.round("b0", 10).alias("b0"),
             F.round("lsig", 10).alias("lsig"),
-            F.round("lp", 4).alias("lp"),
         )
     )
 
@@ -3854,8 +3857,7 @@ s AS (
   )
 )
 SELECT series_id, it - {cfg["n_burn"]} AS k,
-       round(a0, 10) AS a, round(b0_0, 10) AS b0, round(s0, 10) AS lsig,
-       round(lp0, 4) AS lp
+       round(a0, 10) AS a, round(b0_0, 10) AS b0, round(s0, 10) AS lsig
 FROM rec WHERE it >= {cfg["n_burn"]}
 ORDER BY series_id, k
 """
