@@ -11608,28 +11608,41 @@ _PRIORITY_ORDER = [
     # tiered t-digest quantile rollup, KMV distinct counts — each
     # lossless at oracle scale by a documented parameter bound
     "heavy_hitters", "tdigest_quantiles", "distinct_users",
-    # LLM-pipeline operators
-    "contamination", "pack_sequences", "redactions", "sessionize",
-    "turn_latency", "stratified_sample",
+    # LLM-pipeline operators (sessionize stays in until the driver
+    # witnesses the r5 ordering fix green — round-4 verdict ask #1)
+    "contamination", "pack_sequences", "sessionize",
+    "turn_latency",
     "ngram_jaccard", "minhash_lsh", "simhash", "dup_clusters",
     "embedding_near_dups", "knn_brute", "lsh_ann", "ivf_ann",
     "quality_filter", "media_features", "audio_features",
-    "repetition_stats", "tfidf_terms", "lang_mixture", "asof_join",
+    "repetition_stats", "lang_mixture", "asof_join",
     "ewma_irregular",
-    # newly oracled this round
+    # newly oracled round 4
     "kernel_features", "carma_fit", "carma_order_p1", "carma_mcmc_fold",
     "zdcf",
-    "enhanced_peak_stats", "haar_energy", "yule_walker", "mann_kendall",
-    "lead_lag", "pettitt", "randomness", "holt_winters", "forecast_eval",
+    "enhanced_peak_stats", "yule_walker", "mann_kendall",
+    "lead_lag", "pettitt", "holt_winters", "forecast_eval",
+    # round-5 rotation (verdict ask #7): the composite flagship
+    # user_behavior plus the serving-tier staples interp_grid /
+    # time_weighted and the ops_health ESD constituent esd_outliers
+    # surface in the driver's 50; redactions / stratified_sample /
+    # tfidf_terms rotate out (simple column-expression queries, green
+    # in the r4 driver artifact and pytest-backed)
+    "user_behavior", "esd_outliers", "interp_grid", "time_weighted",
     # round-4 operator surfaces: resample/counter/anomaly/downsample/
     # retrieval — the highest-value NEW coverage for the driver's 50
     # (token_stats/lang_id_pred/lang_counts/doc_fingerprint rotate out:
     # simple column exprs, green in the r2+r3 driver artifacts)
-    "interp_grid", "time_weighted", "counter_resets", "state_durations",
+    "counter_resets", "state_durations",
     "heartbeat_uptime", "hampel_outliers", "change_points",
-    "esd_outliers", "m4_hourly", "lttb",
-    # bigram_lm/profile/rolling_corr/bm25/sax_words rotate out for the
-    # round-4 additions above (all five are green in
+    "m4_hourly", "lttb",
+    # r5 rotate-outs (all r4-driver green AND kernel-fixture/pytest
+    # backed): redactions, stratified_sample, tfidf_terms, randomness,
+    # haar_energy
+    "redactions", "stratified_sample", "tfidf_terms", "randomness",
+    "haar_energy",
+    # bigram_lm/profile/rolling_corr/bm25/sax_words stay rotated out
+    # (all five are green in
     # CORRECTNESS_local.json and carry their own pytest evidence)
     # parity core stays OUT of the 50-cap: every one of these also has
     # a bit-exact reference fixture (tests/test_kernel_*.py), so the

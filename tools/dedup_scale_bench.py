@@ -67,12 +67,24 @@ def synth_docs(n, variants=10, tokens=80):
     )
     return d.withColumn("text", F.concat_ws(" ", tok))
 
-docs = synth_docs(n).cache()
-docs.count()                      # materialize corpus outside the timer
+margin = {margin!r}
+if {stream!r}:
+    # corpus streamed from parquet, not pinned in executor memory —
+    # the 10M-doc regime where a cached corpus would evict shuffle
+    path = f"/tmp/cx_dedup_corpus_{{n}}"
+    import os as _os
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        synth_docs(n).write.mode("overwrite").parquet(path)
+    docs = spark.read.parquet(path)
+    docs.count()                  # warm page cache outside the timer
+else:
+    docs = synth_docs(n).cache()
+    docs.count()                  # materialize corpus outside the timer
 stat0 = bench_mod.read_cpu_stat()
 t0 = time.time()
 pairs = minhash_lsh_pairs(docs, num_hashes=32, bands=8,
-                          verify_threshold=0.5).select("d1", "d2").cache()
+                          verify_threshold=0.5,
+                          preverify_margin=margin).select("d1", "d2").cache()
 n_pred = pairs.count()
 wall = time.time() - t0
 pressure = bench_mod.cpu_pressure(stat0, bench_mod.read_cpu_stat())
@@ -95,14 +107,18 @@ print("RESULT " + json.dumps({{
     "docs_per_sec": round(n / wall, 1), "n_pred": n_pred, "tp": tp,
     "precision": round(tp / max(n_pred, 1), 4),
     "recall": round(tp / truth, 4), "host_pressure": pressure,
+    "variant": ("fast" if margin is not None else "exact"),
+    "margin": margin, "streamed": bool({stream!r}),
 }}))
 spark.stop()
 """
 
 
-def run_leg(cpus: int, n_docs: int) -> dict:
+def run_leg(cpus: int, n_docs: int, margin: float | None = None,
+            stream: bool = False) -> dict:
     cmd = ["taskset", "-c", f"0-{cpus-1}", sys.executable, "-u", "-c",
-           LEG.format(repo=REPO, cpus=cpus, n_docs=n_docs)]
+           LEG.format(repo=REPO, cpus=cpus, n_docs=n_docs, margin=margin,
+                      stream=stream)]
     # the 1M-doc 8-core leg runs ~70 min (200k was 805 s); 3600 s
     # killed it at the finish line
     out = subprocess.run(cmd, capture_output=True, text=True, timeout=14400)
@@ -122,33 +138,43 @@ def main():
     # pooled sidecar without running fresh legs
     cpu_list = [int(c) for c in
                 os.environ.get("CX_DEDUP_CPUS", "2,8").split(",") if c]
+    # CX_DEDUP_MARGIN: set to a float (e.g. 0.15) to run the signature-
+    # agreement pre-verify fast path; unset/empty runs the fully
+    # exact-verified baseline. CX_DEDUP_STREAM=1 reads the corpus from
+    # parquet instead of caching it (the >=10M-doc regime).
+    m_env = os.environ.get("CX_DEDUP_MARGIN", "")
+    margin = float(m_env) if m_env else None
+    stream = os.environ.get("CX_DEDUP_STREAM", "") == "1"
     sidecar = os.path.join(REPO, "BENCH", "dedup_runs.jsonl")
     for cpus in cpu_list:
-        leg = run_leg(cpus, n_docs)
+        leg = run_leg(cpus, n_docs, margin=margin, stream=stream)
         leg["when"] = time.strftime("%Y-%m-%d %H:%M:%S")
         print(json.dumps(leg))
         with open(sidecar, "a") as f:
             f.write(json.dumps(leg) + "\n")
 
-    # pool every recorded leg (latest per (n_docs, cpus) wins) so the
-    # report tables the full cross-decade evidence, not just this run
+    # pool every recorded leg (latest per (n_docs, cpus, variant) wins)
+    # so the report tables the full cross-decade evidence, not just this
+    # run; legs recorded before the fast path existed are 'exact'
     pooled = {}
     with open(sidecar) as f:
         for line in f:
             r = json.loads(line)
-            pooled[(r["n_docs"], r["cpus"])] = r
-    scales = sorted({n for n, _ in pooled})
+            pooled[(r["n_docs"], r["cpus"], r.get("variant", "exact"))] = r
+    scales = sorted({n for n, _, _ in pooled})
     speedups = []
     for n in scales:
-        if (n, 2) in pooled and (n, 8) in pooled:
-            speedups.append(
-                f"**{pooled[(n, 8)]['docs_per_sec'] / pooled[(n, 2)]['docs_per_sec']:.2f}x at {n:,} docs**")
+        for v in ("exact", "fast"):
+            if (n, 2, v) in pooled and (n, 8, v) in pooled:
+                speedups.append(
+                    f"**{pooled[(n, 8, v)]['docs_per_sec'] / pooled[(n, 2, v)]['docs_per_sec']:.2f}x at {n:,} docs ({v})**")
     table = "\n".join(
-        f"| {n:,} | local[{c}] | {r['wall_sec']} | {r['docs_per_sec']} | "
+        f"| {n:,} | local[{c}] | {v}{' (streamed)' if r.get('streamed') else ''} | "
+        f"{r['wall_sec']} | {r['docs_per_sec']} | "
         f"{r['n_pred']} | {r['precision']} | {r['recall']} | "
         f"{(r['host_pressure'] or {}).get('steal_pct', '—')} / "
         f"{(r['host_pressure'] or {}).get('system_pct', '—')} |"
-        for (n, c), r in sorted(pooled.items())
+        for (n, c, v), r in sorted(pooled.items())
     )
     md = f"""# BENCH/DEDUP_SCALE — MinHash+LSH at corpus scale, known truth
 
@@ -163,8 +189,14 @@ bucket equi-join -> exact shingle-Jaccard verify at 0.5. Timed region
 is the dedup pipeline only (corpus materialized before the timer);
 separate pinned JVM per leg.
 
-| corpus | config | wall sec | docs/sec | predicted pairs | precision | recall | steal% / sys% |
-| --- | --- | --- | --- | --- | --- | --- | --- |
+Variants: **exact** = every candidate pair pays the exact
+shingle-Jaccard join; **fast** = the signature-agreement pre-verify
+triage (preverify_margin=0.15: pairs with estimated Jaccard >=
+threshold+margin accepted on the estimate, < threshold-margin dropped,
+only the in-between band exact-verified).
+
+| corpus | config | variant | wall sec | docs/sec | predicted pairs | precision | recall | steal% / sys% |
+| --- | --- | --- | --- | --- | --- | --- | --- | --- |
 {table}
 
 - 4x-cores speedup (2 -> 8): {', '.join(speedups)} — the parallel
