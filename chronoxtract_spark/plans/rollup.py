@@ -91,6 +91,27 @@ def _tdigest_qagg_udf():
 MAX_OBSERVE_DAYS = 16
 MAX_OBSERVE_DAYS_SMALL = 366
 
+def _day_hash_term(c: str) -> str:
+    """SQL term for one column inside the canonical ``row_hash``.
+
+    ``day`` hashes as its epoch-day integer so the digest is invariant
+    to the column's physical type (string 'yyyy-MM-dd' on the small
+    tiers, DATE on the dense 1m tier and on every partition-inferred
+    read-back) and so the dense write never renders per-row strings —
+    date→string formatting is the worst-scaling expression on this
+    host (BENCH/W1M_COMPONENTS.md: date_format scales 1.29x from 2c to
+    8c vs 2.9x+ for integer/date arithmetic)."""
+    return "unix_date(cast(day as date))" if c == "day" else c
+
+
+def _day_dates(days: list[str]):
+    """'yyyy-MM-dd' strings → datetime.date literals, so day filters
+    compare 4-byte dates instead of coercing the column to string."""
+    import datetime
+
+    return [datetime.date.fromisoformat(d) for d in days]
+
+
 CHUNK_SCHEMA = (
     "conv_id string, day string, chunk_id string, t0 long, n long, "
     "ts_bytes binary, val_bytes binary, checksum long, raw_size long, "
@@ -194,28 +215,35 @@ class RollupEngine:
         if not days:
             return 0
         # name-sorted hash order: a read-back re-appends the partition
-        # column last, so positional order is not canonical
+        # column last, so positional order is not canonical. The day
+        # term is canonicalized to its epoch-day INTEGER
+        # (unix_date(cast(day as date))) — identical for a string
+        # 'yyyy-MM-dd' column (small tiers) and a DATE column (the dense
+        # 1m tier), and it keeps per-row string formatting out of the
+        # hash: date_format/cast-to-string is the single worst-scaling
+        # expression on the dense path (BENCH/W1M_COMPONENTS.md).
         cols = sorted(df.columns)
         hashed = df.withColumn(
             "row_hash",
             F.expr(
                 "xxhash64({})".format(
-                    ", ".join(
-                        f"cast(day as string)" if c == "day" else c
-                        for c in cols
-                    )
+                    ", ".join(_day_hash_term(c) for c in cols)
                 )
             ),
         )
 
         if len(days) > observe_day_cap:
             # bulk backfill: per-day metrics from a thin (day, row_hash)
-            # read-back of the files just written (page-cache warm)
+            # read-back of the files just written (page-cache warm).
+            # Partition inference returns day as DATE, so the filter
+            # uses date literals and the group key stays an integer-
+            # backed date — the string render happens once per DAY on
+            # the driver, never per row.
             self.io.overwrite_partitions(hashed, table, ["day"])
             back = (
                 self.io.read(table)
-                .filter(F.col("day").isin(days))
-                .groupBy(F.col("day").cast("string").alias("day"))
+                .filter(F.to_date(F.col("day")).isin(_day_dates(days)))
+                .groupBy(F.to_date(F.col("day")).alias("day"))
                 .agg(
                     F.count("*").alias("row_count"),
                     F.bit_xor("row_hash").alias("checksum"),
@@ -265,17 +293,19 @@ class RollupEngine:
             )
             self.io.append(lineage, LINEAGE_TABLE)
         if self.verify_readback:
-            written = (
-                self.io.read(table)
-                .filter(F.col("day").isin(days))
-                .withColumn("day", F.col("day").cast("string"))
+            written = self.io.read(table).filter(
+                F.to_date(F.col("day")).isin(_day_dates(days))
             )
             back_chk = {
                 str(r["day"]): (r["row_count"], r["checksum"])
-                for r in written.groupBy("day").agg(
+                for r in written.groupBy(
+                    F.to_date(F.col("day")).alias("day")
+                ).agg(
                     F.count("*").alias("row_count"),
                     F.expr(
-                        f"bit_xor(xxhash64({', '.join(cols)}))"
+                        "bit_xor(xxhash64({}))".format(
+                            ", ".join(_day_hash_term(c) for c in cols)
+                        )
                     ).alias("checksum"),
                 ).collect()
             }
@@ -316,9 +346,10 @@ class RollupEngine:
         ``day`` partition column (north_star steps 2-3)."""
         observed = self.build_observed(transcripts)
         filled = gap_fill_minutes(observed)
-        return filled.withColumn(
-            "day", F.date_format("minute_ts", "yyyy-MM-dd")
-        )
+        # DATE, not a formatted string: to_date is integer arithmetic
+        # per dense row; the 'yyyy-MM-dd' render happens once per day
+        # at the surfaces that need text (lineage keys, partition dirs)
+        return filled.withColumn("day", F.to_date("minute_ts"))
 
     @staticmethod
     def _observed_slim(observed: DataFrame) -> DataFrame:
@@ -463,7 +494,7 @@ class RollupEngine:
         derived = cxf.moments_from_state()
         for name, col in derived.items():
             tier = tier.withColumn(name, col)
-        return tier.withColumn("day", F.date_format("hour_ts", "yyyy-MM-dd"))
+        return tier.withColumn("day", F.to_date("hour_ts"))
 
     def build_rollup_tiers_kernel(self, observed: DataFrame) -> DataFrame:
         """BOTH window tiers (1h + 1d) — mergeable moment state, exact
@@ -492,7 +523,7 @@ class RollupEngine:
         derived = cxf.moments_from_state()
         for name, col in derived.items():
             tier = tier.withColumn(name, col)
-        return tier.withColumn("day", F.date_format("bucket_ts", "yyyy-MM-dd"))
+        return tier.withColumn("day", F.to_date("bucket_ts"))
 
     def build_rollup_1h(
         self, base: DataFrame, observed: DataFrame | None = None
@@ -525,7 +556,7 @@ class RollupEngine:
         for name, col in derived.items():
             agg = agg.withColumn(name, col)
         return agg.withColumn(
-            "day_ts", F.to_timestamp(F.col("day"))
+            "day_ts", F.col("day").cast("timestamp")
         )
 
     def build_chunks(self, observed: DataFrame) -> DataFrame:
@@ -626,16 +657,25 @@ class RollupEngine:
         new_1d = [d for d in all_days if d not in skips["rollup_1d"]]
         t = mark("plan_and_skip", t)
 
+        def _day_filter(df, new_days, col="day"):
+            """Resume filter, skipped entirely on a fresh run: the
+            gap-fill fan-out only emits days inside the candidate span
+            union, so when nothing is committed yet the isin is a
+            per-row no-op that still costs real time on the dense tier
+            (BENCH/W1M_COMPONENTS.md: ~3s/40M rows at 8c). Date
+            literals, so a DATE column compares integers."""
+            if len(new_days) == len(all_days):
+                return df
+            return df.filter(F.to_date(F.col(col)).isin(_day_dates(new_days)))
+
         # -- 1m tier: stream the dense plan straight into the partitioned
         # write (never cached — the dense fan-out only exists in this one
         # pass); per-day counts + checksums come from the write action
         if new_1m:
             base = gap_fill_minutes(observed).withColumn(
-                "day", F.date_format("minute_ts", "yyyy-MM-dd")
+                "day", F.to_date("minute_ts")
             )
-            tier_1m = self.build_rollup_1m(base).filter(
-                F.col("day").isin(new_1m)
-            )
+            tier_1m = _day_filter(self.build_rollup_1m(base), new_1m)
             counts["rollup_1m"] = self._write_with_lineage(
                 tier_1m, "rollup_1m", new_1m, source_snapshot
             )
@@ -644,9 +684,7 @@ class RollupEngine:
         t = mark("write_1m", t)
 
         if new_1m and self.compress:
-            chunks = self.build_chunks(observed).filter(
-                F.col("day").isin(new_1m)
-            )
+            chunks = _day_filter(self.build_chunks(observed), new_1m)
             self._write_with_lineage(
                 chunks, CHUNK_TABLE, new_1m, source_snapshot,
                 observe_day_cap=MAX_OBSERVE_DAYS_SMALL,
@@ -661,37 +699,47 @@ class RollupEngine:
         need = sorted(set(new_1h) | set(new_1d))
         cached = None
         if need and self.kernel_features and self.feature_mode == "core":
-            combined = (
-                self.build_rollup_tiers_kernel(observed)
-                .filter(F.col("day").isin(need))
-                .cache()
-            )
+            combined = _day_filter(
+                self.build_rollup_tiers_kernel(observed), need
+            ).cache()
             cached = combined
             tier_1h = (
                 combined.filter(F.col("bucket_seconds") == 3600)
                 .drop("bucket_seconds", "bucket_epoch")
                 .withColumnRenamed("bucket_ts", "hour_ts")
-                .filter(F.col("day").isin(new_1h) if new_1h else F.lit(False))
+            )
+            tier_1h = (
+                _day_filter(tier_1h, new_1h) if new_1h
+                else tier_1h.filter(F.lit(False))
             )
             tier_1d = (
                 combined.filter(F.col("bucket_seconds") == 86400)
                 .drop("bucket_seconds", "bucket_epoch")
                 .withColumnRenamed("bucket_ts", "day_ts")
-                .filter(F.col("day").isin(new_1d) if new_1d else F.lit(False))
+            )
+            tier_1d = (
+                _day_filter(tier_1d, new_1d) if new_1d
+                else tier_1d.filter(F.lit(False))
             )
         elif need:
             base = gap_fill_minutes(observed).withColumn(
-                "day", F.date_format("minute_ts", "yyyy-MM-dd")
+                "day", F.to_date("minute_ts")
             )
-            tier_1h_all = self.build_rollup_1h(
-                base, observed=observed if self.kernel_features else None
-            ).filter(F.col("day").isin(need)).cache()
+            tier_1h_all = _day_filter(
+                self.build_rollup_1h(
+                    base, observed=observed if self.kernel_features else None
+                ),
+                need,
+            ).cache()
             cached = tier_1h_all
-            tier_1h = tier_1h_all.filter(
-                F.col("day").isin(new_1h) if new_1h else F.lit(False)
+            tier_1h = (
+                _day_filter(tier_1h_all, new_1h) if new_1h
+                else tier_1h_all.filter(F.lit(False))
             )
-            tier_1d = self.build_rollup_1d_from_1h(tier_1h_all).filter(
-                F.col("day").isin(new_1d) if new_1d else F.lit(False)
+            tier_1d = self.build_rollup_1d_from_1h(tier_1h_all)
+            tier_1d = (
+                _day_filter(tier_1d, new_1d) if new_1d
+                else tier_1d.filter(F.lit(False))
             )
         else:
             tier_1h = tier_1d = None

@@ -17,14 +17,14 @@ from chronoxtract_spark.plans.rollup import RollupEngine
 
 def affected_days(new_rows: DataFrame, ts_col: str = "ts") -> list[str]:
     """Distinct day partitions the new rows touch."""
-    return [
-        r[0]
-        for r in new_rows.select(
-            F.date_format(ts_col, "yyyy-MM-dd").alias("day")
-        )
+    # to_date + driver-side str(): the distinct is over dates (4-byte
+    # compare), and the text render happens once per day, not per row
+    return sorted(
+        str(r[0])
+        for r in new_rows.select(F.to_date(ts_col).alias("day"))
         .distinct()
         .collect()
-    ]
+    )
 
 
 def incremental_rollup(
@@ -45,7 +45,7 @@ def incremental_rollup(
     days = affected_days(new_rows)
     if not days:
         return {"rollup_1m": 0, "rollup_1h": 0, "rollup_1d": 0}
-    subset = all_transcripts.filter(
-        F.date_format("ts", "yyyy-MM-dd").isin(days)
-    )
+    from chronoxtract_spark.plans.rollup import _day_dates
+
+    subset = all_transcripts.filter(F.to_date("ts").isin(_day_dates(days)))
     return engine.run(subset, source_snapshot=source_snapshot, resume=True)

@@ -70,10 +70,11 @@ def test_rollup_lineage_survives_compaction(spark):
     # recomputed per-day checksums must equal the committed lineage
     # rows — via BOTH audit paths: the thin persisted row_hash column
     # and a full recomputation from the data columns (day hashed as
-    # string, the engine's canonical hash order)
+    # its epoch-day integer, the engine's canonical hash order)
     t = io.read("rollup_1m")
+    from chronoxtract_spark.plans.rollup import _day_hash_term
     cols = ", ".join(
-        "cast(day as string)" if c == "day" else c
+        _day_hash_term(c)
         for c in sorted(c for c in t.columns if c != "row_hash")
     )
     got = {

@@ -102,6 +102,62 @@ elif component == "readback":
                  F.bit_xor("row_hash").alias("checksum"))
             .collect())
     n = sum(r["row_count"] for r in back)
+elif component == "fanout_nohash":
+    # fan-out + interpolation + day string, but no xxhash64 — isolates
+    # the row_hash contribution to the compute ratio
+    base = gap_fill_minutes(observed).withColumn(
+        "day", F.date_format("minute_ts", "yyyy-MM-dd"))
+    tier = eng.build_rollup_1m(base).filter(F.col("day").isin(days))
+    n = tier.agg(
+        F.count("*"), F.sum("rate"), F.sum("turns"),
+        F.max("conv_id"), F.max("minute_ts"), F.max("day"),
+        F.max("observed")).collect()[0][0]
+elif component == "fanout_dateday":
+    # day as a DATE (4-byte int, no per-row string formatting) and the
+    # hash taken over the date directly — isolates the per-row
+    # yyyy-MM-dd UTF8String allocation
+    base = gap_fill_minutes(observed).withColumn(
+        "day", F.to_date("minute_ts"))
+    tier = eng.build_rollup_1m(base)
+    cols = sorted(tier.columns)
+    tier = tier.withColumn("row_hash", F.expr("xxhash64({{}})".format(
+        ", ".join(cols))))
+    n = tier.agg(
+        F.count("*"), F.bit_xor("row_hash"), F.sum("rate"),
+        F.sum("turns"), F.max("conv_id"), F.max("minute_ts"),
+        F.max("day"), F.max("observed")).collect()[0][0]
+elif component == "explode_only":
+    # the bare segment explode: sequence()+explode drained by count +
+    # a sum so the generate isn't pruned — the intrinsic row-generation
+    # cost with no interpolation, day, or hash
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window
+    seg = observed.withColumn(
+        "_next_ts", F.lead("minute_ts").over(
+            w.partitionBy("conv_id").orderBy("minute_ts")))
+    seg = seg.repartition(cpus * 2, "conv_id")
+    seg_end = F.coalesce(
+        F.col("_next_ts") - F.expr("interval 1 minute"), F.col("minute_ts"))
+    dense = seg.select(
+        "conv_id",
+        F.explode(F.sequence("minute_ts", seg_end,
+                             F.expr("interval 1 minute"))).alias("m"))
+    n = dense.agg(F.count("*"), F.min("m"), F.max("m")).collect()[0][0]
+elif component == "range_baseline":
+    # platform ceiling witness: a trivial spark.range generate of the
+    # same row count and a similar row width (string key + ts + double
+    # + hash), no gap-fill logic at all — if THIS doesn't scale 4x on
+    # this host, nothing that generates 40M rows will
+    N = 40456389
+    df = (spark.range(N, numPartitions=cpus * 2)
+          .withColumn("conv_id", F.concat(F.lit("conv_"),
+                                          (F.col("id") % 4096).cast("string")))
+          .withColumn("minute_ts", F.timestamp_seconds(F.col("id") * 60))
+          .withColumn("rate", F.col("id") * 0.001)
+          .withColumn("day", F.date_format("minute_ts", "yyyy-MM-dd"))
+          .withColumn("row_hash", F.expr(
+              "xxhash64(conv_id, minute_ts, rate, day)")))
+    n = df.agg(F.count("*"), F.bit_xor("row_hash"), F.sum("rate"),
+               F.max("day")).collect()[0][0]
 elif component == "full":
     base = gap_fill_minutes(observed).withColumn(
         "day", F.date_format("minute_ts", "yyyy-MM-dd"))
@@ -114,7 +170,9 @@ print("RESULT " + json.dumps({{"cpus": cpus, "component": component,
 spark.stop()
 """
 
-COMPONENTS = ("fanout_hash", "write_nolin", "write_nodict", "readback", "full")
+COMPONENTS = ("fanout_hash", "fanout_nohash", "fanout_dateday",
+              "explode_only", "range_baseline", "write_nolin",
+              "write_nodict", "readback", "full")
 
 
 def run(component: str, cpus: int) -> dict:

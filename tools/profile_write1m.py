@@ -79,9 +79,11 @@ days = eng._candidate_days(observed)
 t_plan = time.time() - t0
 
 t0 = time.time()
+# mirrors RollupEngine.run()'s 1m branch: DATE day, no resume filter
+# on a fresh run (see plans/rollup.py _day_filter)
 base = gap_fill_minutes(observed).withColumn(
-    "day", F.date_format("minute_ts", "yyyy-MM-dd"))
-tier_1m = eng.build_rollup_1m(base).filter(F.col("day").isin(days))
+    "day", F.to_date("minute_ts"))
+tier_1m = eng.build_rollup_1m(base)
 n = eng._write_with_lineage(tier_1m, "rollup_1m", days, "prof")
 dt = time.time() - t0
 shutil.rmtree(io.root, ignore_errors=True)
