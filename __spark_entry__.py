@@ -3371,6 +3371,112 @@ FROM terms GROUP BY series_id
 """
 
 
+def q_carma_predict(spark, sf_dir):
+    """CARMA prediction surface (reference src/carma/predict.rs:22-58)
+    — closes the last §2.11 inventory line. Two halves per
+    (series, horizon):
+
+    - parity half (ref_* columns): the reference's SHIPPED
+      carma_predict is an acknowledged placeholder ("TODO: Implement
+      proper Kalman filter-based prediction", predict.rs:39-40) that
+      ignores params, data and the confidence level and returns
+      means=0 / std_devs=1 / bounds=±1.96 (predict.rs:43-48).
+      kernel.carma.carma_predict(mode='reference') mirrors it
+      bit-for-bit, quirks preserved.
+    - engine half (fc_* columns): mode='forecast' implements the TODO
+      the reference never did — a one-sided Kalman forecast. At
+      CARMA(1,0) with near-zero measurement error it collapses to the
+      closed OU form m = v_last·e^{−a·h}, s² = statvar·(1−e^{−2a·h})
+      with statvar = b0²σ²/(4a²) (the same collapse the carma_loglik
+      oracle replays), so DuckDB checks the real forecast exactly;
+      z(0.95) embeds as its double literal."""
+    import pandas as pd
+
+    from chronoxtract_spark.kernel import carma as k_carma
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 40)
+        .groupBy(
+            F.col("user_id").cast("long").alias("series_id"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / 1e6 / 3600.0).alias("t"),
+        )
+        .agg(F.avg("value").alias("v"))
+    )
+    horizons = [1.0, 2.0, 4.0]
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values("t", kind="mergesort")
+        t = pdf["t"].to_numpy(np.float64)
+        v = pdf["v"].to_numpy(np.float64)
+        e = np.full(t.size, 1e-9)
+        params = k_carma.CarmaParams(
+            p=1, q=0, ar_coeffs=np.array([0.5]), ma_coeffs=np.array([1.0]),
+            sigma=1.0,
+        )
+        pred_t = t[-1] + np.asarray(horizons)
+        ref = k_carma.carma_predict(params, t, v, e, pred_t, mode="reference")
+        fc = k_carma.carma_predict(params, t, v, e, pred_t, mode="forecast")
+        return pd.DataFrame(
+            {
+                "series_id": int(pdf["series_id"].iloc[0]),
+                "horizon": horizons,
+                "ref_mean": ref["means"],
+                "ref_std": ref["std_devs"],
+                "ref_lo": ref["lower_bounds"],
+                "ref_hi": ref["upper_bounds"],
+                "fc_mean": fc["means"],
+                "fc_std": fc["std_devs"],
+                "fc_lo": fc["lower_bounds"],
+                "fc_hi": fc["upper_bounds"],
+            }
+        )
+
+    out_schema = (
+        "series_id long, horizon double, ref_mean double, ref_std double, "
+        "ref_lo double, ref_hi double, fc_mean double, fc_std double, "
+        "fc_lo double, fc_hi double"
+    )
+    return (
+        ev.groupBy("series_id")
+        .applyInPandas(fn, schema=out_schema)
+        .select(
+            "series_id", "horizon", "ref_mean", "ref_std", "ref_lo",
+            "ref_hi",
+            F.round("fc_mean", 6).alias("fc_mean"),
+            F.round("fc_std", 6).alias("fc_std"),
+            F.round("fc_lo", 6).alias("fc_lo"),
+            F.round("fc_hi", 6).alias("fc_hi"),
+        )
+    )
+
+
+SQL_CARMA_PREDICT = """
+WITH s AS (
+  SELECT user_id AS series_id,
+         epoch_us(ts)::BIGINT / 1000000.0 / 3600.0 AS t,
+         avg(value) AS v
+  FROM events WHERE user_id < 40 GROUP BY 1, 2
+), last AS (
+  SELECT series_id, arg_max(v, t) AS v_last FROM s GROUP BY 1
+), fc AS (
+  SELECT series_id, horizon,
+         v_last * exp(-0.5 * horizon) AS m,
+         sqrt(1 - exp(-2 * 0.5 * horizon)) AS sd
+  FROM last CROSS JOIN (VALUES (1.0), (2.0), (4.0)) AS h(horizon)
+)
+SELECT series_id, horizon,
+       0.0 AS ref_mean, 1.0 AS ref_std,
+       -1.96 AS ref_lo, 1.96 AS ref_hi,
+       round(m, 6) AS fc_mean, round(sd, 6) AS fc_std,
+       round(m - 1.9599639845400536 * sd, 6) AS fc_lo,
+       round(m + 1.9599639845400536 * sd, 6) AS fc_hi
+FROM fc
+"""
+
+
 def q_carma_aicc(spark, sf_dir):
     """The AICc model-selection machinery of carma_choose_order
     (reference: src/carma/selection.rs:24-95) made oracle-exact: per
@@ -11398,6 +11504,7 @@ _EXTRA_QUERIES = {
     "enhanced_peak_stats": q_enhanced_peak_stats,
     "rollup_quantiles": q_rollup_quantiles,
     "carma_loglik": q_carma_loglik,
+    "carma_predict": q_carma_predict,
     "carma_mcmc": q_carma_mcmc,
     "carma_mcmc_fold": q_carma_mcmc_fold,
     "hankel": q_hankel,
@@ -11561,6 +11668,7 @@ _EXTRA_ORACLES = {
     "quality_filter": SQL_QUALITY_FILTER,
     "retention_expiry": SQL_RETENTION_EXPIRY,
     "carma_loglik": SQL_CARMA_LOGLIK,
+    "carma_predict": SQL_CARMA_PREDICT,
     "matrix_profiles": SQL_MATRIX_PROFILES,
     "multiscale_entropy": SQL_MULTISCALE_ENTROPY,
     "lomb_scargle": SQL_LOMB_SCARGLE,

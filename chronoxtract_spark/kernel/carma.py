@@ -291,6 +291,104 @@ def kalman_filter(params: CarmaParams, times, values, errors) -> dict:
     }
 
 
+def carma_predict(
+    params: CarmaParams,
+    times,
+    values,
+    errors,
+    pred_times,
+    confidence_level: float = 0.95,
+    mode: str = "reference",
+) -> dict:
+    """CARMA prediction (src/carma/predict.rs:22-58).
+
+    ``mode='reference'`` mirrors the reference's SHIPPED behavior: its
+    carma_predict is an acknowledged placeholder ("TODO: Implement
+    proper Kalman filter-based prediction", predict.rs:39-40) that
+    ignores params and the training data and returns ``means=0,
+    std_devs=1, lower=-1.96, upper=+1.96`` for every pred time — the
+    bounds stay ±1.96 even when confidence_level != 0.95 (quirk
+    preserved; predict.rs:44-48). Inputs are validated the same way
+    the reference's slice conversions would reject them.
+
+    ``mode='forecast'`` is this engine's implementation of the
+    reference's TODO: a ONE-SIDED Kalman forecast. The filter runs
+    over the observations strictly before each pred time (same
+    rotated-state recursion as kalman_filter), the state is propagated
+    by the exact transition/step-noise pair, and (mean, std, central
+    confidence bounds at the requested level) of the latent process
+    come from the propagated predictive distribution. Pred times
+    before the first observation answer with the stationary
+    distribution; observations at/after a pred time never inform it
+    (filtering forecast, not a smoother).
+    """
+    validate_time_series(times, values, errors)
+    if not 0.0 < confidence_level < 1.0:
+        raise CarmaError("confidence_level must be in (0, 1)")
+    pt = np.asarray(pred_times, dtype=np.float64)
+    if mode == "reference":
+        n = pt.size
+        return {
+            "times": pt.copy(),
+            "means": np.zeros(n),
+            "std_devs": np.ones(n),
+            "lower_bounds": np.full(n, -1.96),
+            "upper_bounds": np.full(n, 1.96),
+            "confidence_level": float(confidence_level),
+        }
+    if mode != "forecast":
+        raise CarmaError(f"unknown carma_predict mode: {mode!r}")
+    from statistics import NormalDist
+
+    z = NormalDist().inv_cdf(0.5 + confidence_level / 2.0)
+    t = np.asarray(times, dtype=np.float64)
+    v = np.asarray(values, dtype=np.float64)
+    e = np.asarray(errors, dtype=np.float64)
+    order = np.argsort(pt, kind="stable")
+    ss = StateSpace(params)
+    h = ss.observation
+    eye = np.eye(ss.p)
+    mean = np.zeros(ss.p)
+    cov = ss.stationary_cov.copy()
+    prev = None  # time the current (mean, cov) is conditioned up to
+    means = np.empty(pt.size)
+    stds = np.empty(pt.size)
+    i = 0  # next observation to absorb
+    for j in order:
+        tp = pt[j]
+        # absorb every observation strictly before this pred time
+        while i < t.size and t[i] < tp:
+            if prev is not None and t[i] > prev:
+                phi = ss.transition(t[i] - prev)
+                mean = phi @ mean
+                cov = phi @ cov @ phi.T + ss.step_noise(t[i] - prev)
+            innov = v[i] - float(h @ mean)
+            ivar = float(h @ cov @ h) + e[i] * e[i]
+            if ivar <= 0:
+                raise CarmaError("Non-positive innovation variance")
+            gain = (cov @ h) / ivar
+            mean = mean + gain * innov
+            cov = (eye - np.outer(gain, h)) @ cov
+            prev = t[i]
+            i += 1
+        if prev is None or tp <= prev:
+            m_f, c_f = mean, cov
+        else:
+            phi = ss.transition(tp - prev)
+            m_f = phi @ mean
+            c_f = phi @ cov @ phi.T + ss.step_noise(tp - prev)
+        means[j] = float(h @ m_f)
+        stds[j] = math.sqrt(max(float(h @ c_f @ h), 0.0))
+    return {
+        "times": pt.copy(),
+        "means": means,
+        "std_devs": stds,
+        "lower_bounds": means - z * stds,
+        "upper_bounds": means + z * stds,
+        "confidence_level": float(confidence_level),
+    }
+
+
 def information_criteria(loglik: float, n_params: int, n_data: int):
     """(AIC, AICc, BIC) (src/carma/math.rs:345-367)."""
     k, n = float(n_params), float(n_data)

@@ -210,3 +210,83 @@ def test_negative_q_rejected_with_carma_error():
         K.CarmaParams(1, -1)
     with pytest.raises(K.CarmaError):
         K.McmcParams(1, -1)
+
+
+class TestPredict:
+    """carma_predict (src/carma/predict.rs:22-58): reference-parity
+    placeholder mode + the engine's real one-sided Kalman forecast."""
+
+    def _params(self):
+        return K.CarmaParams(
+            p=1, q=0, ar_coeffs=np.array([0.5]),
+            ma_coeffs=np.array([1.0]), sigma=1.0,
+        )
+
+    def test_reference_mode_mirrors_placeholder_constants(self):
+        # predict.rs:43-48: zeros / ones / ±1.96, for ANY confidence
+        # level and regardless of params or data (quirk preserved)
+        t = np.array([0.0, 1.0, 3.0])
+        v = np.array([5.0, -2.0, 7.0])
+        e = np.full(3, 0.1)
+        r = K.carma_predict(
+            self._params(), t, v, e, [3.5, 10.0], confidence_level=0.8
+        )
+        np.testing.assert_array_equal(r["times"], [3.5, 10.0])
+        np.testing.assert_array_equal(r["means"], [0.0, 0.0])
+        np.testing.assert_array_equal(r["std_devs"], [1.0, 1.0])
+        np.testing.assert_array_equal(r["lower_bounds"], [-1.96, -1.96])
+        np.testing.assert_array_equal(r["upper_bounds"], [1.96, 1.96])
+        assert r["confidence_level"] == 0.8
+
+    def test_forecast_matches_closed_form_ou(self):
+        # CARMA(1,0), near-zero measurement error: the one-sided
+        # forecast collapses to m = v_last e^{-a dt},
+        # s^2 = statvar (1 - e^{-2 a dt}) with statvar = b0^2 s^2/(4a^2)
+        a = 0.5
+        t = np.array([0.0, 1.0, 2.5, 4.0])
+        v = np.array([1.0, 0.3, -0.4, 0.8])
+        e = np.full(4, 1e-9)
+        params = self._params()
+        statvar = float(K.StateSpace(params).stationary_cov[0, 0])
+        pred = [4.5, 6.0, 0.5, -1.0]
+        f = K.carma_predict(params, t, v, e, pred, mode="forecast")
+        for j, tp in enumerate(pred):
+            if tp <= t[0]:
+                em, ev = 0.0, statvar
+            else:
+                idx = int(np.searchsorted(t, tp, side="left")) - 1
+                dt = tp - t[idx]
+                em = v[idx] * math.exp(-a * dt)
+                ev = statvar * (1 - math.exp(-2 * a * dt))
+            assert abs(f["means"][j] - em) < 1e-7
+            assert abs(f["std_devs"][j] - math.sqrt(ev)) < 1e-7
+        # central bounds at the requested level
+        from statistics import NormalDist
+
+        z = NormalDist().inv_cdf(0.975)
+        np.testing.assert_allclose(
+            f["upper_bounds"], f["means"] + z * f["std_devs"], rtol=0, atol=0
+        )
+
+    def test_forecast_is_one_sided(self):
+        # an observation AFTER the pred time must not inform it
+        params = self._params()
+        t = np.array([0.0, 1.0, 1.5, 5.0])
+        v = np.array([1.0, 0.5, 0.8, 100.0])
+        e = np.full(4, 1e-9)
+        f_with = K.carma_predict(params, t, v, e, [2.0], mode="forecast")
+        f_wo = K.carma_predict(
+            params, t[:3], v[:3], e[:3], [2.0], mode="forecast"
+        )
+        assert f_with["means"][0] == f_wo["means"][0]
+        assert f_with["std_devs"][0] == f_wo["std_devs"][0]
+
+    def test_bad_inputs_raise(self):
+        params = self._params()
+        t = np.array([0.0, 1.0])
+        v = np.array([1.0, 2.0])
+        e = np.array([0.1, 0.1])
+        with pytest.raises(K.CarmaError):
+            K.carma_predict(params, t, v, e, [2.0], confidence_level=1.5)
+        with pytest.raises(K.CarmaError):
+            K.carma_predict(params, t, v, e, [2.0], mode="smoother")
