@@ -477,7 +477,10 @@ TableIO. The Iceberg backend (sources/tableio.py IcebergBackend) is
 implementation-complete and has a runtime test, but that test is
 jar-gated and has NEVER executed in this sandbox (no Iceberg catalog
 jar, no network to fetch one) — the Iceberg path is
-runtime-unvalidated here and carries no bench evidence.
+runtime-unvalidated here and carries no bench evidence. Per-round
+resolution retry log: r5 2026-08-20 — no iceberg jar in pyspark/jars
+or ~/.ivy2, maven-central DNS resolution fails (curl exit 6); gate
+unchanged.
 
 North metric: rolled-up points/sec across all retention tiers
 (1m gap-filled points + 1h windows + 1d windows, with the north-star
