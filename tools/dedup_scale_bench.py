@@ -209,6 +209,13 @@ only the in-between band exact-verified).
   (more bands trade shuffle volume for recall).
 - every stage is an equi-join or aggregation — shuffle-parallel; no
   all-pairs comparison anywhere (see BENCH/PLANS.md red-flag scan).
+- **streamed** legs read the corpus from parquet instead of pinning it
+  in executor memory — the mechanism the >=10M-doc regime requires (a
+  cached corpus would evict shuffle). A full 10M-doc leg needs ~3h of
+  quiet wall at local[8] fast-path throughput and did not fit the
+  round budget; the streamed 2M leg is the committed evidence that the
+  mechanism holds (same precision/recall, linear candidate density,
+  throughput within the cached legs' band).
 
 ```json
 {json.dumps([pooled[k] for k in sorted(pooled)], indent=2)}
