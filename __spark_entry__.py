@@ -11705,7 +11705,7 @@ _BASE_QUERIES = queries
 _PRIORITY_ORDER = [
     # flagship compositions + rollup engine
     "curate_corpus", "ops_health", "corpus_health", "stationarity_report",
-    "rollup_tiers", "rollup_1d",
+    "rollup_tiers",
     "rollup_quantiles",
     "chunk_layout", "retention_expiry", "gapfill_spans",
     # newly oracled round 4: payload bytes rebuilt bit-for-bit in SQL —
@@ -11719,14 +11719,20 @@ _PRIORITY_ORDER = [
     # LLM-pipeline operators (sessionize stays in until the driver
     # witnesses the r5 ordering fix green — round-4 verdict ask #1)
     "contamination", "pack_sequences", "sessionize",
-    "turn_latency",
-    "ngram_jaccard", "minhash_lsh", "simhash", "dup_clusters",
+    "ngram_jaccard", "minhash_lsh", "minhash_lsh_fast", "simhash",
+    "dup_clusters",
     "embedding_near_dups", "knn_brute", "lsh_ann", "ivf_ann",
     "quality_filter", "media_features", "audio_features",
     "repetition_stats", "lang_mixture", "asof_join",
     "ewma_irregular",
-    # newly oracled round 4
-    "kernel_features", "carma_fit", "carma_order_p1", "carma_mcmc_fold",
+    # newly oracled round 4/5: carma_order_p2 supersedes the p=1
+    # selection cell (full seeded AICc grid, recursive-CTE replay);
+    # carma_predict covers both the reference placeholder and the real
+    # forecast; minhash_lsh_fast is the pre-verify triage path. Rotated
+    # out to make room (all r4-driver green AND locally hash-exact):
+    # rollup_1d, turn_latency, carma_order_p1.
+    "kernel_features", "carma_fit", "carma_order_p2", "carma_predict",
+    "carma_mcmc_fold",
     "zdcf",
     "enhanced_peak_stats", "yule_walker", "mann_kendall",
     "lead_lag", "pettitt", "holt_winters", "forecast_eval",
