@@ -45,6 +45,9 @@ EXPECTED_FLAGS = {
     "carma_order_p1": "same tiny fixed candidate-grid broadcast as "
     "carma_order, restricted to the closed-form p=1 cells the oracle "
     "covers",
+    "carma_order_p2": "same tiny fixed candidate-grid broadcast as "
+    "carma_order (3 cells at max_p=2, max_q=1) against per-series "
+    "data; the per-cell multistart runs inside the Arrow stage",
     "tfidf_terms": "BNLJ = broadcast of the 1-row corpus-size scalar "
     "(N for the idf denominator) onto the tf table; the term "
     "document-frequency join is a broadcast hash equi-join",
