@@ -238,25 +238,34 @@ def window_quality_gate(
     if os.environ.get("CX_SCALE_FORCE") == "1":
         return {"forced": True}
     sys.path.insert(0, REPO)
-    from bench import noise_canary
+    from bench import bandwidth_canary, noise_canary
 
     secs = [noise_canary() for _ in range(3)]
     best = min(secs)
     par = parallel_canary(8)
     worst_par = par[-1]
+    # r5: the memory-bandwidth steal mode deflated two same-window
+    # pairs (0.591/0.646 on 2026-08-20) while the FFT canaries read
+    # quiet; the slowest of 8 pinned triad workers is its signature
+    # (quiet ~9-11 GB/s each, storm minima 4.4-5.1)
+    bw = bandwidth_canary()
+    bw_min = bw[0] if bw else None
     print(
         f"[gate] noise canary: {secs} (best {best:.3f}s, threshold "
         f"{threshold}s); 8-wide pinned: {par} (max {worst_par:.3f}s, "
-        f"threshold {par_threshold}s)"
+        f"threshold {par_threshold}s); 8-wide triad: {bw} GB/s "
+        f"(min {bw_min}, threshold 6.0)"
     )
-    if best > threshold or worst_par > par_threshold:
+    if (best > threshold or worst_par > par_threshold
+            or (bw_min is not None and bw_min < 6.0)):
         print(
             "[gate] host window degraded — refusing to burn a leg "
             "into the disclosed set; re-run when quiet or set "
             "CX_SCALE_FORCE=1"
         )
         sys.exit(3)
-    return {"canary_best": best, "canary_par_max": worst_par}
+    return {"canary_best": best, "canary_par_max": worst_par,
+            "canary_bw_min_GBps": bw_min}
 
 
 def main():
@@ -579,6 +588,13 @@ pair measured during such weather; best-per-leg pooling across
 windows recovers the engine's ratio because the steal is strictly
 additive per leg. The per-leg phase breakdown in the sidecar is the
 witness: compare each 8c leg's write_1m to the quiet ~45-52 s band.
+As of r5 the gate also (d) runs an 8-wide pinned STREAM-triad canary
+and refuses the leg when the slowest worker drops below 6.0 GB/s
+(quiet ~9-11 GB/s per worker; the 2026-08-20 storm minima were
+4.4-5.1 while the FFT canaries read quiet) — so this mode is now
+detected BEFORE a leg burns into the disclosed set, not only
+diagnosed after the fact. bench.py's pre-run gate gained the same
+criterion, protecting the per-round driver artifact too.
 
 Why the current-revision efficiency sits BELOW the prior revisions'
 even in good windows — and why that is the engine getting FASTER, not
