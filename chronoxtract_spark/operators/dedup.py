@@ -28,6 +28,31 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input scan has fewer
+    partitions than the session's parallelism.
+
+    The shingle/token transforms cost ~100x their input bytes, and a
+    single-row-group parquet file (or a gzip'd text dump) arrives as
+    ONE scan task no matter what ``maxPartitionBytes`` says — measured
+    36.5 s -> 3.7 s for the sf1.0 shingle pass at local[32] (guide
+    §2.5 input skew: "one huge unsplittable file... repartition
+    immediately after the read"). Well-partitioned corpora (partitions
+    >= cores) pass through untouched, so a 100 TB run pays no extra
+    shuffle. The partition probe converts the plan to an RDD, which on
+    a composed (already-shuffled) input can start upstream stages
+    eagerly — every caller in this engine hands these operators a raw
+    scan, where the probe is pure metadata."""
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, 8)
+    try:
+        if df.rdd.getNumPartitions() >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target * 2)
+
+
 def exact_duplicates(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -55,7 +80,7 @@ def exact_duplicates(
     elif key != "exact":
         raise ValueError(f"unknown dedup key: {key}")
     return (
-        df.select(F.md5(text).alias("text_hash"), F.col(id_col))
+        _spread(df).select(F.md5(text).alias("text_hash"), F.col(id_col))
         .groupBy("text_hash")
         .agg(
             F.count("*").cast("long").alias("n_docs"),
@@ -66,27 +91,46 @@ def exact_duplicates(
 
 
 def word_shingles(
-    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """Distinct word n-gram shingles per document: (id, shingle).
 
-    Built with ``transform`` over an index ``sequence`` — stays inside
-    whole-stage codegen; the explode is the only row-expansion.
-    """
+    Built with ``transform`` over an index ``sequence``; the explode is
+    the only row-expansion. ``spread=False`` skips the input
+    repartition probe — pass it when the caller already spread the
+    input (or hands in a composed plan, where the probe would execute
+    upstream stages eagerly)."""
+    if spread:
+        df = _spread(df)
+    return df.select(
+        F.col(id_col),
+        F.explode(_shingle_array(text_col, n)).alias("shingle"),
+    )
+
+
+def _shingle_array(text_col: str, n: int):
+    """Column expression: the DISTINCT word n-gram shingles of a text
+    as an array. Per-document dedup via ``array_distinct`` INSIDE the
+    row — set-identical to a post-explode ``.distinct()`` (the id is
+    the row), but the global shuffle+dedup of the exploded table is
+    gone (guide §2.4 remove-shuffles: it was the largest intermediate
+    in every shingle pipeline)."""
     words = F.split(F.col(text_col), " ")
     idx = F.sequence(F.lit(0), F.size(words) - n)
-    shingles = F.when(
-        F.size(words) >= n,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+    return F.array_distinct(
+        F.when(
+            F.size(words) >= n,
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(words, i + j + 1) for j in range(n)]
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return (
-        df.select(F.col(id_col), F.explode(shingles).alias("shingle"))
-        .distinct()
+        ).otherwise(F.array().cast("array<string>"))
     )
 
 
@@ -115,30 +159,68 @@ def ngram_jaccard_pairs(
     documents before the self-join — the standard guard against
     quadratic blowup on boilerplate shingles at web scale.
     """
+    df = _spread(df)
     sh = _hashed_shingles(
-        word_shingles(df, id_col, text_col, n)
+        word_shingles(df, id_col, text_col, n, spread=False)
     ).withColumnRenamed(id_col, "d")
     if max_shingle_df:
-        keep = (
+        # one grouped posting-list relation (collect_list per shingle,
+        # df-filtered) feeds BOTH the sizes aggregation and the pair
+        # self-join via its re-explode: the old shape paid [groupBy
+        # count + re-join with keep + repartition] — three shuffles of
+        # the exploded table — where this pays one (shingle) exchange
+        # that every consumer reuses (guide §2.4). The pair enumeration
+        # itself stays a codegen'd self-join: an array-comprehension
+        # explode of the same pairs ran ~3x slower (higher-order
+        # lambdas are interpreted). Sizes count a doc's shingles AFTER
+        # the df filter — the contract the oracle pins
+        # (QUALIFY ... <= max_df before sizes).
+        sh_f = (
             sh.groupBy("shingle")
-            .count()
-            .filter(F.col("count") <= max_shingle_df)
-            .select("shingle")
+            .agg(F.collect_list("d").alias("docs"))
+            .filter(F.size("docs") <= max_shingle_df)
+            .select("shingle", F.explode("docs").alias("d"))
         )
-        sh = sh.join(keep, "shingle")
-    sizes = sh.groupBy("d").agg(F.count("*").alias("n_sh"))
-    # the self-join output is quadratic in shingle document-frequency;
-    # AQE sees only the (small) input and would coalesce the join to a
-    # handful of tasks — pin the parallelism explicitly before the blowup
-    n_part = max(sh.sparkSession.sparkContext.defaultParallelism, 8)
-    sh = sh.repartition(n_part, "shingle")
-    a = sh.alias("a")
-    b = sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.d") < F.col("b.d")))
-        .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
-        .agg(F.count("*").alias("inter"))
-    )
+        sizes = sh_f.groupBy("d").agg(F.count("*").alias("n_sh"))
+        a = sh_f.alias("a")
+        b = sh_f.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.d") < F.col("b.d")),
+            )
+            .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+            .agg(F.count("*").alias("inter"))
+        )
+    else:
+        # per-doc distinct-shingle counts straight from the pre-explode
+        # array — no shuffle (the old groupBy(d) re-shuffled the whole
+        # exploded table on a second key); docs with zero shingles
+        # vanish from `inter` anyway, so their n_sh=0 rows are harmless
+        sizes = df.select(
+            F.col(id_col).alias("d"),
+            F.size(_shingle_array(text_col, n)).alias("n_sh"),
+        )
+        # unbounded document frequency: keep the streaming self-join —
+        # a grouped doc-array would hold a hot shingle's whole posting
+        # list in one row. The self-join output is quadratic in shingle
+        # document-frequency; AQE sees only the (small) input and would
+        # coalesce the join to a handful of tasks — pin the parallelism
+        # explicitly before the blowup.
+        n_part = max(sh.sparkSession.sparkContext.defaultParallelism, 8)
+        shp = sh.repartition(n_part, "shingle")
+        a = shp.alias("a")
+        b = shp.alias("b")
+        inter = (
+            a.join(
+                b,
+                (F.col("a.shingle") == F.col("b.shingle"))
+                & (F.col("a.d") < F.col("b.d")),
+            )
+            .groupBy(F.col("a.d").alias("d1"), F.col("b.d").alias("d2"))
+            .agg(F.count("*").alias("inter"))
+        )
     out = (
         inter.join(sizes.withColumnRenamed("d", "d1").withColumnRenamed("n_sh", "n1"), "d1")
         .join(sizes.withColumnRenamed("d", "d2").withColumnRenamed("n_sh", "n2"), "d2")
@@ -200,6 +282,7 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 64,
     hash_fn: str = "xxhash64",
+    spread: bool = True,
 ) -> DataFrame:
     """MinHash signature per document as an array<long> column.
 
@@ -207,7 +290,7 @@ def minhash_signatures(
     the per-seed minimum — one groupBy over the exploded shingles, all
     JVM-side column expressions.
     """
-    sh = word_shingles(df, id_col, text_col, n)
+    sh = word_shingles(df, id_col, text_col, n, spread=spread)
     if hash_fn == "md5_60":
         # one md5 per shingle; every hash function derives from it with
         # exact int64 arithmetic (see minhash_coeffs)
@@ -278,7 +361,10 @@ def minhash_lsh_pairs(
     ``None`` (default) keeps the fully exact-verified behavior.
     """
     rows_per_band = num_hashes // bands
-    sig = minhash_signatures(df, id_col, text_col, n, num_hashes, hash_fn)
+    df = _spread(df)
+    sig = minhash_signatures(
+        df, id_col, text_col, n, num_hashes, hash_fn, spread=False
+    )
 
     def band_key(b):
         vals = [
@@ -375,6 +461,7 @@ def minhash_lsh_pairs(
             id_col,
             text_col,
             n,
+            spread=False,
         )
     ).withColumnRenamed(id_col, "d")
     sizes = sh.groupBy("d").agg(F.count("*").alias("n_sh"))
@@ -520,7 +607,7 @@ def simhash_duplicates(
             f"hash_fn={hash_fn!r} (otherwise high fingerprint bits are "
             "silently excluded from banding)"
         )
-    tokens = df.select(
+    tokens = _spread(df).select(
         F.col(id_col).alias("d"), F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     h = (

@@ -109,16 +109,19 @@ def compute_kernel_features(x: np.ndarray) -> dict:
     out: dict[str, float] = {}
     nan = float("nan")
 
-    out["sample_entropy"] = (
-        _safe(k_entropy.sample_entropy, x, 2, 0.2 * max(float(np.std(x)), 1e-12))
-        if n >= 4
-        else nan
-    )
-    out["approx_entropy"] = (
-        _safe(k_entropy.approximate_entropy, x, 2, 0.2 * max(float(np.std(x)), 1e-12))
-        if n >= 4
-        else nan
-    )
+    if n >= 4:
+        # fused pass: both entropies share (m, r), and every template-
+        # match count comes from one pairwise adjacency (bit-identical
+        # integer counts, ~30x less per-window work — kernel.entropy
+        # sampen_apen docstring)
+        se_ae = _safe(
+            k_entropy.sampen_apen, x, 2, 0.2 * max(float(np.std(x)), 1e-12)
+        )
+        out["sample_entropy"], out["approx_entropy"] = (
+            se_ae if isinstance(se_ae, tuple) else (se_ae, se_ae)
+        )
+    else:
+        out["sample_entropy"] = out["approx_entropy"] = nan
     out["permutation_entropy"] = (
         _safe(k_entropy.permutation_entropy, x, 3, 1) if n >= 3 else nan
     )

@@ -38,7 +38,11 @@ from chronoxtract_spark import compression as cxc
 from chronoxtract_spark import functions as cxf
 from chronoxtract_spark.kernel import gapfill as k_gapfill
 from chronoxtract_spark.operators import features as ops_features
-from chronoxtract_spark.operators.gapfill import gap_fill_minutes, turn_rate_1m
+from chronoxtract_spark.operators.gapfill import (
+    gap_fill_minutes,
+    gap_fill_minutes_day_keyed,
+    turn_rate_1m,
+)
 
 TIERS = ("rollup_1m", "rollup_1h", "rollup_1d")
 LINEAGE_TABLE = "lineage"
@@ -670,11 +674,15 @@ class RollupEngine:
 
         # -- 1m tier: stream the dense plan straight into the partitioned
         # write (never cached — the dense fan-out only exists in this one
-        # pass); per-day counts + checksums come from the write action
+        # pass); per-day counts + checksums come from the write action.
+        # DAY-KEYED fan-out (guide §8): the observed-scale segment rows
+        # shuffle on (day, salt) BEFORE the ~1000x minute explode, so
+        # each write task owns ~one day partition — no per-task sort by
+        # partition key, no hundred-writer memory pressure, and day
+        # files come out task-sized (row set identical to the conv-keyed
+        # fan-out; tests pin the equivalence).
         if new_1m:
-            base = gap_fill_minutes(observed).withColumn(
-                "day", F.to_date("minute_ts")
-            )
+            base = gap_fill_minutes_day_keyed(observed, len(all_days))
             tier_1m = _day_filter(self.build_rollup_1m(base), new_1m)
             counts["rollup_1m"] = self._write_with_lineage(
                 tier_1m, "rollup_1m", new_1m, source_snapshot

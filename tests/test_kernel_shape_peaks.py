@@ -175,6 +175,25 @@ class TestEntropy:
         c = entropy.lempel_ziv_complexity(x, 1.5)
         assert c > 0 and np.isfinite(c)
 
+    def test_sampen_apen_fused_bitexact(self):
+        # the fused pair path must reproduce the separate kernels bit
+        # for bit (integer match counts -> identical float arithmetic),
+        # including tie-heavy series, tiny n, and degenerate r edges
+        rng = np.random.RandomState(7)
+        for n in (4, 5, 10, 64, 333, 1440):
+            for mode in ("normal", "ties", "flat"):
+                x = rng.normal(size=n)
+                if mode == "ties":
+                    x = np.round(x, 1)
+                elif mode == "flat":
+                    x = np.full(n, 2.5)
+                for r in (0.2, 0.2 * max(float(np.std(x)), 1e-12)):
+                    se, ae = entropy.sampen_apen(x, 2, r)
+                    se_ref = entropy.sample_entropy(x, 2, r)
+                    ae_ref = entropy.approximate_entropy(x, 2, r)
+                    assert repr(se) == repr(se_ref), (n, mode, r)
+                    assert repr(ae) == repr(ae_ref), (n, mode, r)
+
     def test_mse_scale1_equals_sampen(self):
         # reference: tests/test_entropy.py:123-132
         rng = np.random.RandomState(123)

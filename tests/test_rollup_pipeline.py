@@ -153,6 +153,34 @@ class TestRollupPipeline:
         bad = spans.filter(F.col("n") != F.col("expected")).count()
         assert bad == 0
 
+    def test_day_keyed_gapfill_row_identical(self, spark, transcripts):
+        """The day-keyed dense fan-out (the 1m write path) must produce
+        the exact row set of the conv-keyed gap_fill_minutes + to_date —
+        same minutes, same interpolated rates bit-for-bit."""
+        from chronoxtract_spark.operators.gapfill import (
+            gap_fill_minutes,
+            gap_fill_minutes_day_keyed,
+            turn_rate_1m,
+        )
+
+        observed = turn_rate_1m(transcripts)
+        n_days = (
+            observed.select(F.to_date("minute_ts").alias("d"))
+            .distinct()
+            .count()
+        )
+        ref = gap_fill_minutes(observed).withColumn(
+            "day", F.to_date("minute_ts")
+        )
+        new = gap_fill_minutes_day_keyed(observed, n_days)
+        cols = sorted(ref.columns)
+        assert sorted(new.columns) == cols
+        a = ref.select(*cols)
+        b = new.select(*cols)
+        assert a.count() == b.count()
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+
     def test_moment_state_merge_exact(self, spark, engine_run):
         """1d moments derived from 1h state sums must equal a direct
         1d aggregation over the base — algebraic mergeability."""
