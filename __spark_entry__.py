@@ -2252,11 +2252,13 @@ def q_compression_stats(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("conv_id"), "ts"
     )
-    filled = gap_fill_minutes(turn_rate_1m(ev)).withColumn(
-        "day", F.date_format("minute_ts", "yyyy-MM-dd")
-    )
+    # observed rows only + in-kernel zero-interpolation regeneration:
+    # identical bytes to feeding the dense gap-filled *turns* column
+    # (a dense input makes every minute an observation, so its value
+    # stream IS counts-with-zero-gaps), but the shuffle and Arrow
+    # boundary carry ~1000x fewer rows (guide §4.1/§2.3)
     eng = RollupEngine(spark, temp_warehouse(spark))
-    chunks = eng.build_chunks(filled)
+    chunks = eng.build_chunks(turn_rate_1m(ev), interpolate="zero")
     return chunks.select(
         "conv_id", "day", "n", "raw_size",
         F.length("val_bytes").cast("long").alias("val_size"),
@@ -2417,11 +2419,13 @@ def q_chunk_payloads(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("conv_id"), "ts"
     )
-    filled = gap_fill_minutes(turn_rate_1m(ev)).withColumn(
-        "day", F.date_format("minute_ts", "yyyy-MM-dd")
-    )
+    # observed rows only + in-kernel zero-interpolation regeneration:
+    # identical bytes to feeding the dense gap-filled *turns* column
+    # (a dense input makes every minute an observation, so its value
+    # stream IS counts-with-zero-gaps), but the shuffle and Arrow
+    # boundary carry ~1000x fewer rows (guide §4.1/§2.3)
     eng = RollupEngine(spark, temp_warehouse(spark))
-    chunks = eng.build_chunks(filled)
+    chunks = eng.build_chunks(turn_rate_1m(ev), interpolate="zero")
     return chunks.select(
         "conv_id", "day", "n",
         F.hex("ts_bytes").alias("ts_hex"),
@@ -5114,11 +5118,13 @@ def q_chunk_layout(spark, sf_dir):
     ev = _events(spark, sf_dir).select(
         F.col("user_id").cast("string").alias("conv_id"), "ts"
     )
-    filled = gap_fill_minutes(turn_rate_1m(ev)).withColumn(
-        "day", F.date_format("minute_ts", "yyyy-MM-dd")
-    )
+    # observed rows only + in-kernel zero-interpolation regeneration:
+    # identical bytes to feeding the dense gap-filled *turns* column
+    # (a dense input makes every minute an observation, so its value
+    # stream IS counts-with-zero-gaps), but the shuffle and Arrow
+    # boundary carry ~1000x fewer rows (guide §4.1/§2.3)
     eng = RollupEngine(spark, temp_warehouse(spark))
-    chunks = eng.build_chunks(filled)
+    chunks = eng.build_chunks(turn_rate_1m(ev), interpolate="zero")
     # ts_size is analytic on the gap-filled grid: every delta inside a
     # day-chunk is exactly 60 s, so every delta-of-delta is the 1-bit
     # '0' control code — header 4(magic)+4(n)+8(t0)[+8(d0) if n>=2]

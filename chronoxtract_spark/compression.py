@@ -117,6 +117,14 @@ def encode_timestamps(ts: np.ndarray) -> bytes:
         return header
     dod = np.diff(deltas)
 
+    if not dod.any():
+        # dense regular grid (every gap-filled day chunk): all n-2
+        # delta-of-delta codes are the 1-bit '0' control, so the packed
+        # stream is analytically ceil((n-2)/8) zero bytes — byte-equal
+        # to _pack_varbits on all-zero 1-bit codes (np.packbits
+        # zero-pads), at none of the bit-plane gather cost
+        return header + bytes((dod.size + 7) // 8)
+
     codes = np.zeros(dod.size, dtype=np.uint64)
     nbits = np.zeros(dod.size, dtype=np.int64)
     done = dod == 0  # control '0', zero bits of payload

@@ -112,6 +112,9 @@ def repetition_stats(
     High values of any of these mark boilerplate / degenerate documents
     that repetition filters drop before training.
     """
+    from chronoxtract_spark.operators._util import spread_small_scan
+
+    df = spread_small_scan(df)
     ns = sorted(set(top_ns) | set(dup_ns))
     w = F.split(F.col(text_col), " ")
     base = df.select(

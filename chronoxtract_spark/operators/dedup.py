@@ -28,29 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _spread(df: DataFrame) -> DataFrame:
-    """Round-robin repartition when the input scan has fewer
-    partitions than the session's parallelism.
-
-    The shingle/token transforms cost ~100x their input bytes, and a
-    single-row-group parquet file (or a gzip'd text dump) arrives as
-    ONE scan task no matter what ``maxPartitionBytes`` says — measured
-    36.5 s -> 3.7 s for the sf1.0 shingle pass at local[32] (guide
-    §2.5 input skew: "one huge unsplittable file... repartition
-    immediately after the read"). Well-partitioned corpora (partitions
-    >= cores) pass through untouched, so a 100 TB run pays no extra
-    shuffle. The partition probe converts the plan to an RDD, which on
-    a composed (already-shuffled) input can start upstream stages
-    eagerly — every caller in this engine hands these operators a raw
-    scan, where the probe is pure metadata."""
-    sc = df.sparkSession.sparkContext
-    target = max(sc.defaultParallelism, 8)
-    try:
-        if df.rdd.getNumPartitions() >= target:
-            return df
-    except Exception:
-        return df
-    return df.repartition(target * 2)
+from chronoxtract_spark.operators._util import spread_small_scan as _spread
 
 
 def exact_duplicates(

@@ -50,7 +50,10 @@ def bm25_scores(
     Returns ``query_id, doc_id (key_col name kept), score, n_terms,
     rank`` where ``n_terms`` is how many distinct query terms hit.
     """
+    from chronoxtract_spark.operators._util import spread_small_scan
+
     spark = docs.sparkSession
+    docs = spread_small_scan(docs)
     # empty/whitespace-only docs: split('') yields [''] — filter the
     # empty token BEFORE dl, or such docs get dl=1 and '' becomes a
     # corpus term skewing avgdl and every idf denominator

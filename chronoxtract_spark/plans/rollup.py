@@ -137,6 +137,15 @@ class RollupEngine:
     ):
         self.spark = spark
         self.io = io
+        # serializes lineage commits for callers that drive tier writes
+        # from concurrent driver threads (guide §2.6): two appends into
+        # the same parquet directory would race in the shared
+        # _temporary staging dir. run() itself is sequential — an
+        # overlapped dense-write variant measured 1.6x SLOWER (all legs
+        # are CPU/membw-bound on the same cores) and was reverted.
+        import threading
+
+        self._lineage_lock = threading.Lock()
         self.salts = salts
         self.kernel_features = kernel_features
         self.compress = compress
@@ -295,7 +304,8 @@ class RollupEngine:
                 "tier string, partition_key string, source_snapshot string, "
                 "row_count long, checksum long, committed_at long",
             )
-            self.io.append(lineage, LINEAGE_TABLE)
+            with self._lineage_lock:
+                self.io.append(lineage, LINEAGE_TABLE)
         if self.verify_readback:
             written = self.io.read(table).filter(
                 F.to_date(F.col("day")).isin(_day_dates(days))
@@ -563,7 +573,9 @@ class RollupEngine:
             "day_ts", F.col("day").cast("timestamp")
         )
 
-    def build_chunks(self, observed: DataFrame) -> DataFrame:
+    def build_chunks(
+        self, observed: DataFrame, interpolate: str = "linear"
+    ) -> DataFrame:
         """Gorilla-compressed chunk structs per (conv_id, day): the
         vectorized Arrow UDF emitting binary-packed chunks
         (chronoxtract_spark.compression).
@@ -573,48 +585,71 @@ class RollupEngine:
         (kernel.gapfill.dense_from_observed, bit-identical to the 1m
         tier) — the shuffle and Arrow transfer carry ~1000x fewer rows
         than the dense table. Grouped by conversation; the per-day chunk
-        split happens on the regenerated int64 epochs."""
+        split happens on the regenerated int64 epochs.
+
+        ``interpolate`` selects the in-kernel gap value ('linear' =
+        the 1m tier's rate; 'zero' = observed counts, gaps at 0 — what
+        a caller feeding the dense *turns* column would get, since a
+        dense input makes every minute an observation)."""
 
         def encode(pdf: pd.DataFrame) -> pd.DataFrame:
-            conv = pdf["conv_id"].iloc[0]
-            t_obs = pdf["t"].to_numpy(np.int64)
-            v_obs = pdf["v"].to_numpy(np.float64)
-            order = np.argsort(t_obs, kind="stable")
-            t, v, _turns, _obs = k_gapfill.dense_from_observed(
-                t_obs[order], v_obs[order]
-            )
-            day_idx = t // 86400
-            change = np.flatnonzero(day_idx[1:] != day_idx[:-1]) + 1
-            starts = np.concatenate(([0], change))
-            ends = np.concatenate((change, [len(t)]))
-            rows = []
-            for s, e in zip(starts, ends):
-                ch = cxc.encode_chunk(t[s:e], v[s:e])
-                day = str(np.datetime64(int(day_idx[s]) * 86400, "s"))[:10]
-                rows.append(
-                    {
-                        "conv_id": conv,
-                        "day": day,
-                        "chunk_id": f"{conv}/{day}",
-                        "t0": ch["t0"],
-                        "n": ch["n"],
-                        "ts_bytes": ch["ts_bytes"],
-                        "val_bytes": ch["val_bytes"],
-                        "checksum": ch["checksum"],
-                        "raw_size": ch["raw_size"],
-                        "enc_size": ch["enc_size"],
-                    }
+            conv_raw = pdf["conv_id"].to_numpy()
+            t_raw = pdf["t"].to_numpy(np.int64)
+            v_raw = pdf["v"].to_numpy(np.float64)
+            conv_vals, codes = np.unique(conv_raw, return_inverse=True)
+            order = np.lexsort((t_raw, codes))  # stable, like the old
+            codes, t_raw, v_raw = codes[order], t_raw[order], v_raw[order]
+            cchange = np.flatnonzero(codes[1:] != codes[:-1]) + 1
+            cstarts = np.concatenate(([0], cchange))
+            cends = np.concatenate((cchange, [len(codes)]))
+            cols: dict[str, list] = {
+                k: []
+                for k in (
+                    "conv_id", "day", "chunk_id", "t0", "n", "ts_bytes",
+                    "val_bytes", "checksum", "raw_size", "enc_size",
                 )
-            return pd.DataFrame(rows)
+            }
+            for cs, ce in zip(cstarts, cends):
+                conv = conv_vals[codes[cs]]
+                t, v, _turns, _obs = k_gapfill.dense_from_observed(
+                    t_raw[cs:ce], v_raw[cs:ce], interpolate=interpolate
+                )
+                day_idx = t // 86400
+                change = np.flatnonzero(day_idx[1:] != day_idx[:-1]) + 1
+                starts = np.concatenate(([0], change))
+                ends = np.concatenate((change, [len(t)]))
+                for s, e in zip(starts, ends):
+                    ch = cxc.encode_chunk(t[s:e], v[s:e])
+                    day = str(np.datetime64(int(day_idx[s]) * 86400, "s"))[:10]
+                    cols["conv_id"].append(conv)
+                    cols["day"].append(day)
+                    cols["chunk_id"].append(f"{conv}/{day}")
+                    cols["t0"].append(ch["t0"])
+                    cols["n"].append(ch["n"])
+                    cols["ts_bytes"].append(ch["ts_bytes"])
+                    cols["val_bytes"].append(ch["val_bytes"])
+                    cols["checksum"].append(ch["checksum"])
+                    cols["raw_size"].append(ch["raw_size"])
+                    cols["enc_size"].append(ch["enc_size"])
+            return pd.DataFrame(cols)
 
         slim = self._observed_slim(observed)
-        # pin fan-out parallelism (the tiny observed input would be
-        # AQE-coalesced into one task while the kernel regenerates the
-        # ~1000x dense series); floor 32 granules so Zipf-skewed
-        # conversations don't straggle a low-parallelism leg
-        n_part = max(slim.sparkSession.sparkContext.defaultParallelism * 2, 32)
-        slim = slim.repartition(n_part, "conv_id")
-        return slim.groupBy("conv_id").applyInPandas(encode, schema=CHUNK_SCHEMA)
+        # BUCKETED grouping (one Arrow group per conversation hash
+        # bucket): at many conversations the per-group pandas frame
+        # machinery rivals the encode cost. Parallelism stays pinned —
+        # the tiny observed input would otherwise be AQE-coalesced into
+        # one task while the kernel regenerates the ~1000x dense
+        # series; 8x-cores buckets keep Zipf-skewed conversations from
+        # straggling a coarse granule.
+        par = max(slim.sparkSession.sparkContext.defaultParallelism, 8)
+        n_bkt = par * 8
+        slim = slim.withColumn(
+            "_bkt", F.pmod(F.xxhash64("conv_id"), F.lit(n_bkt))
+        ).repartition(max(par * 2, 32), "_bkt")
+        return (
+            slim.groupBy("_bkt")
+            .applyInPandas(encode, schema=CHUNK_SCHEMA)
+        )
 
     # -- orchestration --------------------------------------------------------
 
@@ -681,6 +716,12 @@ class RollupEngine:
         # partition key, no hundred-writer memory pressure, and day
         # files come out task-sized (row set identical to the conv-keyed
         # fan-out; tests pin the equivalence).
+        #
+        # (An overlapped variant — dense write on a pool thread while
+        # the chunk/kernel legs run, guide §2.6 — was measured and
+        # REVERTED: all legs here are CPU/memory-bandwidth-bound on the
+        # same cores, and the interleaving ran the whole pipeline
+        # 1.6x SLOWER than sequential legs at sf1.0.)
         if new_1m:
             base = gap_fill_minutes_day_keyed(observed, len(all_days))
             tier_1m = _day_filter(self.build_rollup_1m(base), new_1m)
@@ -699,11 +740,11 @@ class RollupEngine:
             )
             t = mark("chunks", t)
 
-        # -- 1h + 1d tiers: one shared kernel pass (core mode) computes
-        # both tiers' windows from the same in-kernel dense series; the
-        # SQL path aggregates the dense plan for 1h and re-sums 1h state
-        # for 1d (hierarchical, moments-only — full 1d quantiles/features
-        # are the kernel path's job)
+        # -- 1h + 1d tiers: one shared kernel pass (core mode)
+        # computes both tiers' windows from the same in-kernel dense
+        # series; the SQL path aggregates the dense plan for 1h and
+        # re-sums 1h state for 1d (hierarchical, moments-only — full
+        # 1d quantiles/features are the kernel path's job)
         need = sorted(set(new_1h) | set(new_1d))
         cached = None
         if need and self.kernel_features and self.feature_mode == "core":
