@@ -50,10 +50,11 @@ def bm25_scores(
     Returns ``query_id, doc_id (key_col name kept), score, n_terms,
     rank`` where ``n_terms`` is how many distinct query terms hit.
     """
-    from chronoxtract_spark.operators._util import spread_small_scan
-
     spark = docs.sparkSession
-    docs = spread_small_scan(docs)
+    # NOTE: no spread_small_scan here — measured 1.2 s -> 2.8 s at
+    # sf0.1: the tokenize is light enough that the partition probe +
+    # round-robin shuffle cost more than the serial scan they fix
+    # (unlike the ~100x-cost shingle/n-gram transforms)
     # empty/whitespace-only docs: split('') yields [''] — filter the
     # empty token BEFORE dl, or such docs get dl=1 and '' becomes a
     # corpus term skewing avgdl and every idf denominator
