@@ -293,12 +293,24 @@ def lsh_index(
     planes regenerate deterministically from the hash parameters, so
     no side state needs storing."""
     planes_all = _lsh_planes(dim, n_planes, n_tables, seed)
+    sc = corpus.sparkSession.sparkContext
     return (
         with_unit_norm(corpus, vec_col)
         .select(F.col(id_col).alias("neighbor_id"), F.col("_unit").alias("cv"))
         .withColumn("_buckets", _lsh_buckets_udf(planes_all)(F.col("cv")))
         .select(
             "neighbor_id", "cv", F.posexplode("_buckets").alias("table", "bucket")
+        )
+        # leave the index hash-partitioned on the probe key: a
+        # PERSISTED index then answers every future query batch with a
+        # shuffle-free grouped-map (the search's groupBy(table, bucket)
+        # finds its clustered distribution already satisfied), instead
+        # of re-shuffling n_tables x corpus vector payloads per batch
+        # (guide §2.4 bucketed-layout reuse). The one-shot path pays
+        # the same single exchange it always did, just before the
+        # cache point instead of after.
+        .repartition(
+            max(sc.defaultParallelism * 2, 16), "table", "bucket"
         )
     )
 
