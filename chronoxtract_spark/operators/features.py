@@ -290,7 +290,31 @@ def _hann_cache(w: int) -> tuple[np.ndarray, float]:
     return hit
 
 
-def core_features_batch(X: np.ndarray) -> dict[str, np.ndarray]:
+_ENT_LUT: dict[int, np.ndarray] = {}
+
+
+def _entropy_lut(w: int) -> np.ndarray:
+    """``-p*log2(p)`` for every possible bin count ``c in [0, w]`` with
+    ``p = c / float(w)`` — the EXACT expression the histogram entropy
+    evaluates per cell, precomputed once per window width so the per-
+    batch work is one integer gather instead of a where/log2/multiply
+    chain over the full (n, bins) matrix (bit-identical: the table
+    entries are produced by the same float ops on the same inputs,
+    including the ``-0.0`` at c == w)."""
+    t = _ENT_LUT.get(w)
+    if t is None:
+        p = np.arange(w + 1) / float(w)
+        with np.errstate(all="ignore"):
+            t = np.where(p > 0, -p * np.log2(np.where(p > 0, p, 1.0)), 0.0)
+        _ENT_LUT[w] = t
+    return t
+
+
+def core_features_batch(
+    X: np.ndarray,
+    mn: np.ndarray | None = None,
+    mx: np.ndarray | None = None,
+) -> dict[str, np.ndarray]:
     """North-star window features for a (n_windows, w) matrix of
     equal-length windows — one batched numpy pass, no per-window Python.
 
@@ -300,31 +324,46 @@ def core_features_batch(X: np.ndarray) -> dict[str, np.ndarray]:
     - Welch/FFT spectral power: hann-windowed, mean-removed one-segment
       (w <= 64) rfft power; total, argmax frequency, normalized
       spectral entropy
-    """
+
+    ``mn``/``mx`` accept precomputed per-row min/max (keepdims shape)
+    so a caller that also needs them (window_state_batch) pays the
+    reduction once. Every fusion below (LUT gather, ``out=`` chains,
+    masked negate) evaluates the same IEEE ops on the same values in
+    the same order as the naive form — pinned bit-exact by
+    test_core_features_batch_fused_bitexact."""
     n, w = X.shape
     out: dict[str, np.ndarray] = {}
     bins = 16
-    mn = X.min(axis=1, keepdims=True)
-    mx = X.max(axis=1, keepdims=True)
+    if mn is None:
+        mn = X.min(axis=1, keepdims=True)
+    if mx is None:
+        mx = X.max(axis=1, keepdims=True)
     rng = mx - mn
     flat = (rng == 0.0).ravel()
     safe = np.where(rng == 0.0, 1.0, rng)
-    idx = np.clip(
-        np.floor((X - mn) / safe * bins).astype(np.int64), 0, bins - 1
-    )
-    offset = idx + np.arange(n)[:, None] * bins
-    counts = np.bincount(offset.ravel(), minlength=n * bins).reshape(n, bins)
-    p = counts / float(w)
-    with np.errstate(all="ignore"):
-        terms = np.where(p > 0, -p * np.log2(np.where(p > 0, p, 1.0)), 0.0)
-    ent = terms.sum(axis=1)
+    # (X - mn) / safe * bins, floored — chained through ONE buffer
+    # (each step is the identical elementwise op the temporaries did)
+    buf = X - mn
+    np.divide(buf, safe, out=buf)
+    np.multiply(buf, bins, out=buf)
+    np.floor(buf, out=buf)
+    idx = buf.astype(np.int64)
+    np.clip(idx, 0, bins - 1, out=idx)
+    idx += np.arange(n)[:, None] * bins
+    counts = np.bincount(idx.ravel(), minlength=n * bins).reshape(n, bins)
+    ent = _entropy_lut(w)[counts].sum(axis=1)
     ent[flat] = 0.0
     out["shannon_entropy"] = ent
 
     win, scale = _hann_cache(w)
-    seg = (X - X.mean(axis=1, keepdims=True)) * win[None, :]
+    # (X - mean) * win reusing the histogram buffer (same two ops)
+    seg = buf
+    np.subtract(X, X.mean(axis=1, keepdims=True), out=seg)
+    np.multiply(seg, win[None, :], out=seg)
     spec = np.fft.rfft(seg, axis=1)
-    psd = (spec.real**2 + spec.imag**2) * scale
+    psd = np.square(spec.real)
+    psd += np.square(spec.imag)
+    psd *= scale
     if w % 2 == 0:
         psd[:, 1:-1] *= 2.0
     else:
@@ -333,11 +372,19 @@ def core_features_batch(X: np.ndarray) -> dict[str, np.ndarray]:
     tot = psd.sum(axis=1)
     out["spectral_power_total"] = tot
     out["spectral_peak_freq"] = freqs[np.argmax(psd, axis=1)]
+    # normalized spectral entropy in place on psd: pn = psd/tot;
+    # terms = where(pn>0, -pn*log(pn), 0.0) via a zero-initialized
+    # log buffer and MASKED multiply/negate — elsewhere entries stay
+    # +0.0 exactly as the where() produced them
+    pn = psd
+    np.divide(pn, np.where(tot == 0, 1.0, tot)[:, None], out=pn)
+    m = pn > 0
     with np.errstate(all="ignore"):
-        pn = psd / np.where(tot == 0, 1.0, tot)[:, None]
-        se = np.where(pn > 0, -pn * np.log(np.where(pn > 0, pn, 1.0)), 0.0).sum(
-            axis=1
-        )
+        lg = np.zeros_like(pn)
+        np.log(pn, out=lg, where=m)
+        np.multiply(lg, pn, out=lg, where=m)
+        np.negative(lg, out=lg, where=m)
+    se = lg.sum(axis=1)
     se[tot == 0] = float("nan")
     out["spectral_entropy"] = se
     return out
@@ -390,9 +437,15 @@ def _exact_quantiles_rows(X: np.ndarray, qs: list[float]) -> np.ndarray:
     return out
 
 
-def window_state_batch(X: np.ndarray) -> dict[str, np.ndarray]:
+def window_state_batch(
+    X: np.ndarray,
+    mn: np.ndarray | None = None,
+    mx: np.ndarray | None = None,
+) -> dict[str, np.ndarray]:
     """Raw-moment state + exact quantiles for a (n_windows, w) batch —
-    one vectorized pass, no per-window Python."""
+    one vectorized pass, no per-window Python. ``mn``/``mx`` accept the
+    per-row min/max a caller already computed (same reduction, so the
+    same values bit-for-bit)."""
     x2 = X * X
     qs = _exact_quantiles_rows(X, [0.05, 0.25, 0.5, 0.75, 0.95])
     return {
@@ -401,14 +454,37 @@ def window_state_batch(X: np.ndarray) -> dict[str, np.ndarray]:
         "s2": x2.sum(axis=1),
         "s3": (x2 * X).sum(axis=1),
         "s4": (x2 * x2).sum(axis=1),
-        "min": X.min(axis=1),
-        "max": X.max(axis=1),
+        "min": X.min(axis=1) if mn is None else mn,
+        "max": X.max(axis=1) if mx is None else mx,
         "q05": qs[0],
         "q25": qs[1],
         "median": qs[2],
         "q75": qs[3],
         "q95": qs[4],
     }
+
+
+def _gather_windows(x: np.ndarray, starts: np.ndarray, length: int) -> np.ndarray:
+    """Gather ``len(starts)`` windows of ``length`` from ``x`` into a
+    (n, length) matrix — identical elements to
+    ``np.stack([x[s:s+length] for s in starts])`` but copied in
+    contiguous RUNS: consecutive windows that tile the series (the
+    overwhelmingly common case — every full window inside one
+    conversation) move as one reshape-memcpy instead of one Python
+    slice each (measured 201 ms -> ~8 ms for 41k w=60 windows over a
+    2.5M-point bucket)."""
+    n_win = int(starts.size)
+    mat = np.empty((n_win, length), dtype=x.dtype)
+    if not n_win:
+        return mat
+    brk = np.flatnonzero(starts[1:] != starts[:-1] + length) + 1
+    rs = np.concatenate(([0], brk))
+    re = np.concatenate((brk, [n_win]))
+    for a, b in zip(rs, re):
+        s0 = int(starts[a])
+        cnt = b - a
+        mat[a:b] = x[s0 : s0 + cnt * length].reshape(cnt, length)
+    return mat
 
 
 def kernel_features_epoch_bucketed(
@@ -489,10 +565,20 @@ def kernel_features_epoch_bucketed(
         }
         for length in np.unique(lengths):
             sel = np.flatnonzero(lengths == length)
-            mat = np.stack([x[starts[i] : ends[i]] for i in sel])
-            feats = core_features_batch(mat)
+            mat = _gather_windows(x, starts[sel], int(length))
             if with_state:
-                feats.update(window_state_batch(mat))
+                # one min/max reduction serves both the histogram
+                # scaling and the state columns (identical values)
+                mnk = mat.min(axis=1, keepdims=True)
+                mxk = mat.max(axis=1, keepdims=True)
+                feats = core_features_batch(mat, mn=mnk, mx=mxk)
+                feats.update(
+                    window_state_batch(
+                        mat, mn=mnk.ravel(), mx=mxk.ravel()
+                    )
+                )
+            else:
+                feats = core_features_batch(mat)
             for c, _ in fields:
                 cols[c][sel] = feats[c]
         out = pd.DataFrame(cols)
@@ -602,7 +688,7 @@ def kernel_features_bucketed(
         cols = {c: np.empty(n_win) for c, _ in CORE_FEATURE_FIELDS}
         for length in np.unique(lengths):
             sel = np.flatnonzero(lengths == length)
-            mat = np.stack([x[starts[i] : ends[i]] for i in sel])
+            mat = _gather_windows(x, starts[sel], int(length))
             feats = core_features_batch(mat)
             for c, _ in CORE_FEATURE_FIELDS:
                 cols[c][sel] = feats[c]

@@ -18,10 +18,14 @@ from chronoxtract_spark.plans.rollup import RollupEngine
 def affected_days(new_rows: DataFrame, ts_col: str = "ts") -> list[str]:
     """Distinct day partitions the new rows touch."""
     # to_date + driver-side str(): the distinct is over dates (4-byte
-    # compare), and the text render happens once per day, not per row
+    # compare), and the text render happens once per day, not per row.
+    # Null timestamps (to_date -> null) are dropped rather than
+    # rendered as the string 'None', which _day_dates would choke on —
+    # a null-ts row belongs to no day partition by definition.
     return sorted(
         str(r[0])
         for r in new_rows.select(F.to_date(ts_col).alias("day"))
+        .filter(F.col("day").isNotNull())
         .distinct()
         .collect()
     )

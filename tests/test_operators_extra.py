@@ -334,6 +334,17 @@ class TestCarmaSpark:
 
 
 class TestIncremental:
+    def test_affected_days_drops_null_ts(self, spark):
+        # a null ts row must vanish from the day set, not surface as
+        # the literal string 'None' (which crashed _day_dates)
+        from chronoxtract_spark.streaming.incremental import affected_days
+
+        df = spark.createDataFrame(
+            [("a", "2026-03-01 10:00:00"), ("b", None)],
+            "conv_id string, ts_raw string",
+        ).select("conv_id", F.to_timestamp("ts_raw").alias("ts"))
+        assert affected_days(df) == ["2026-03-01"]
+
     def test_incremental_rollup_only_touches_affected_days(self, spark):
         import shutil
 

@@ -249,7 +249,11 @@ def window_quality_gate(
     # quiet; the slowest of 8 pinned triad workers is its signature
     # (quiet ~9-11 GB/s each, storm minima 4.4-5.1)
     bw = bandwidth_canary()
-    bw_min = bw[0] if bw else None
+    # FAIL CLOSED on canary error (ADVICE r5): bandwidth_canary returns
+    # [] when its pinned workers can't launch/parse — treating that as
+    # quiet would silently skip the criterion the gate exists for, so
+    # an erroring canary degrades the window and the stamp says why
+    bw_min = bw[0] if bw else "error"
     print(
         f"[gate] noise canary: {secs} (best {best:.3f}s, threshold "
         f"{threshold}s); 8-wide pinned: {par} (max {worst_par:.3f}s, "
@@ -257,7 +261,7 @@ def window_quality_gate(
         f"(min {bw_min}, threshold 6.0)"
     )
     if (best > threshold or worst_par > par_threshold
-            or (bw_min is not None and bw_min < 6.0)):
+            or bw_min == "error" or bw_min < 6.0):
         print(
             "[gate] host window degraded — refusing to burn a leg "
             "into the disclosed set; re-run when quiet or set "
