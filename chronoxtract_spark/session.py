@@ -95,6 +95,7 @@ def get_spark(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     _warm_python_workers(spark)
+    _warm_jvm_paths(spark)
     return spark
 
 
@@ -126,5 +127,62 @@ def _warm_python_workers(spark: SparkSession) -> None:
         # workers (a groupBy variant was AQE-coalesced to 1 task and
         # warmed 5 workers out of 32)
         spark.range(0, n, 1, n).mapInPandas(_ident, schema="id long").count()
+    except Exception:
+        pass  # warm-up is best-effort; a failure must never block startup
+
+
+def _warm_jvm_paths(spark: SparkSession) -> None:
+    """Exercise the JVM one-time machinery on a few synthetic rows.
+
+    The first real job of a session pays codegen/JIT compilation, the
+    shuffle stack, the grouped-map Arrow serializer classes, and the
+    parquet write path (committer init + codec native lib). Measured
+    on the sf0.1 rollup: the first run in a session costs ~10 s more
+    than a warm repeat even with the Python workers pre-spawned. Like
+    ``_warm_python_workers`` this touches no input data — it runs the
+    same engine code paths over ``spark.range`` rows once per session,
+    the JVM analogue of worker pre-spawn. Shares the
+    SPARK_GRAFT_NO_WARMUP opt-out (SPARK_GRAFT_NO_JVM_WARMUP disables
+    just this half)."""
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") or os.environ.get(
+        "SPARK_GRAFT_NO_JVM_WARMUP"
+    ):
+        return
+    try:
+        import shutil
+        import tempfile
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.window import Window
+
+        df = spark.range(0, 256, 1, 8).select(
+            (F.col("id") % 16).alias("k"),
+            F.col("id").cast("double").alias("v"),
+        )
+        # shuffle + ObjectHashAggregate + window + broadcast-join codegen
+        agg = df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("*").alias("c")
+        )
+        win = df.withColumn(
+            "r", F.row_number().over(Window.partitionBy("k").orderBy("v"))
+        )
+        win.join(F.broadcast(agg), "k").count()
+
+        # grouped-map Arrow path (applyInPandas serializer classes —
+        # distinct from mapInPandas, which the worker warm-up used)
+        def _gsum(pdf):
+            return pdf.groupby("k", as_index=False).agg({"v": "sum"})
+
+        df.groupBy("k").applyInPandas(_gsum, schema="k long, v double").count()
+
+        # parquet write path: committer init + session codec native lib
+        tmp = tempfile.mkdtemp(prefix="cx_warm_")
+        try:
+            agg.withColumn("day", F.lit("1970-01-01")).write.mode(
+                "overwrite"
+            ).partitionBy("day").parquet(f"{tmp}/warm")
+            spark.read.parquet(f"{tmp}/warm").count()
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
     except Exception:
         pass  # warm-up is best-effort; a failure must never block startup
