@@ -96,6 +96,7 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     _warm_python_workers(spark)
     _warm_jvm_paths(spark)
+    _warm_engine_paths(spark)
     return spark
 
 
@@ -184,5 +185,53 @@ def _warm_jvm_paths(spark: SparkSession) -> None:
             spark.read.parquet(f"{tmp}/warm").count()
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
+    except Exception:
+        pass  # warm-up is best-effort; a failure must never block startup
+
+
+def _warm_engine_paths(spark: SparkSession) -> None:
+    """Run the rollup pipeline once over a tiny synthetic input so the
+    hot engine code is C2-JIT-compiled before the first real job.
+
+    The micro warm-up above compiles the cold-start *classes* but the
+    heavy loops (dense explode, moment aggregation, partitioned
+    parquet write, chunk kernels) still run their first real
+    iterations in the interpreter/C1 tier: measured at sf0.1, the
+    first `RollupEngine.run` of a session cost ~24-26 s with the micro
+    warm-up vs 16-19 s for warm repeats, and an 8-conversation
+    synthetic pipeline pass (seed=1, ``chronoxtract_spark.synth`` — the
+    same warm-up tools/scaling_bench.py has always used per leg)
+    closes most of that gap (first real run 19.5-23.8 s across
+    interleaved A/B trials). Input is generated from ``spark.range``,
+    written to a private temp warehouse and deleted — no external data
+    is read and nothing persists. Opt-outs: SPARK_GRAFT_NO_WARMUP
+    (all warm-up) / SPARK_GRAFT_NO_DEEP_WARMUP (just this stage, e.g.
+    for short-lived CLI sessions where startup latency matters more
+    than first-job latency)."""
+    if os.environ.get("SPARK_GRAFT_NO_WARMUP") or os.environ.get(
+        "SPARK_GRAFT_NO_DEEP_WARMUP"
+    ):
+        return
+    try:
+        import shutil
+
+        from chronoxtract_spark.plans.rollup import RollupEngine
+        from chronoxtract_spark.sources.tableio import temp_warehouse
+        from chronoxtract_spark.synth import synth_transcripts
+
+        io = temp_warehouse(spark)
+        try:
+            eng = RollupEngine(
+                spark, io, kernel_features=True, compress=True
+            )
+            eng.run(
+                synth_transcripts(
+                    spark, 8, seed=1, min_turns=64, max_turns=256
+                ),
+                source_snapshot="warm",
+                resume=False,
+            )
+        finally:
+            shutil.rmtree(io.root, ignore_errors=True)
     except Exception:
         pass  # warm-up is best-effort; a failure must never block startup
