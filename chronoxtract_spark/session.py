@@ -224,9 +224,17 @@ def _warm_engine_paths(spark: SparkSession) -> None:
             eng = RollupEngine(
                 spark, io, kernel_features=True, compress=True
             )
+            # Size the warm input to the session: every core must see a
+            # realistically-sized batch or the first REAL job still pays
+            # the worker/off-heap first-touch penalty. Measured at sf1
+            # (1M events, local[32]): an 8-conversation warm-up left the
+            # first rollup at 119.5 s vs 78.3 s warm repeats; 64
+            # conversations (2 per core, 13.4 s of untimed startup)
+            # brought the first run to 68.2 s — the warm floor.
+            n_conv = max(8, 2 * spark.sparkContext.defaultParallelism)
             eng.run(
                 synth_transcripts(
-                    spark, 8, seed=1, min_turns=64, max_turns=256
+                    spark, n_conv, seed=1, min_turns=64, max_turns=256
                 ),
                 source_snapshot="warm",
                 resume=False,
